@@ -1,0 +1,316 @@
+"""Stage tests: extraction round-trip, entity linking, canonicalization
+shuffles, materialization + resume, flagship pipeline e2e."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cow_ray.fixtures import (
+    GAZETTEER,
+    build_html,
+    make_pages_rows,
+    write_pages_parquet,
+)
+from cow_ray.stages.extract import ExtractText, extract_text
+from cow_ray.stages.linker import EntityLinker, LinkerModel
+
+
+class TestExtract:
+    def test_round_trip_byte_identical(self):
+        """input_hint invariant: extract_text(html) == text per url."""
+        for r in make_pages_rows(300, seed=5):
+            assert extract_text(r["html"]) == r["text"]
+
+    def test_entities_and_empty(self):
+        assert extract_text(b"") == ""
+        assert extract_text(None) == ""
+        html = build_html("u", "a < b & c\n\nsecond ¶ para")
+        assert extract_text(html) == "a < b & c\n\nsecond ¶ para"
+
+    def test_nav_script_dropped(self):
+        html = (b"<html><body><nav><p>menu</p></nav>"
+                b"<article><p>keep</p><script>drop()</script></article>"
+                b"</body></html>")
+        assert extract_text(html) == "keep"
+
+    def test_stage_drops_html(self):
+        rows = make_pages_rows(10, seed=1)
+        t = pa.Table.from_pylist(rows)
+        out = ExtractText()(t)
+        assert "html" not in out.column_names
+        assert out["text"].to_pylist() == [r["text"] for r in rows]
+
+
+class TestLinker:
+    def test_leftmost_longest(self):
+        m = LinkerModel({"e/a": ["Ada"], "e/al": ["Ada Lovelace"]})
+        got = m.link_text("Ada Lovelace wrote notes.")
+        assert got == [("Ada Lovelace", "e/al", 0, 12)]
+
+    def test_word_boundaries(self):
+        m = LinkerModel({"e/t": ["Turing"]})
+        assert m.link_text("Turingmachine") == []
+        assert m.link_text("by Turing.") == [("Turing", "e/t", 3, 9)]
+
+    def test_ambiguous_deterministic(self):
+        gaz = {"org/mercury": ["Mercury"], "planet/mercury": ["Mercury"]}
+        m = LinkerModel(gaz)
+        a = m.link_text("Mercury rose today.")
+        b = m.link_text("Mercury rose today.")
+        assert a == b and len(a) == 1
+        assert a[0][1] in gaz
+
+    def test_batch_stage_matches_pure_function(self):
+        rows = make_pages_rows(100, seed=9)
+        t = pa.Table.from_pylist(
+            [{"url": r["url"], "text": r["text"]} for r in rows]
+        ).append_column("_row", pa.array(range(100), type=pa.int64()))
+        linker = EntityLinker(GAZETTEER, carry=["url"])
+        out = linker(t)
+        model = LinkerModel(GAZETTEER)
+        want = []
+        for i, r in enumerate(rows):
+            for surface, ent, b, e in model.link_text(r["text"]):
+                want.append((r["url"], i, surface, ent, b, e))
+        got = list(
+            zip(
+                out["url"].to_pylist(),
+                out["_row"].to_pylist(),
+                out["surface"].to_pylist(),
+                out["entity_id"].to_pylist(),
+                out["begin"].to_pylist(),
+                out["end"].to_pylist(),
+            )
+        )
+        assert got == want
+        assert len(got) > 50  # fixture really contains mentions
+
+    def test_empty_batch_schema_stable(self):
+        linker = EntityLinker(GAZETTEER, carry=["url"])
+        t = pa.table({"url": pa.array([], type=pa.string()),
+                      "text": pa.array([], type=pa.string()),
+                      "_row": pa.array([], type=pa.int64())})
+        out = linker(t)
+        assert out.num_rows == 0
+        assert out.schema.field("_row").type == pa.int64()
+
+
+class TestCanonicalize:
+    def test_dedup_triples(self, ray_session):
+        import ray.data
+        from cow_ray.stages.canonicalize import dedup_triples
+        from cow_ray.triples import TRIPLE_SCHEMA
+
+        rows = []
+        for i in range(500):
+            rows.append(
+                {
+                    "subj": f"s/{i % 50}",
+                    "pred": "p",
+                    "obj_lex": f"o/{i % 25}",
+                    "obj_kind": "iri",
+                    "obj_datatype": None,
+                    "obj_lang": None,
+                }
+            )
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=TRIPLE_SCHEMA))
+        out = dedup_triples(ds, num_parts=8).take_all()
+        keys = {(r["subj"], r["obj_lex"]) for r in out}
+        assert len(out) == len(keys) == 50  # i%50 determines i%25 on this data
+
+    def test_dedup_distinguishes_null_vs_empty(self, ray_session):
+        import ray.data
+        from cow_ray.stages.canonicalize import dedup_triples
+        from cow_ray.triples import TRIPLE_SCHEMA
+
+        rows = [
+            {"subj": "s", "pred": "p", "obj_lex": "o", "obj_kind": "literal",
+             "obj_datatype": None, "obj_lang": None},
+            {"subj": "s", "pred": "p", "obj_lex": "o", "obj_kind": "literal",
+             "obj_datatype": "", "obj_lang": None},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=TRIPLE_SCHEMA))
+        assert dedup_triples(ds, num_parts=2).count() == 2
+
+    def test_grouped_count_with_salt(self, ray_session):
+        import ray.data
+        from cow_ray.stages.canonicalize import grouped_count
+
+        rows = [{"k": "hot"}] * 900 + [{"k": f"cold{i}"} for i in range(100)]
+        ds = ray.data.from_items(rows).repartition(10)
+        out = {r["k"]: r["n"] for r in grouped_count(ds, ["k"], salt=4).take_all()}
+        assert out["hot"] == 900
+        assert out["cold7"] == 1
+        assert len(out) == 101
+
+    def test_canonicalize_surface_forms(self, ray_session):
+        import ray.data
+        from cow_ray.stages.canonicalize import canonicalize_surface_forms
+
+        mentions = (
+            [{"surface": "Ada  Lovelace", "entity_id": "person/ada"}] * 5
+            + [{"surface": "ada lovelace", "entity_id": "person/ada"}] * 3
+            + [{"surface": "Ada Lovelace", "entity_id": "person/other"}] * 2
+        )
+        ds = ray.data.from_items(mentions)
+        out = canonicalize_surface_forms(ds, salt=2).take_all()
+        assert len(out) == 1
+        r = out[0]
+        assert r["surface_key"] == "ada lovelace"
+        assert r["entity_id"] == "person/ada"  # 8 > 2
+        assert r["n_total"] == 10
+
+
+class TestMaterialize:
+    def _triples_ds(self, n=300):
+        import ray.data
+        from cow_ray.triples import TRIPLE_SCHEMA
+
+        rows = [
+            {"subj": f"https://x/s{i % 40}", "pred": f"https://x/p{i % 3}",
+             "obj_lex": f"v{i}", "obj_kind": "literal",
+             "obj_datatype": None, "obj_lang": None}
+            for i in range(n)
+        ]
+        return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=TRIPLE_SCHEMA))
+
+    def test_write_sorted_partitioned_with_manifests(self, ray_session, tmp_path):
+        from cow_ray.nanopub import Nanopub
+        from cow_ray.stages.materialize import materialize_triples
+
+        out = str(tmp_path / "store")
+        np_ = Nanopub("https://x/", "t", "ab" * 20)
+        manifests = materialize_triples(
+            self._triples_ds(), out, num_parts=4, job="j1", nanopub=np_
+        )
+        assert sum(m["num_triples"] for m in manifests) == 300
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        # partition files sorted by (subj, pred, obj_lex)
+        for m in manifests:
+            t = pq.read_table(m["path"])
+            trip = list(zip(t["subj"].to_pylist(), t["pred"].to_pylist(),
+                            t["obj_lex"].to_pylist()))
+            assert trip == sorted(trip)
+            mf = json.load(open(os.path.join(os.path.dirname(m["path"]),
+                                             "manifest.json")))
+            assert mf["num_triples"] == t.num_rows
+        # provenance partition exists and has the nanopub skeleton
+        prov = pq.read_table(os.path.join(out, "_provenance", "quads.parquet"))
+        preds = set(prov["pred"].to_pylist())
+        assert "http://www.nanopub.org/nschema#hasAssertion" in preds
+        assert any(p.endswith("tripleCount") for p in preds)
+
+    def test_resume_skips_done_parts(self, ray_session, tmp_path):
+        from cow_ray.stages.materialize import (
+            completed_parts,
+            materialize_triples,
+            read_triple_store,
+        )
+
+        out = str(tmp_path / "store")
+        ds = self._triples_ds()
+        materialize_triples(ds, out, num_parts=4, job="j1", resume=True)
+        done1 = completed_parts(out)
+        assert len(done1) >= 3
+        # simulate partial failure: remove one partition
+        import shutil
+
+        victim = sorted(done1)[0]
+        shutil.rmtree(os.path.join(out, f"part-{victim:05d}"))
+        os.remove(os.path.join(out, "_SUCCESS"))
+        before = completed_parts(out)
+        assert victim not in before
+        manifests = materialize_triples(ds, out, num_parts=4, job="j1", resume=True)
+        assert completed_parts(out) == done1
+        assert sum(m["num_triples"] for m in manifests) == 300
+        # store readback equals the full triple set
+        back = read_triple_store(out)
+        assert back.count() == 300
+
+    def test_resume_refuses_other_job(self, ray_session, tmp_path):
+        from cow_ray.stages.materialize import materialize_triples
+
+        out = str(tmp_path / "store")
+        materialize_triples(self._triples_ds(50), out, num_parts=2, job="j1")
+        with pytest.raises(ValueError, match="refusing"):
+            materialize_triples(self._triples_ds(50), out, num_parts=2, job="OTHER")
+
+
+class TestConvertPipeline:
+    def test_flagship_e2e(self, ray_session, tmp_path):
+        """pages parquet → extract → link → triples → dedup → store;
+        compared against the pure oracle composition."""
+        from cow_ray.oracle import process_table
+        from cow_ray.pipelines import ConvertConfig, convert_pages
+        from cow_ray.pipelines.convert import derive_host
+        from cow_ray.rules import parse_rules
+        from cow_ray.stages.linker import LinkerModel
+        from cow_ray.stages.materialize import read_triple_store
+
+        path = str(tmp_path / "pages.parquet")
+        write_pages_parquet(path, 400, seed=21, row_group_size=128)
+
+        page_rules = {
+            "base": "https://kg.example.org/",
+            "aboutUrl": "page/{_row}",
+            "columns": [
+                {"name": "url", "datatype": "anyURI", "propertyUrl": "schema:url"},
+                {"name": "text", "datatype": "string", "lang": "{lang}",
+                 "propertyUrl": "schema:text"},
+                {"name": "host", "valueUrl": "host/{host}",
+                 "propertyUrl": "schema:isPartOf"},
+            ],
+        }
+        mention_rules = {
+            "base": "https://kg.example.org/",
+            "aboutUrl": "page/{_row}",
+            "columns": [
+                {"name": "entity_id", "valueUrl": "entity/{entity_id}",
+                 "propertyUrl": "schema:mentions"},
+                {"name": "surface", "aboutUrl": "entity/{entity_id}",
+                 "propertyUrl": "rdfs:label"},
+            ],
+        }
+        out_dir = str(tmp_path / "store")
+        triples, manifests = convert_pages(
+            path,
+            page_rules,
+            out_dir,
+            gazetteer=GAZETTEER,
+            mention_rules=mention_rules,
+            config=ConvertConfig(
+                num_parts=4,
+                derived={"host": derive_host},
+                link_concurrency=2,
+            ),
+        )
+        got = {
+            tuple(r[k] for k in ("subj", "pred", "obj_lex", "obj_kind",
+                                 "obj_datatype", "obj_lang"))
+            for r in read_triple_store(out_dir).take_all()
+        }
+
+        # oracle composition over the same rows
+        rows = make_pages_rows(400, seed=21)
+        model = LinkerModel(GAZETTEER)
+        prows, mrows = [], []
+        for i, r in enumerate(rows):
+            host = r["url"].split("/")[2]
+            prows.append({"url": r["url"], "text": r["text"], "lang": r["lang"],
+                          "host": host})
+            for surface, ent, b, e in model.link_text(r["text"]):
+                mrows.append({"_i": i, "surface": surface, "entity_id": ent})
+        want, _, _ = process_table(prows, parse_rules(page_rules))
+        mdoc = parse_rules(mention_rules)
+        from cow_ray.oracle import process_row
+
+        wset = set(want)
+        for m in mrows:
+            rr = process_row({"surface": m["surface"],
+                              "entity_id": m["entity_id"]}, m["_i"], mdoc)
+            wset |= set(rr.triples)
+        assert got == wset
+        assert sum(x["num_triples"] for x in manifests) == len(wset)
