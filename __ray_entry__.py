@@ -1,16 +1,8 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init()`` / ``ray.shutdown()`` happens here or anywhere in
+``cow_ray``.
 """
 
 from __future__ import annotations
@@ -18,27 +10,55 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: the documents table
+    as a no-html pages corpus → COW-style rule-driven triple emission +
+    entity linking (actor pool, warm gazetteer) → mention triples →
+    exact dedup shuffle.  Returns the deduplicated triple Dataset."""
+    from cow_ray.pipelines.queries import (
+        DOC_GAZETTEER,
+        DOC_RULES,
+        MENTION_RULES,
+        _docs,
+    )
+    from cow_ray.rules import parse_rules
+    from cow_ray.stages.canonicalize import dedup_triples
+    from cow_ray.stages.linker import EntityLinker
+    from cow_ray.triples import EmitTriples
+
+    docs = _docs(SF0001)
+    doc_triples = docs.map_batches(
+        EmitTriples(parse_rules(DOC_RULES)), batch_format="pyarrow"
+    )
+    mentions = docs.map_batches(
+        EntityLinker(DOC_GAZETTEER, carry=["doc_id"]),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+    mention_triples = mentions.map_batches(
+        EmitTriples(parse_rules(MENTION_RULES)), batch_format="pyarrow"
+    )
+    return dedup_triples(doc_triples.union(mention_triples), num_parts=8)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator family (SURVEY.md §2 + the
+    training-data ops).  See cow_ray/pipelines/queries.py for the
+    implementations and the cross-engine float discipline."""
+    from cow_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query (identical
+    column names/semantics).  Keys absent here (linker, minhash,
+    simhash, rolling fp, LSH ANN, langid, multimodal) are genuinely
+    non-SQL-expressible → rows-only check."""
+    from cow_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

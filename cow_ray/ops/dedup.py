@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard verification, embedding-cosine near-dup.
+
+Scale shapes (see /opt-guide patterns; all shuffles are keyed on
+uniformly-distributed hashes → no salting needed):
+
+* **exact**: content key per batch (vectorized) → groupby(key) → elect
+  one survivor per group; the shuffle carries one row per *distinct*
+  key per block after local pre-dedup.
+* **MinHash+LSH**: per batch, numpy-vectorized shingling + K minhashes
+  per doc → explode to (band_id, band_hash, doc_id) rows →
+  groupby(band) → candidate pairs within buckets → exact n-gram
+  Jaccard verification of candidates only.
+* **SimHash**: 64-bit signature per doc from token hashes; near-dup =
+  identical signature buckets (or rotate-probe tables for hamming>0).
+* **embedding cosine**: see ``ops.similarity`` (same kernel, threshold
+  instead of top-k).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------- exact ----------
+
+
+def dedup_exact(ds, key_col: str, id_col: str, keep: str = "min"):
+    """Global exact dedup: per distinct ``key_col`` value keep the
+    min/max ``id_col``; returns (key, keep_id, n_dups).  Two-level:
+    within-batch group_by first, then one keyed shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.select([key_col, id_col])
+            .group_by([key_col], use_threads=False)
+            .aggregate([(id_col, keep), ([], "count_all")])
+        )
+        return agg.rename_columns([key_col, "keep_id", "n"])
+
+    from ray.data.aggregate import Min, Max, Sum
+
+    staged = ds.map_batches(partial, batch_format="pyarrow")
+    fn = Min if keep == "min" else Max
+    return staged.groupby(key_col).aggregate(
+        fn("keep_id", alias_name="keep_id"), Sum("n", alias_name="n_dups")
+    )
+
+
+# ---------- shingling + minhash ----------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-gram (character shingle) hashes of a text, uint64."""
+    if not text or len(text) < k:
+        data = (text or "").encode("utf-8")
+        return np.array([int.from_bytes(hashlib.md5(data).digest()[:8], "little")],
+                        dtype=np.uint64)
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:
+        return np.array([int(data.astype(np.uint64).sum())], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    B = np.uint64(1000003)
+    powers = B ** np.arange(k, dtype=np.uint64)[::-1]
+    return np.unique((win * powers).sum(axis=1, dtype=np.uint64))
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """Actor-pool UDF: adds a fixed-length minhash signature column
+    (list<uint64>) per document.  Permutation parameters generated once
+    per actor from a fixed seed (identical across actors →
+    deterministic)."""
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 5,
+                 text_col: str = "text", seed: int = 7):
+        self.a, self.b = _minhash_params(num_perm, seed)
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.text_col = text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        # (n_shingles, num_perm) universal hashing; min over shingles
+        v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return v.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t or "") for t in batch[self.text_col].to_pylist()]
+        arr = pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64()))
+        return batch.append_column("minhash", arr)
+
+
+class BandEmitter:
+    """signature → (band_id, band_hash) rows; explode for the LSH
+    bucket groupby."""
+
+    def __init__(self, num_bands: int = 32, id_col: str = "doc_id"):
+        self.num_bands = num_bands
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        sigs = batch["minhash"].to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for i, sig in zip(ids, sigs):
+            sig = np.asarray(sig, dtype=np.uint64)
+            rows_per_band = len(sig) // self.num_bands
+            for b in range(self.num_bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                out_id.append(i)
+                out_band.append(b)
+                out_hash.append(h)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id, type=batch[self.id_col].type),
+                "band": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_hash, type=pa.string()),
+            }
+        )
+
+
+def minhash_lsh_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
+                           num_perm: int = 128, num_bands: int = 32,
+                           shingle_k: int = 5, concurrency=None):
+    """documents → candidate near-dup pairs (id_a < id_b, distinct).
+
+    The bucket groupby is the only shuffle; its key (band, band_hash)
+    is hash-distributed.  Oversized buckets (>1000 ids — degenerate
+    near-identical content) are truncated pairwise to cap the
+    quadratic blowup, and the truncation is counted in a ``capped``
+    column rather than silent.
+    """
+    hasher = MinHasher(num_perm, shingle_k, text_col)
+    sigs = ds.map_batches(hasher, batch_format="pyarrow",
+                          concurrency=concurrency)
+    bands = sigs.map_batches(BandEmitter(num_bands, id_col),
+                             batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group[id_col].to_pylist()))
+        capped = 0
+        if len(ids) > 1000:
+            capped = len(ids) - 1000
+            ids = ids[:1000]
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, type=pa.int64()),
+                "id_b": pa.array(b_out, type=pa.int64()),
+                "capped": pa.array([capped] * len(a_out), type=pa.int32()),
+            }
+        )
+
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pyarrow"
+    )
+    # a pair can surface from many bands → global distinct
+    from ..stages.canonicalize import dedup_triples
+
+    return dedup_triples(cand, num_parts=16, cols=["id_a", "id_b"])
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact character-k-gram Jaccard (the verification metric for LSH
+    candidates)."""
+    a = _shingle_hashes(text_a or "", k)
+    b = _shingle_hashes(text_b or "", k)
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+def verify_candidates(cand_ds, docs_by_id: dict[int, str], threshold: float = 0.8,
+                      k: int = 5):
+    """Verify candidate pairs against exact Jaccard.  ``docs_by_id`` is
+    a broadcast lookup (pass a ``ray.put`` handle for big corpora via
+    fn_constructor; at verification stage the candidate set is small)."""
+
+    class Verify:
+        def __init__(self, docs):
+            try:
+                import ray
+
+                if isinstance(docs, ray.ObjectRef):
+                    docs = ray.get(docs)
+            except ImportError:
+                pass
+            self.docs = docs
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ja = [
+                round(ngram_jaccard(self.docs.get(a, ""), self.docs.get(b, ""), k), 6)
+                for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
+            ]
+            batch = batch.append_column("jaccard", pa.array(ja, type=pa.float64()))
+            return batch.filter(pc.greater_equal(batch["jaccard"], threshold))
+
+    return cand_ds.map_batches(Verify(docs_by_id), batch_format="pyarrow")
+
+
+# ---------- simhash ----------
+
+
+class SimHasher:
+    """64-bit SimHash over word tokens (vector of ±1 votes weighted by
+    token hash bits)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "simhash"):
+        self.text_col = text_col
+        self.out_col = out_col
+        import re
+
+        self.word_re = re.compile(r"[A-Za-z0-9_']+")
+        # token→bit-vector memo: web-text vocabularies are zipfian, so
+        # the per-actor cache turns the md5 cost into a one-time cost
+        self._bits: dict[str, np.ndarray] = {}
+
+    def _token_bits(self, tok: str) -> np.ndarray:
+        v = self._bits.get(tok)
+        if v is None:
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
+            )
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            v = self._bits[tok] = np.where(bits.astype(bool), 1, -1).astype(np.int64)
+        return v
+
+    def signature(self, text: str) -> int:
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in self.word_re.findall((text or "").lower()):
+            votes += self._token_bits(tok)
+        sig = 0
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= 1 << int(b)
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column(self.out_col,
+                                   pa.array(sigs, type=pa.uint64()))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

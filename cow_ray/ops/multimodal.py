@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: images / audio / video as opaque
+``binary`` columns with typed metadata.
+
+The container has no image/audio codecs (no PIL/ffmpeg), so the decode
+kernels are **stubs by contract** (BASELINE instructions): the
+Ray-side plumbing — schemas, actor-pool signatures, batch sizing,
+output layout — is real and tested with the deterministic fake codec;
+swapping in a real decoder is a one-method change
+(``_decode_impl``).
+
+Conventions:
+
+* media column: ``binary`` payload + sibling metadata columns
+  (``media_type``, ``width``/``height`` or ``sample_rate``/...).
+* decode stages are **actor pools** (codecs have warm state) with
+  *small* batch sizes — payload bytes are wide; set
+  ``batch_size ≈ target_batch_bytes / avg_payload`` and keep
+  ``DataContext.target_max_block_size`` at its default so Ray splits
+  blocks sanely.
+* features come out as fixed-length ``list<float>`` columns that feed
+  straight into ``ops.similarity``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),   # "image/png", "audio/wav", ...
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+class FakeCodecError(NotImplementedError):
+    pass
+
+
+def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in decoder: expands payload bytes into an
+    (h, w, 3) uint8 array by seeded tiling.  Real systems replace this
+    with PIL/turbojpeg; everything around it stays identical."""
+    seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:4], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+class DecodeImage:
+    """Actor-pool UDF: payload → decoded pixels → mean-pool feature
+    vector (``list<float>``, length 3*grid*grid).  ``use_fake_codec``
+    keeps the stage runnable in codec-less environments; with it off,
+    the stage raises ``NotImplementedError`` at the decode call — the
+    documented stub."""
+
+    def __init__(self, grid: int = 4, use_fake_codec: bool = True,
+                 payload_col: str = "payload"):
+        self.grid = grid
+        self.use_fake_codec = use_fake_codec
+        self.payload_col = payload_col
+
+    def _decode_impl(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self.use_fake_codec:
+            return _fake_decode_image(payload, width, height)
+        raise FakeCodecError(
+            "no image codec in this environment; construct with "
+            "use_fake_codec=True or plug a real decoder into _decode_impl"
+        )
+
+    def _features(self, img: np.ndarray) -> np.ndarray:
+        g = self.grid
+        h, w, _ = img.shape
+        ys = np.linspace(0, h, g + 1, dtype=int)
+        xs = np.linspace(0, w, g + 1, dtype=int)
+        out = np.empty((g, g, 3), dtype=np.float64)
+        for i in range(g):
+            for j in range(g):
+                cell = img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+                out[i, j] = cell.mean(axis=(0, 1)) if cell.size else 0.0
+        return (out / 255.0).reshape(-1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload, w, h in zip(
+            batch[self.payload_col].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+        ):
+            img = self._decode_impl(payload, w, h)
+            feats.append(self._features(img).tolist())
+        batch = batch.drop_columns([self.payload_col])  # bytes stop here
+        return batch.append_column(
+            "features", pa.array(feats, type=pa.list_(pa.float64()))
+        )
+
+
+class SampleFrames:
+    """Actor-pool UDF for video-shaped media: emits one row per sampled
+    frame index (flat-map), payload decoding stubbed like DecodeImage."""
+
+    def __init__(self, every_n: int = 10, frames_col: str = "n_frames",
+                 id_col: str = "media_id"):
+        self.every_n = every_n
+        self.frames_col = frames_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames = [], []
+        for mid, n in zip(batch[self.id_col].to_pylist(),
+                          batch[self.frames_col].to_pylist()):
+            for f in range(0, int(n or 0), self.every_n):
+                ids.append(mid)
+                frames.append(f)
+        return pa.table(
+            {self.id_col: pa.array(ids, type=pa.int64()),
+             "frame_index": pa.array(frames, type=pa.int64())}
+        )
+
+
+def make_fake_media_table(n: int, seed: int = 3) -> pa.Table:
+    """Deterministic media fixture (binary payloads + metadata)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w = int(rng.integers(8, 32))
+        h = int(rng.integers(8, 32))
+        payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+        rows.append(
+            {"media_id": i, "media_type": "image/fake", "payload": payload,
+             "width": w, "height": h}
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)

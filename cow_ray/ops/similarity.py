@@ -1,0 +1,255 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(``list<float>``).
+
+* **Brute-force cosine top-k** (the baseline + the oracle): the query
+  matrix is broadcast once (``ray.put``), every ``map_batches`` task
+  computes one float64 GEMM against its batch and emits its *local*
+  top-k per query; a final tiny groupby merges local winners.  The
+  exchange is ``O(num_batches × num_queries × k)`` rows, never the
+  corpus.
+
+* **LSH-bucketed top-k** (the scale path): random-hyperplane signatures
+  (seeded, deterministic) bucket the corpus; queries probe only their
+  own bucket (+ optional multi-probe flips), so the GEMM shrinks by
+  ~``2^planes``.  Recall<1 by construction — compare against
+  brute-force in tests, not byte-for-byte.
+
+Scores are float64 and rounded to 6 digits so the DuckDB oracle
+(``list_cosine_similarity``) hashes identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (zero-copy flat
+    values + reshape when rectangular)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    if n == 0:
+        return flat.reshape(0, 0)
+    d = len(flat) // n
+    return flat.reshape(n, d)
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """map_batches UDF: per batch, cosine of every corpus row against
+    the broadcast query matrix; emits the batch-local top-k candidate
+    rows ``(query_id, neighbor_id, score)``."""
+
+    def __init__(self, queries, query_ids, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 exclude_self: bool = True):
+        try:
+            import ray
+
+            if isinstance(queries, ray.ObjectRef):
+                queries = ray.get(queries)
+        except ImportError:
+            pass
+        self.q = _norm_rows(np.asarray(queries, dtype=np.float64))
+        self.query_ids = np.asarray(query_ids)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        m = _norm_rows(_as_matrix(batch[self.vec_col]))
+        if m.size == 0:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "score": pa.array([], type=pa.float64())}
+            )
+        scores = self.q @ m.T  # (nq, nb) float64 GEMM
+        if self.exclude_self:
+            mask = self.query_ids[:, None] == ids[None, :]
+            scores = np.where(mask, -np.inf, scores)
+        k = min(self.k, scores.shape[1])
+        # local top-k per query (argpartition then exact sort of k)
+        idx = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
+        q_out, n_out, s_out = [], [], []
+        for qi in range(scores.shape[0]):
+            for j in idx[qi]:
+                s = scores[qi, j]
+                if s == -np.inf:
+                    continue
+                q_out.append(int(self.query_ids[qi]))
+                n_out.append(int(ids[j]))
+                s_out.append(float(s))
+        return pa.table(
+            {"query_id": pa.array(q_out, type=pa.int64()),
+             "neighbor_id": pa.array(n_out, type=pa.int64()),
+             "score": pa.array(s_out, type=pa.float64())}
+        )
+
+
+def _merge_topk(k: int):
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = sorted(
+            range(group.num_rows),
+            key=lambda i: (-group["score"][i].as_py(),
+                           group["neighbor_id"][i].as_py()),
+        )[:k]
+        out = group.take(order)
+        ranks = pa.array(range(1, len(order) + 1), type=pa.int64())
+        out = out.append_column("rank", ranks)
+        return out.set_column(
+            out.column_names.index("score"),
+            "score",
+            pc.round(out["score"], ndigits=6),
+        )
+
+    return merge
+
+
+def brute_force_topk(ds, queries: np.ndarray, query_ids, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_self: bool = True, broadcast: bool = True):
+    """Exact cosine top-k of each query against the corpus Dataset.
+    Result: (query_id, neighbor_id, score, rank), rank 1..k,
+    deterministic tie-break on neighbor_id."""
+    qref = queries
+    if broadcast:
+        try:
+            import ray
+
+            qref = ray.put(np.asarray(queries, dtype=np.float64))
+        except ImportError:
+            pass
+    cand = ds.map_batches(
+        BruteForceTopK(qref, query_ids, k, id_col, vec_col, exclude_self),
+        batch_format="pyarrow",
+    )
+    return cand.groupby("query_id").map_groups(
+        _merge_topk(k), batch_format="pyarrow"
+    )
+
+
+# ---------- LSH (random hyperplanes) ----------
+
+
+class HyperplaneLSH:
+    """Deterministic random-hyperplane signatures: ``planes`` seeded
+    gaussian vectors → a ``bucket`` int column.  Built once per actor."""
+
+    def __init__(self, dim: int, planes: int = 8, seed: int = 13,
+                 vec_col: str = "embedding", out_col: str = "bucket"):
+        rng = np.random.default_rng(seed)
+        self.h = rng.standard_normal((planes, dim))
+        self.vec_col = vec_col
+        self.out_col = out_col
+
+    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.h.T) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch[self.vec_col])
+        b = self.bucket_of(m) if m.size else np.array([], dtype=np.int64)
+        return batch.append_column(
+            self.out_col, pa.array(b.astype(np.int64), type=pa.int64())
+        )
+
+
+def lsh_topk(ds, queries: np.ndarray, query_ids, dim: int, k: int = 5,
+             planes: int = 6, seed: int = 13, multi_probe: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Bucketed ANN: corpus rows and queries share hyperplane buckets;
+    per bucket a brute-force top-k runs over ~corpus/2^planes rows.
+    ``multi_probe=1`` additionally probes every 1-bit-flip bucket of
+    each query (the standard recall/cost knob).  Returns the same shape
+    as brute_force_topk (approximate recall — compare to brute force in
+    tests, not byte-for-byte)."""
+    lsh = HyperplaneLSH(dim, planes, seed, vec_col)
+    q = np.asarray(queries, dtype=np.float64)
+    q_buckets = lsh.bucket_of(q)
+    by_bucket: dict[int, list[int]] = {}
+    for qi, b in enumerate(q_buckets):
+        probe = [int(b)]
+        if multi_probe >= 1:
+            probe += [int(b) ^ (1 << p) for p in range(planes)]
+        for pb in probe:
+            lst = by_bucket.setdefault(pb, [])
+            if qi not in lst:
+                lst.append(qi)
+
+    bucketed = ds.map_batches(lsh, batch_format="pyarrow")
+
+    qids = np.asarray(query_ids)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        b = group["bucket"][0].as_py()
+        empty = pa.table(
+            {"query_id": pa.array([], type=pa.int64()),
+             "neighbor_id": pa.array([], type=pa.int64()),
+             "score": pa.array([], type=pa.float64())}
+        )
+        if b not in by_bucket:
+            return empty
+        sel = by_bucket[b]
+        bf = BruteForceTopK(q[sel], qids[sel], k, id_col, vec_col)
+        return bf(group)
+
+    cand = bucketed.groupby("bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")
+    return cand.groupby("query_id").map_groups(_merge_topk(k),
+                                               batch_format="pyarrow")
+
+
+def cosine_near_dup_pairs(ds, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          max_rows: int | None = None):
+    """Embedding near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold).  Small-side variant: the corpus matrix is broadcast
+    and each batch compares itself against it (O(n·batch) GEMMs).  For
+    corpora too big to broadcast, bucket with HyperplaneLSH first."""
+    import ray
+
+    sub = ds if max_rows is None else ds.limit(max_rows)
+    all_tbl = sub.select_columns([id_col, vec_col]).to_arrow_refs()
+    tables = [ray.get(r) for r in all_tbl]
+    full = pa.concat_tables([t if isinstance(t, pa.Table) else pa.Table.from_batches([t]) for t in tables])
+    ids_all = full[id_col].to_numpy(zero_copy_only=False)
+    m_all = _norm_rows(_as_matrix(full[vec_col]))
+    ref = ray.put((ids_all, m_all))
+
+    class Pairs:
+        def __init__(self, handle):
+            self.ids_all, self.m_all = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            m = _norm_rows(_as_matrix(batch[vec_col]))
+            if m.size == 0:
+                return pa.table(
+                    {"id_a": pa.array([], type=pa.int64()),
+                     "id_b": pa.array([], type=pa.int64()),
+                     "score": pa.array([], type=pa.float64())}
+                )
+            s = m @ self.m_all.T
+            ia, ib = np.nonzero(s >= threshold)
+            keep = ids[ia] < self.ids_all[ib]
+            ia, ib = ia[keep], ib[keep]
+            return pa.table(
+                {"id_a": pa.array(ids[ia].astype(np.int64)),
+                 "id_b": pa.array(self.ids_all[ib].astype(np.int64)),
+                 "score": pa.array(np.round(s[ia, ib], 6))}
+            )
+
+    return sub.map_batches(Pairs(ref), batch_format="pyarrow")

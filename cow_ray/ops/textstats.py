@@ -1,0 +1,164 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language ID, fingerprinting.
+
+All are vectorized ``map_batches`` transforms over Arrow string columns
+(``pyarrow.compute`` regex kernels); language-ID keeps its profile
+table as per-call constant state (cheap — pure dicts).  Each has a
+``queries()`` entry over the ``documents`` table; the SQL-expressible
+ones (token/char counts, quality ratios, md5 fingerprint) are oracled
+against DuckDB with bit-identical semantics (same RE2 regexes both
+sides).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# shared regexes (RE2 syntax — identical strings are used in the DuckDB
+# oracle SQL so both engines run the same pattern)
+TOKEN_RE = r"\S+"
+WORD_RE = r"[A-Za-z0-9_']+"
+PUNCT_RE = r"[.,;:!?]"
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+# BPE-ish pre-tokenizer (GPT-2-style contractions + word/number/other
+# runs, public pattern shape)
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Adds n_tokens (whitespace tokens), n_words, n_bpe (BPE-ish
+    pieces), n_chars."""
+    t = batch[text_col]
+    batch = batch.append_column(
+        "n_tokens", pc.cast(pc.count_substring_regex(t, TOKEN_RE), pa.int64())
+    )
+    batch = batch.append_column(
+        "n_words", pc.cast(pc.count_substring_regex(t, WORD_RE), pa.int64())
+    )
+    batch = batch.append_column(
+        "n_bpe", pc.cast(pc.count_substring_regex(t, BPE_RE), pa.int64())
+    )
+    batch = batch.append_column(
+        "n_chars_calc", pc.cast(pc.utf8_length(t), pa.int64())
+    )
+    return batch
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length/punctuation/stopword quality signals (the classic cheap
+    web-text filters).
+
+    The cross-engine-comparable columns are integer ppm (parts per
+    million), computed as ``floor(1e6 * a / b)`` — float division and
+    multiplication are correctly-rounded IEEE ops in every engine, and
+    ``floor`` has no round-half ambiguity, so DuckDB reproduces them
+    bit-identically (``round()`` would not: Arrow rounds half-to-even,
+    DuckDB half-away-from-zero — 1/128 = 0.0078125 disagrees at 6
+    digits).  Convenience float ratios are also attached."""
+    t = batch[text_col]
+    n_tok = pc.cast(pc.count_substring_regex(t, TOKEN_RE), pa.float64())
+    n_chars = pc.cast(pc.utf8_length(t), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(t, PUNCT_RE), pa.float64())
+    n_stop = pc.cast(
+        pc.count_substring_regex(pc.utf8_lower(t), STOPWORD_RE), pa.float64()
+    )
+    denom_tok = pc.max_element_wise(n_tok, 1.0)
+    denom_chars = pc.max_element_wise(n_chars, 1.0)
+
+    def ppm(num, den):
+        return pc.cast(
+            pc.floor(pc.multiply(pc.divide(num, den), 1e6)), pa.int64()
+        )
+
+    batch = batch.append_column("punct_ppm", ppm(n_punct, denom_chars))
+    batch = batch.append_column("stop_ppm", ppm(n_stop, denom_tok))
+    batch = batch.append_column("mean_token_len_ppm", ppm(n_chars, denom_tok))
+    batch = batch.append_column("punct_ratio", pc.divide(n_punct, denom_chars))
+    batch = batch.append_column("stop_ratio", pc.divide(n_stop, denom_tok))
+    batch = batch.append_column("mean_token_len", pc.divide(n_chars, denom_tok))
+    return batch
+
+
+def md5_fingerprint(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "fingerprint") -> pa.Table:
+    """Content fingerprint = md5 hex of the utf-8 text (matches
+    DuckDB's ``md5()``).  Row-wise hashlib — hashing is the work here,
+    not interpreter overhead."""
+    vals = batch[text_col].to_pylist()
+    fps = [hashlib.md5((v or "").encode("utf-8")).hexdigest() for v in vals]
+    return batch.append_column(out_col, pa.array(fps, type=pa.string()))
+
+
+def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
+                        window: int = 16, out_col: str = "roll_fp") -> pa.Table:
+    """Rabin-Karp-style rolling-hash document fingerprint: min of the
+    rolling window hashes (a winnowing-style representative).  Pure
+    numpy per row; deterministic; not SQL-expressible (rows-only
+    check)."""
+    B = np.uint64(1000003)
+    out = []
+    for v in batch[text_col].to_pylist():
+        data = np.frombuffer((v or "").encode("utf-8"), dtype=np.uint8)
+        if len(data) < window:
+            h = np.uint64(0)
+            for b in data.astype(np.uint64):
+                h = h * B + b
+            out.append(int(h))
+            continue
+        powers = B ** np.arange(window, dtype=np.uint64)[::-1]
+        strided = np.lib.stride_tricks.sliding_window_view(
+            data.astype(np.uint64), window
+        )
+        hashes = (strided * powers).sum(axis=1, dtype=np.uint64)
+        out.append(int(hashes.min()))
+    return batch.append_column(out_col, pa.array(out, type=pa.uint64()))
+
+
+# ---- language identification (n-gram/stopword heuristic) ----
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to", "was", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+    "es": ("el", "los", "las", "es", "una", "que", "por"),
+    "nl": ("de", "het", "een", "en", "niet", "voor", "zijn"),
+}
+
+
+class LangId:
+    """Actor-pool UDF: heuristic language ID.  Profiles + compiled
+    per-language regexes built once per actor; per batch it's one
+    vectorized count per language + a CJK codepoint test."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.lang_res = {
+            lang: r"\b(" + "|".join(words) + r")\b"
+            for lang, words in _LANG_MARKERS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch[self.text_col])
+        n = batch.num_rows
+        scores = np.zeros((len(self.lang_res), n), dtype=np.int64)
+        langs = list(self.lang_res)
+        for i, lang in enumerate(langs):
+            scores[i] = pc.count_substring_regex(
+                t, self.lang_res[lang]
+            ).to_numpy(zero_copy_only=False)
+        # CJK: any codepoint in the unified-ideograph block → "zh"
+        cjk = pc.count_substring_regex(t, r"[\x{4E00}-\x{9FFF}]").to_numpy(
+            zero_copy_only=False
+        )
+        best = np.asarray(langs)[scores.argmax(axis=0)]
+        best = np.where(scores.max(axis=0) == 0, "und", best)
+        best = np.where(cjk > 0, "zh", best)
+        return batch.append_column(
+            self.out_col, pa.array(best.tolist(), type=pa.string())
+        )

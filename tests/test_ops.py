@@ -1,0 +1,275 @@
+"""Ops tests: text stats, dedup family, similarity search, multimodal
+plumbing — each checked against an independent re-computation (DuckDB
+or numpy brute force)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(DOCS)
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(EMB)
+
+
+class TestTextStats:
+    def test_token_stats_match_duckdb(self, docs_ds):
+        import duckdb
+
+        from cow_ray.ops.textstats import token_stats
+
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_words"], r["n_chars_calc"])
+            for r in docs_ds.map_batches(token_stats,
+                                         batch_format="pyarrow").take_all()
+        }
+        con = duckdb.connect()
+        want = {
+            d: (t, w, c)
+            for d, t, w, c in con.execute(
+                rf"""SELECT doc_id,
+                          length(regexp_extract_all(text, '\S+')),
+                          length(regexp_extract_all(text, '[A-Za-z0-9_'']+')),
+                          length(text)
+                   FROM read_parquet('{DOCS}')"""
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_quality_scores_sane(self, docs_ds):
+        from cow_ray.ops.textstats import quality_scores
+
+        rows = docs_ds.map_batches(quality_scores,
+                                   batch_format="pyarrow").take(50)
+        for r in rows:
+            assert 0.0 <= r["punct_ratio"] <= 1.0
+            assert 0.0 <= r["stop_ratio"] <= 10.0
+            assert r["mean_token_len"] >= 0.0
+
+    def test_md5_matches_duckdb(self, docs_ds):
+        import duckdb
+
+        from cow_ray.ops.textstats import md5_fingerprint
+
+        got = {
+            r["doc_id"]: r["fingerprint"]
+            for r in docs_ds.map_batches(md5_fingerprint,
+                                         batch_format="pyarrow").take_all()
+        }
+        con = duckdb.connect()
+        want = dict(
+            con.execute(
+                f"SELECT doc_id, md5(text) FROM read_parquet('{DOCS}')"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_rolling_fingerprint_deterministic(self):
+        from cow_ray.ops.textstats import rolling_fingerprint
+
+        t = pa.table({"text": ["hello rolling world", "hello rolling world", "x"]})
+        out = rolling_fingerprint(t)
+        fps = out["roll_fp"].to_pylist()
+        assert fps[0] == fps[1] != fps[2]
+
+    def test_langid(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.textstats import LangId
+
+        rows = [
+            {"text": "the cat is on the mat and it is fine"},
+            {"text": "der hund ist nicht mit der katze"},
+            {"text": "le chat est dans la maison et la cour"},
+            {"text": "你好世界 这是中文"},
+            {"text": "zzz qqq"},
+        ]
+        ds = ray.data.from_items(rows)
+        out = [r["lang_pred"] for r in
+               ds.map_batches(LangId(), batch_format="pyarrow",
+                              concurrency=1).take_all()]
+        assert out == ["en", "de", "fr", "zh", "und"]
+
+
+class TestDedup:
+    def test_dedup_exact_matches_duckdb(self, docs_ds):
+        import duckdb
+
+        from cow_ray.ops.dedup import dedup_exact
+
+        out = dedup_exact(docs_ds, key_col="source", id_col="doc_id").take_all()
+        got = {r["source"]: (r["keep_id"], r["n_dups"]) for r in out}
+        con = duckdb.connect()
+        want = {
+            s: (k, n)
+            for s, k, n in con.execute(
+                f"""SELECT source, min(doc_id), count(*)
+                    FROM read_parquet('{DOCS}') GROUP BY source"""
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_minhash_lsh_finds_near_dups(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.dedup import (
+            minhash_lsh_candidates,
+            ngram_jaccard,
+            verify_candidates,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep green forest tonight")
+        rows = [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base.replace("lazy", "sleepy")},  # near-dup
+            {"doc_id": 2, "text": base},                            # exact dup
+            {"doc_id": 3, "text": "completely different content about spark "
+                                  "query engines and vectorized execution"},
+        ]
+        ds = ray.data.from_items(rows)
+        cand = minhash_lsh_candidates(ds, num_perm=64, num_bands=16)
+        pairs = {(r["id_a"], r["id_b"]) for r in cand.take_all()}
+        assert (0, 2) in pairs
+        assert (0, 1) in pairs
+        assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+        docs = {r["doc_id"]: r["text"] for r in rows}
+        verified = verify_candidates(cand, docs, threshold=0.7).take_all()
+        vp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified}
+        assert vp[(0, 2)] == 1.0
+        assert 0.7 <= vp[(0, 1)] < 1.0
+        assert vp[(0, 1)] == pytest.approx(
+            round(ngram_jaccard(rows[0]["text"], rows[1]["text"]), 6)
+        )
+        # a high threshold keeps only the exact dup
+        strict = verify_candidates(cand, docs, threshold=0.99).take_all()
+        assert {(r["id_a"], r["id_b"]) for r in strict} == {(0, 2)}
+
+    def test_simhash_properties(self):
+        from cow_ray.ops.dedup import SimHasher, hamming64
+
+        sh = SimHasher()
+        a = sh.signature("the quick brown fox jumps over the lazy dog")
+        b = sh.signature("the quick brown fox jumps over the lazy cat")
+        c = sh.signature("totally unrelated words about database engines")
+        assert a == sh.signature("the quick brown fox jumps over the lazy dog")
+        assert hamming64(a, b) < hamming64(a, c)
+
+
+class TestSimilarity:
+    def test_brute_force_topk_vs_numpy(self, emb_ds):
+        from cow_ray.ops.similarity import brute_force_topk
+
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(EMB)
+        ids = np.array(tbl["vec_id"].to_pylist())
+        m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        q_ids = ids[:5]
+        q = m[:5]
+
+        out = brute_force_topk(emb_ds, q, q_ids, k=3).take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["neighbor_id"])
+            )
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        scores = qn @ mn.T
+        for qi, qid in enumerate(q_ids):
+            s = scores[qi].copy()
+            s[ids == qid] = -np.inf
+            order = sorted(range(len(s)), key=lambda j: (-s[j], ids[j]))[:3]
+            want = [(r + 1, int(ids[j])) for r, j in enumerate(order)]
+            assert sorted(got[qid]) == want
+
+    def test_lsh_topk_recall(self, emb_ds):
+        from cow_ray.ops.similarity import brute_force_topk, lsh_topk
+
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(EMB)
+        ids = np.array(tbl["vec_id"].to_pylist())
+        m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+        q_ids = ids[:10]
+        q = m[:10]
+        bf = brute_force_topk(emb_ds, q, q_ids, k=5).take_all()
+        approx = lsh_topk(emb_ds, q, q_ids, dim=m.shape[1], k=5,
+                          planes=4).take_all()
+        bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
+        ap_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(bf_set & ap_set) / len(bf_set)
+        assert recall >= 0.25  # 4 planes → 16 buckets over 500 vecs
+
+    def test_cosine_near_dup_pairs(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.similarity import cosine_near_dup_pairs
+
+        v = np.eye(4).tolist()
+        rows = [
+            {"vec_id": 0, "embedding": v[0]},
+            {"vec_id": 1, "embedding": (np.array(v[0]) * 2).tolist()},  # same dir
+            {"vec_id": 2, "embedding": v[1]},
+        ]
+        ds = ray.data.from_items(rows)
+        pairs = {(r["id_a"], r["id_b"]): r["score"]
+                 for r in cosine_near_dup_pairs(ds, threshold=0.99).take_all()}
+        assert list(pairs) == [(0, 1)]
+        assert pairs[(0, 1)] == pytest.approx(1.0)
+
+
+class TestMultimodal:
+    def test_decode_stage_plumbing(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.multimodal import DecodeImage, make_fake_media_table
+
+        t = make_fake_media_table(20)
+        ds = ray.data.from_arrow(t)
+        out = ds.map_batches(DecodeImage(grid=2), batch_format="pyarrow",
+                             batch_size=4, concurrency=2).take_all()
+        assert len(out) == 20
+        for r in out:
+            assert len(r["features"]) == 12  # 2*2*3
+            assert all(0.0 <= x <= 1.0 for x in r["features"])
+        # deterministic across runs
+        out2 = ds.map_batches(DecodeImage(grid=2), batch_format="pyarrow",
+                              batch_size=4).take_all()
+        f1 = {r["media_id"]: r["features"] for r in out}
+        f2 = {r["media_id"]: r["features"] for r in out2}
+        assert f1 == f2
+
+    def test_real_codec_stub_raises(self):
+        from cow_ray.ops.multimodal import DecodeImage, make_fake_media_table
+
+        stage = DecodeImage(use_fake_codec=False)
+        with pytest.raises(NotImplementedError):
+            stage(make_fake_media_table(1))
+
+    def test_sample_frames_flatmap(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.multimodal import SampleFrames
+
+        ds = ray.data.from_items(
+            [{"media_id": 1, "n_frames": 25}, {"media_id": 2, "n_frames": 5}]
+        )
+        out = ds.map_batches(SampleFrames(every_n=10),
+                             batch_format="pyarrow").take_all()
+        got = {(r["media_id"], r["frame_index"]) for r in out}
+        assert got == {(1, 0), (1, 10), (1, 20), (2, 0)}
