@@ -1,0 +1,277 @@
+"""Benchmark harness.
+
+Runs the headline flagship pipeline (synthetic Common-Crawl-style
+pages → extract → link → triples → dedup → partitioned store) plus the
+operator query suite over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1), and prints ONE JSON line::
+
+    {"metric": "flagship_pages_convert", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling`` re-runs the headline in fresh subprocesses at
+``num_cpus`` 4 and 16 (N and 4N) on the same cached input and reports
+both throughputs, the scaling efficiency, and two hardware strong-
+scaling controls (pure-ALU / pure-memcpy) that bound what this single
+box can show — the in-sandbox stand-in for the N-node vs 4N-node
+cluster criterion (see BASELINE.md).
+
+Pages input is synthesized deterministically (fixtures.make_page_row,
+random-access per row → generation itself runs distributed) and cached
+under /tmp keyed by (n, seed); generation is excluded from timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_PER_SF = 1_000_000  # sf0.1 → 100k pages
+SEED = 42
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_pages(n: int, seed: int = SEED) -> str:
+    """Distributed deterministic pages synthesis, cached."""
+    out = f"/tmp/graft_pages_n{n}_s{seed}"
+    marker = os.path.join(out, "_GEN_DONE")
+    if os.path.exists(marker):
+        return out
+    import pyarrow as pa
+    import ray.data
+
+    from cow_ray.fixtures import PAGES_SCHEMA, make_page_row
+
+    shutil.rmtree(out, ignore_errors=True)
+
+    def gen(batch) -> pa.Table:
+        rows = [make_page_row(int(i), seed) for i in batch["id"].to_pylist()]
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    # block count: enough read-task fan-out for 32 cores, but bounded —
+    # the stage write produces one file per (block × partition), and
+    # phase-2 file-open overhead grows with it
+    blocks = max(128, min(512, n // 10_000))
+    (
+        ray.data.range(n, override_num_blocks=blocks)
+        .map_batches(gen, batch_format="pyarrow")
+        .write_parquet(out)
+    )
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return out
+
+
+def run_flagship(pages_dir: str, num_parts: int) -> dict:
+    from cow_ray.fixtures import GAZETTEER
+    from cow_ray.pipelines import ConvertConfig, convert_pages
+    from cow_ray.pipelines.convert import derive_host
+
+    page_rules = {
+        "base": "https://kg.example.org/", "aboutUrl": "page/{_row}",
+        "columns": [
+            {"name": "url", "datatype": "anyURI", "propertyUrl": "schema:url"},
+            {"name": "text", "datatype": "string", "lang": "{lang}",
+             "propertyUrl": "schema:text"},
+            {"name": "host", "valueUrl": "host/{host}",
+             "propertyUrl": "schema:isPartOf"},
+        ],
+    }
+    mention_rules = {
+        "base": "https://kg.example.org/", "aboutUrl": "page/{_row}",
+        "columns": [
+            {"name": "entity_id", "valueUrl": "entity/{entity_id}",
+             "propertyUrl": "schema:mentions"},
+            {"name": "surface", "aboutUrl": "entity/{entity_id}",
+             "propertyUrl": "rdfs:label"},
+        ],
+    }
+    # store scratch: RAM-backed by default in this sandbox — the
+    # two-phase shuffle round-trips ~2× the triple volume through the
+    # stage dir, and the single local disk (~250 MB/s) otherwise
+    # becomes the shared bottleneck that masks CPU scaling.  On a real
+    # cluster this is the shared object storage / NVMe scratch tier,
+    # whose bandwidth scales with nodes.
+    out_root = os.environ.get("GRAFT_STORE_ROOT", "/dev/shm")
+    out_dir = f"{out_root}/graft_store_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    _, manifests = convert_pages(
+        pages_dir, page_rules, out_dir,
+        gazetteer=GAZETTEER, mention_rules=mention_rules,
+        config=ConvertConfig(
+            num_parts=num_parts,
+            derived={"host": derive_host},
+        ),
+    )
+    dt = time.time() - t0
+    triples = sum(m["num_triples"] for m in manifests)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": dt, "triples": triples}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from cow_ray.pipelines.queries import QUERIES
+
+    names = [
+        "kg_doc_triples", "kg_source_triples_dedup", "kg_mention_triples",
+        "kg_canonical_sources", "text_token_stats", "text_quality",
+        "dedup_exact_docs", "dedup_minhash_docs", "dedup_simhash_docs",
+        "doc_fingerprint", "ann_topk", "emb_near_dup",
+        "q1_pricing_summary", "top_parts_by_qty", "orders_by_nation",
+        "events_hourly", "events_first",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        res = QUERIES[name](sf_dir)
+        # consume without driver materialization of big data
+        try:
+            res.count()
+        except AttributeError:
+            len(res)
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_once(headline_only: bool = False) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = sf_of(SF_DIR)
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "0")) or max(
+        2000, int(PAGES_PER_SF * sf)
+    )
+    pages_dir = ensure_pages(n_pages)
+
+    # warm up: spawn the worker pool + import the library in every
+    # worker + page-cache the input (a bare count() is metadata-only
+    # and spawns nothing; cold worker spawn measured ~2 s of the small
+    # runs).  The timed run then measures compute + shuffle.
+    import ray.data
+
+    ray.data.read_parquet(pages_dir).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+    run_flagship(ensure_pages(2000), num_parts=4)
+
+    head = run_flagship(pages_dir, num_parts=max(8, NUM_CPUS))
+    queries = {} if headline_only else run_queries(SF_DIR)
+
+    result = {
+        "metric": "flagship_pages_convert",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "triples": head["triples"],
+        "docs_per_sec": round(n_pages / head["sec"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def scaling() -> dict:
+    # N and 4N parallelism levels.  4→16 rather than 8→32: a pure-CPU
+    # strong-scaling control (multiprocessing, zero I/O, fixed work)
+    # measures this box at 0.93 efficiency for 4→16 but only 0.74 for
+    # 8→32 — beyond ~16 active cores the VM's frequency scaling caps
+    # per-core throughput, which would mask pipeline scaling entirely.
+    # The control numbers are recorded in BASELINE.md.
+    lo, hi = 4, 16
+    out = {}
+    # a larger fixed input than the plain bench so per-job fixed costs
+    # (pipeline launch, shuffle barriers) don't mask compute scaling
+    n_pages = os.environ.get("GRAFT_BENCH_PAGES", "2000000")
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_HEADLINE_ONLY="1",
+                   GRAFT_BENCH_PAGES=n_pages)
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True, check=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        out[n] = json.loads(p.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": out[lo]["docs_per_sec"],
+        f"docs_per_sec_{hi}": out[hi]["docs_per_sec"],
+        "n_pages": out[hi]["n_pages"],
+    }
+
+
+def _ctl_burn(n):
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def _ctl_churn(_):
+    import numpy as np
+
+    a = np.zeros(50_000_000, dtype=np.uint8)
+    s = 0
+    for _ in range(6):
+        b = a.copy()
+        s += int(b[::4096].sum())
+    return s
+
+
+def hardware_controls() -> dict:
+    """Strong-scaling controls that bound what ANY pipeline can show on
+    this box between the two parallelism levels: pure-ALU work scales
+    at ~0.93, pure memory-copy work at ~0.25 (DRAM saturates at 4
+    workers).  A data pipeline is a mix; its ceiling sits between."""
+    import multiprocessing as mp
+
+    def run(fn, w, jobs, arg):
+        t0 = time.time()
+        with mp.Pool(w) as p:
+            p.map(fn, [arg] * jobs)
+        return time.time() - t0
+
+    alu4 = run(_ctl_burn, 4, 64, 3_000_000)
+    alu16 = run(_ctl_burn, 16, 64, 3_000_000)
+    mem4 = run(_ctl_churn, 4, 16, 0)
+    mem16 = run(_ctl_churn, 16, 16, 0)
+    return {
+        "alu_eff_4_to_16": round((alu4 / alu16) / 4, 3),
+        "memcpy_eff_4_to_16": round((mem4 / mem16) / 4, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        out = scaling()
+        out["hardware_controls"] = hardware_controls()
+        print(json.dumps(out))
+    else:
+        headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
+        print(json.dumps(bench_once(headline_only)))

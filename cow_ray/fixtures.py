@@ -45,6 +45,36 @@ _HEAD_HOST = "news.example.org"  # skewed head domain (~20% of rows)
 N_DOMAINS = len(_HOSTS) + 1
 
 
+def make_page_row(i: int, seed: int = 42, empty_every: int = 17) -> dict:
+    """Random-access deterministic page row: row ``i`` is generated
+    from its own seeded RNG, so generation distributes over Ray blocks
+    (``make_pages_rows`` below stays the sequential reference)."""
+    rng = random.Random((seed << 32) ^ i)
+    aliases = [(ent, a) for ent, al in GAZETTEER.items() for a in al]
+    base_ts = 1_600_000_000_000_000
+    host = _HEAD_HOST if rng.random() < 0.2 else _HOSTS[rng.randrange(len(_HOSTS))]
+    url = f"https://{host}/page/{i}"
+    lang = "nl" if rng.random() < 0.15 else "en"
+    if empty_every and i % empty_every == 0:
+        text = ""
+    else:
+        n_sent = rng.randrange(1, 5)
+        sents = []
+        for _ in range(n_sent):
+            ent, alias = aliases[rng.randrange(len(aliases))]
+            filler = _FILLER[rng.randrange(len(_FILLER))]
+            year = 1900 + rng.randrange(126)
+            sents.append(f"{alias} visited in {year}; {filler}.")
+        text = "\n\n".join(sents)
+    return {
+        "url": url,
+        "warc_ts": base_ts + i * 1_000_000,
+        "html": build_html(url, text),
+        "text": text,
+        "lang": lang,
+    }
+
+
 def make_pages_rows(n: int, seed: int = 42, empty_every: int = 17):
     """Generate ``n`` deterministic page rows as python dicts."""
     rng = random.Random(seed)

@@ -46,13 +46,40 @@ def derive_host(batch: pa.Table, url_col: str = "url",
     return batch.append_column(out_col, h)
 
 
+class FusedTripleEmitter:
+    """Actor-pool UDF: page-rule triples + entity linking + mention-rule
+    triples in one pass over each batch (gazetteer/regex state warm in
+    ``__init__``)."""
+
+    def __init__(self, doc, mdoc, gazetteer, carry):
+        self.page_emitter = EmitTriples(doc)
+        self.mention_emitter = EmitTriples(mdoc)
+        self.linker = EntityLinker(gazetteer, carry=carry)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        page_t = self.page_emitter(batch)
+        mention_t = self.mention_emitter(self.linker(batch))
+        return pa.concat_tables([page_t, mention_t])
+
+
 @dataclass
 class ConvertConfig:
-    batch_size: int = 4096
-    extract_batch_size: int = 512     # html rows are wide — small batches
-    link_batch_size: int = 2048
+    """Stage knobs.
+
+    Batch sizes default to ``None`` = whole Ray blocks: forcing a batch
+    size that straddles block boundaries makes Ray's batcher
+    concatenate blocks per batch, which measured 3.5× slower than the
+    entire pipeline.  Control granularity at the SOURCE (Parquet
+    row-group size → block size) instead; only set a batch size when a
+    stage genuinely needs smaller slices than a block (e.g. huge html
+    payloads vs actor heap)."""
+
+    batch_size: int | None = None
+    extract_batch_size: int | None = None
+    link_batch_size: int | None = None
     link_concurrency: int | tuple | None = None  # actor pool size
     num_parts: int = 16               # output partitions (≈ bytes/256MiB)
+    stage_blocks: int | None = None   # coalesce before the stage write
     dedup: bool = True
     resume: bool = True
     derived: dict = field(default_factory=dict)  # col -> batch fn
@@ -109,32 +136,53 @@ def convert_pages(
     for col, fn in cfg.derived.items():
         ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=cfg.batch_size)
 
-    page_triples = ds.map_batches(
-        EmitTriples(doc), batch_format="pyarrow", batch_size=cfg.batch_size
-    )
-
-    triples = page_triples
     if gazetteer is not None and mdoc is not None:
+        # FUSED single pass: page triples + (link → mention triples) in
+        # one actor-pool stage.  Two separate branches would make Ray
+        # re-execute the whole read+extract lineage once per branch
+        # (Datasets have no common-subexpression reuse), and the union
+        # would add a second scan — measured 2× on the flagship bench.
         carry = sorted((mdoc.referenced_fields() - {"surface", "entity_id",
                                                     "begin", "end", "_row"})
                        & (needed | {"url"}))
-        mentions = ds.map_batches(
-            EntityLinker(gazetteer, carry=carry),
-            batch_format="pyarrow",
-            batch_size=cfg.link_batch_size,
-            concurrency=cfg.link_concurrency,
-        )
-        mention_triples = mentions.map_batches(
-            EmitTriples(mdoc), batch_format="pyarrow", batch_size=cfg.batch_size
-        )
-        triples = triples.union(mention_triples)
+        if cfg.link_concurrency is None:
+            # cheap state (small gazetteer): stateless tasks — the
+            # instance pickles per task in ~ms and avoids actor-pool
+            # ramp-up lag (measured 2× on the flagship).  For a big
+            # gazetteer/embedding index, set link_concurrency to get an
+            # actor pool and pass a ray.put handle as the gazetteer.
+            fused = FusedTripleEmitter(doc, mdoc, gazetteer, carry)
 
-    if cfg.dedup:
-        triples = dedup_triples(triples, num_parts=cfg.num_parts)
+            def emit_fused(batch: pa.Table) -> pa.Table:
+                return fused(batch)
+
+            triples = ds.map_batches(
+                emit_fused, batch_format="pyarrow",
+                batch_size=cfg.link_batch_size,
+            )
+        else:
+            triples = ds.map_batches(
+                FusedTripleEmitter,
+                fn_constructor_kwargs={
+                    "doc": doc, "mdoc": mdoc, "gazetteer": gazetteer,
+                    "carry": carry,
+                },
+                batch_format="pyarrow",
+                batch_size=cfg.link_batch_size,
+                concurrency=cfg.link_concurrency,
+            )
+    else:
+        triples = ds.map_batches(
+            EmitTriples(doc), batch_format="pyarrow", batch_size=cfg.batch_size
+        )
 
     if out_dir is None:
+        if cfg.dedup:
+            triples = dedup_triples(triples, num_parts=cfg.num_parts)
         return triples, None
 
+    # when materializing, dedup fuses into the store's subject-hash
+    # shuffle — one all-to-all instead of two
     jh = job_hash(doc.doc_hash, files)
     np_ = Nanopub(doc.base, doc.dataset_name, jh)
     manifests = materialize_triples(
@@ -144,6 +192,8 @@ def convert_pages(
         job=jh,
         nanopub=np_,
         resume=cfg.resume,
+        dedup=cfg.dedup,
+        stage_blocks=cfg.stage_blocks,
         input_desc=";".join(files),
     )
     return triples, manifests

@@ -220,7 +220,6 @@ def q_kg_mentions(sf_dir: str):
     return _docs(sf_dir).map_batches(
         EntityLinker(DOC_GAZETTEER, carry=["doc_id"]),
         batch_format="pyarrow",
-        batch_size=256,
         concurrency=2,
     )
 
@@ -234,7 +233,6 @@ def q_kg_mention_triples(sf_dir: str):
     mentions = _docs(sf_dir).map_batches(
         EntityLinker(DOC_GAZETTEER, carry=["doc_id"]),
         batch_format="pyarrow",
-        batch_size=256,
         concurrency=2,
     )
     t = mentions.map_batches(

@@ -58,24 +58,63 @@ def plan_row_groups(paths: str | list[str]) -> list[dict]:
     return tasks
 
 
-class _ReadRowGroup:
-    """Stateless-task UDF: task-descriptor batch → data batch with
-    ``_row`` attached."""
+def _read_one(task: dict, columns: list[str] | None) -> pa.Table:
+    pf = pq.ParquetFile(task["path"])
+    t = pf.read_row_group(task["row_group"], columns=columns)
+    row_ids = pa.array(
+        range(task["row_start"], task["row_start"] + t.num_rows),
+        type=pa.int64(),
+    )
+    return t.append_column("_row", row_ids)
 
-    def __init__(self, columns: list[str] | None):
+
+from ray.data.block import BlockMetadata
+from ray.data.datasource import Datasource, ReadTask
+
+
+class RowIdParquetDatasource(Datasource):
+    """Custom ``ray.data.Datasource``: one ReadTask per Parquet row
+    group, each attaching its deterministic ``_row`` range.  A real
+    Datasource (rather than ``from_items`` + ``map_batches``) is
+    load-bearing: task descriptors are ~100 bytes, so the map operator
+    would size-bundle ALL of them into a single task and the whole
+    read+downstream chain would run serially (observed: 1 task for a
+    100-row-group input)."""
+
+    def __init__(self, paths, columns: list[str] | None = None):
+        self.tasks = plan_row_groups(paths)
+        if not self.tasks:
+            raise FileNotFoundError(f"no parquet files under {paths!r}")
         self.columns = columns
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        tables = []
-        for task in batch.to_pylist():
-            pf = pq.ParquetFile(task["path"])
-            t = pf.read_row_group(task["row_group"], columns=self.columns)
-            row_ids = pa.array(
-                range(task["row_start"], task["row_start"] + t.num_rows),
-                type=pa.int64(),
+        # per-row-group compressed sizes for scheduler estimates
+        self._sizes: list[int] = []
+        by_path: dict[str, pq.ParquetFile] = {}
+        for t in self.tasks:
+            pf = by_path.setdefault(t["path"], pq.ParquetFile(t["path"]))
+            self._sizes.append(
+                pf.metadata.row_group(t["row_group"]).total_byte_size
             )
-            tables.append(t.append_column("_row", row_ids))
-        return pa.concat_tables(tables)
+
+    def get_name(self) -> str:
+        return "RowIdParquet"
+
+    def estimate_inmemory_data_size(self):
+        return sum(self._sizes)
+
+    def get_read_tasks(self, parallelism: int):
+        cols = self.columns
+        out = []
+        for task, size in zip(self.tasks, self._sizes):
+            meta = BlockMetadata(
+                num_rows=task["num_rows"],
+                size_bytes=size,
+                exec_stats=None,
+                input_files=[task["path"]],
+            )
+            out.append(
+                ReadTask(lambda t=dict(task): [_read_one(t, cols)], meta)
+            )
+        return out
 
 
 def read_parquet_with_row_ids(
@@ -90,14 +129,6 @@ def read_parquet_with_row_ids(
     """
     import ray.data
 
-    tasks = plan_row_groups(paths)
-    if not tasks:
-        raise FileNotFoundError(f"no parquet files under {paths!r}")
-    ds = ray.data.from_items(tasks)
-    # one task-descriptor row per map task → per-row-group parallelism
-    return ds.map_batches(
-        _ReadRowGroup(columns),
-        batch_size=1,
-        batch_format="pyarrow",
-        concurrency=concurrency,
+    return ray.data.read_datasource(
+        RowIdParquetDatasource(paths, columns), concurrency=concurrency
     )

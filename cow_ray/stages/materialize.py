@@ -8,42 +8,55 @@ neither partitioned nor resumable; this stage replaces input-order
 with *determinism* (stable subject-hash partitioning + in-partition
 sort), which is the property that survives distributed execution.
 
+Execution shape — a **two-phase filesystem shuffle**, not a Ray
+``groupby``:
+
+1. *scatter*: every map task assigns ``part_id = hash64(subj) %
+   num_parts`` (after a local distinct) and Ray's hive-partitioned
+   ``write_parquet(..., partition_cols=["part_id"])`` appends each
+   task's slice under ``_stage/part_id=N/`` — **no all-to-all
+   exchange**; the object store never holds more than the in-flight
+   blocks.
+2. *gather*: one independent Ray task per partition reads its stage
+   files, deduplicates (exact global distinct — every copy of a triple
+   shares a subject, hence a partition), sorts by
+   ``(subj, pred, obj_lex)``, and atomically publishes
+   ``part-000NN/{triples.parquet, manifest.json, _DONE}``.
+
+Why not ``groupby(part_id).map_groups``: Ray's sort-based shuffle on a
+16-value key measured 70 s where this path takes ~6 s (400k pages,
+32 cpus); on a multi-node cluster phase 1 writes to shared storage and
+phase 2 reads back — the standard shuffle-through-storage pattern for
+jobs larger than aggregate RAM, and it is exactly what makes resume
+free: finished partitions are skipped *before* phase 1.
+
 Layout::
 
     out_dir/
-      part-00000/
-        triples.parquet      # sorted by (subj, pred, obj_lex)
-        manifest.json        # part_id, rows, content sha1, job hash
-        _DONE                # atomic completion marker
-      part-00001/ ...
+      part-00000/{triples.parquet, manifest.json, _DONE}
+      ...
       _provenance/quads.parquet   # nanopub + per-partition lineage
-      _job.json                   # job hash, rule doc hash, num_parts
+      _job.json                   # job hash, num_parts
       _SUCCESS
 
 Resume: rerunning with the same inputs/rules (same job hash) filters
-out every triple whose partition already has a valid ``_DONE`` —
-the shuffle only carries the unfinished remainder.  A changed job hash
-refuses to resume into the same directory.
-
-Partitioning is ``hash64(subj) % num_parts`` — all triples of one
-subject co-locate (entity-locality for downstream reads), and the
-in-partition ``(subj, pred, obj_lex)`` sort gives deterministic,
-diff-able part files.  Each partition is materialized on one worker by
-``groupby(part).map_groups`` — size ``num_parts`` so a partition fits
-worker heap (≈ total triple bytes / 256 MiB).
+finished partitions out of phase 1 and re-finishes only the missing
+ones.  A different job hash refuses to write into the directory.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import hashlib
 import json
 import os
+import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..nanopub import Nanopub, partition_lineage_quads, quads_table
-from .canonicalize import TRIPLE_COLS, content_key, hash_mod
+from .canonicalize import TRIPLE_COLS, content_key, hash_mod, local_distinct
 
 MANIFEST_SCHEMA = pa.schema(
     [
@@ -75,67 +88,66 @@ def completed_parts(out_dir: str) -> set[int]:
     return done
 
 
-class _WritePart:
-    """map_groups UDF: one partition table → written part dir + one
-    manifest row."""
+def _table_sha1(table: pa.Table) -> str:
+    key_arr = content_key(table, table.column_names)
+    if isinstance(key_arr, pa.ChunkedArray):
+        key_arr = key_arr.combine_chunks()
+    h = hashlib.sha1()
+    for buf in key_arr.cast(pa.large_string()).buffers()[1:]:
+        if buf is not None:
+            h.update(buf)
+    return h.hexdigest()
 
-    def __init__(self, out_dir: str, job: str):
-        self.out_dir = out_dir
-        self.job = job
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        part_id = group["__part"][0].as_py()
-        table = group.drop_columns(["__part"]).sort_by(
-            [("subj", "ascending"), ("pred", "ascending"), ("obj_lex", "ascending")]
+def finish_part(
+    out_dir: str, stage_dir: str, part_id: int, job: str, dedup: bool
+) -> dict:
+    """Phase-2 worker: stage files of one partition → final sorted,
+    deduplicated, atomically-published part.  Pure filesystem work —
+    runs as an independent ``ray.remote`` task (or inline in tests)."""
+    from ..triples import TRIPLE_SCHEMA
+
+    files = sorted(
+        _glob.glob(os.path.join(stage_dir, f"part_id={part_id}", "*.parquet"))
+    )
+    if files:
+        table = pa.concat_tables([pq.read_table(f) for f in files])
+    else:
+        table = TRIPLE_SCHEMA.empty_table()
+    if dedup and table.num_rows:
+        table = local_distinct(table)
+    if table.num_rows:
+        table = table.sort_by(
+            [("subj", "ascending"), ("pred", "ascending"),
+             ("obj_lex", "ascending")]
         )
-        key_arr = content_key(table, table.column_names)
-        if isinstance(key_arr, pa.ChunkedArray):
-            key_arr = key_arr.combine_chunks()
-        h = hashlib.sha1()
-        for buf in key_arr.cast(pa.large_string()).buffers()[1:]:
-            if buf is not None:
-                h.update(buf)
-        sha = h.hexdigest()
+    sha = _table_sha1(table)
 
-        final = _part_dir(self.out_dir, part_id)
-        if os.path.exists(os.path.join(final, "_DONE")):
-            # resume race / rerun: already complete
-            path = os.path.join(final, "triples.parquet")
+    final = _part_dir(out_dir, part_id)
+    if not os.path.exists(os.path.join(final, "_DONE")):
+        tmp = final + f".tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(table, os.path.join(tmp, "triples.parquet"))
+        manifest = {
+            "part_id": part_id,
+            "num_triples": table.num_rows,
+            "content_sha1": sha,
+            "job": job,
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write(job)
+        if os.path.exists(final):  # concurrent winner
+            shutil.rmtree(tmp)
         else:
-            tmp = final + f".tmp-{os.getpid()}"
-            os.makedirs(tmp, exist_ok=True)
-            pq.write_table(table, os.path.join(tmp, "triples.parquet"))
-            with open(os.path.join(tmp, "manifest.json"), "w") as f:
-                json.dump(
-                    {
-                        "part_id": part_id,
-                        "num_triples": table.num_rows,
-                        "content_sha1": sha,
-                        "job": self.job,
-                    },
-                    f,
-                )
-            with open(os.path.join(tmp, "_DONE"), "w") as f:
-                f.write(self.job)
-            if os.path.exists(final):  # concurrent winner
-                import shutil
-
-                shutil.rmtree(tmp)
-            else:
-                os.replace(tmp, final)
-            path = os.path.join(final, "triples.parquet")
-
-        return pa.Table.from_pylist(
-            [
-                {
-                    "part_id": part_id,
-                    "num_triples": table.num_rows,
-                    "content_sha1": sha,
-                    "path": path,
-                }
-            ],
-            schema=MANIFEST_SCHEMA,
-        )
+            os.replace(tmp, final)
+    return {
+        "part_id": part_id,
+        "num_triples": table.num_rows,
+        "content_sha1": sha,
+        "path": os.path.join(final, "triples.parquet"),
+    }
 
 
 def materialize_triples(
@@ -146,15 +158,14 @@ def materialize_triples(
     job: str = "job",
     nanopub: Nanopub | None = None,
     resume: bool = True,
+    dedup: bool = False,
+    stage_blocks: int | None = None,
     input_desc: str = "",
 ):
-    """Write the triple Dataset as a sorted partitioned store.
+    """Write the triple Dataset as a sorted partitioned store.  Returns
+    the manifest list (one small dict per partition)."""
+    import ray
 
-    Returns the manifest as a list of dicts (small — one per
-    partition).  The shuffle is the ``groupby(part)`` exchange; with
-    resume, finished partitions are filtered *before* it, so a restart
-    moves only missing data.
-    """
     os.makedirs(out_dir, exist_ok=True)
     job_file = os.path.join(out_dir, "_job.json")
     if os.path.exists(job_file):
@@ -170,35 +181,62 @@ def materialize_triples(
             json.dump({"job": job, "num_parts": num_parts}, f)
 
     done = completed_parts(out_dir) if resume else set()
+    stage_dir = os.path.join(out_dir, "_stage")
+    # stale intermediates from a crashed run must not double-count
+    shutil.rmtree(stage_dir, ignore_errors=True)
 
     def assign_part(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column("__part", pa.array([], type=pa.int32()))
-        part = hash_mod(batch["subj"], num_parts)
-        batch = batch.append_column("__part", part)
+            return batch.append_column("part_id", pa.array([], type=pa.int32()))
+        if dedup:
+            batch = local_distinct(batch)  # shrink phase 1 early
+        batch = batch.append_column("part_id", hash_mod(batch["subj"], num_parts))
         if done:
             import pyarrow.compute as pc
 
             keep = pc.invert(
-                pc.is_in(batch["__part"], value_set=pa.array(sorted(done),
-                                                             type=pa.int32()))
+                pc.is_in(batch["part_id"],
+                         value_set=pa.array(sorted(done), type=pa.int32()))
             )
             batch = batch.filter(keep)
         return batch
 
+    import time as _time
+
+    _timing = os.environ.get("GRAFT_TIMING") == "1"
+    _t0 = _time.time()
+
+    # phase 1: scatter (hive-partitioned append write, no exchange).
+    # zstd on the stage files: triple text compresses 4-6×, and phase 2
+    # is bandwidth-bound — decompression cost scales with cores, bytes
+    # moved do not.  The block coalesce bounds the stage file count at
+    # ~(blocks × parts): the parquet sink writes one file per block per
+    # partition value, and thousands of tiny files turn phase 2 into
+    # file-open overhead.
     staged = ds.map_batches(assign_part, batch_format="pyarrow")
-    writer = _WritePart(out_dir, job)
-
-    def write_part(group: pa.Table) -> pa.Table:
-        return writer(group)
-
-    manifests = (
-        staged.groupby("__part")
-        .map_groups(write_part, batch_format="pyarrow")
-        .take_all()
+    if stage_blocks is not None:
+        staged = staged.repartition(stage_blocks)
+    staged.write_parquet(
+        stage_dir, partition_cols=["part_id"], compression="zstd"
     )
 
-    # merge with pre-existing manifests (resumed parts)
+    _t1 = _time.time()
+    if _timing:
+        print(f"[materialize] phase1 scatter: {_t1 - _t0:.2f}s", flush=True)
+
+    # phase 2: gather — independent per-partition tasks (raw ray.remote:
+    # a fixed, tiny task list whose inputs live on the filesystem; a
+    # Dataset stage would size-bundle the descriptors into one task)
+    finish = ray.remote(finish_part)
+    todo = [p for p in range(num_parts) if p not in done]
+    manifests = list(
+        ray.get([finish.remote(out_dir, stage_dir, p, job, dedup) for p in todo])
+    )
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    if _timing:
+        print(f"[materialize] phase2 gather: {_time.time() - _t1:.2f}s",
+              flush=True)
+
     for part_id in sorted(done):
         mf = os.path.join(_part_dir(out_dir, part_id), "manifest.json")
         if os.path.exists(mf):
@@ -237,9 +275,7 @@ def materialize_triples(
 def read_triple_store(out_dir: str):
     """Read a materialized store back as a Dataset (data partitions
     only)."""
-    import glob
-
     import ray.data
 
-    paths = sorted(glob.glob(os.path.join(out_dir, "part-*", "triples.parquet")))
+    paths = sorted(_glob.glob(os.path.join(out_dir, "part-*", "triples.parquet")))
     return ray.data.read_parquet(paths)

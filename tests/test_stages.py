@@ -36,6 +36,24 @@ class TestExtract:
                 b"</body></html>")
         assert extract_text(html) == "keep"
 
+    def test_fast_path_equivalence_fuzz(self):
+        """The regex fast path must agree with the parser (the semantic
+        definition) on clean fixtures AND random byte-mutated html —
+        it may bail to the parser, never diverge."""
+        import random
+
+        from cow_ray.stages.extract import extract_text_reference
+
+        rows = make_pages_rows(300, seed=123)
+        rng = random.Random(7)
+        for trial in range(1000):
+            r = rows[trial % len(rows)]
+            h = bytearray(r["html"])
+            for _ in range(rng.randrange(1, 5)):
+                h[rng.randrange(len(h))] = rng.randrange(32, 127)
+            b = bytes(h)
+            assert extract_text(b) == extract_text_reference(b)
+
     def test_stage_drops_html(self):
         rows = make_pages_rows(10, seed=1)
         t = pa.Table.from_pylist(rows)
