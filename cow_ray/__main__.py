@@ -1,0 +1,190 @@
+"""CLI — the reference's ``cow_tool_cli`` surface re-expressed
+(``/root/reference/src/csvw_tool.py:88-121``)::
+
+    python -m cow_ray build <file.csv|file.parquet> [--base B]
+    python -m cow_ray convert <input> --rules rules.json --out store/
+        [--format nquads|turtle] [--gzip] [--num-parts N] [--no-dedup]
+        [--parallelism N]
+    python -m cow_ray export <store-dir> --format nquads|turtle|trig
+        [--out file]
+
+``convert`` accepts CSV or Parquet input; with a COW CSVW metadata
+JSON next to a CSV (``<file>.csv-metadata.json``) it is picked up
+automatically, like the reference.  The CLI owns the Ray session
+(``ray job submit``-friendly); the library never calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _init_ray(parallelism: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=parallelism,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    from .build import build_rules_file
+
+    for pattern in args.files:
+        for f in sorted(glob.glob(pattern)) or [pattern]:
+            out = build_rules_file(f, base=args.base)
+            print(f"wrote {out}")
+    return 0
+
+
+def _load_rules(input_path: str, rules_path: str | None) -> dict:
+    candidates = [rules_path] if rules_path else [
+        f"{input_path}-metadata.json",   # reference convention
+        f"{input_path}-rules.json",
+    ]
+    for c in candidates:
+        if c and os.path.exists(c):
+            with open(c) as f:
+                return json.load(f)
+    raise SystemExit(
+        f"no rule document found for {input_path} (tried {candidates}); "
+        "pass --rules"
+    )
+
+
+def cmd_convert(args) -> int:
+    _init_ray(args.parallelism)
+    import ray
+
+    from .pipelines.convert import ConvertConfig, convert_pages
+    from .sources.csv import convert_csv
+
+    rules = _load_rules(args.input, args.rules)
+    cfg = ConvertConfig(num_parts=args.num_parts, dedup=not args.no_dedup,
+                        resume=not args.no_resume)
+    gazetteer = None
+    mention_rules = None
+    if args.gazetteer:
+        with open(args.gazetteer) as f:
+            gazetteer = json.load(f)
+    if args.mention_rules:
+        with open(args.mention_rules) as f:
+            mention_rules = json.load(f)
+
+    if args.input.endswith(".csv"):
+        _, manifests = convert_csv(args.input, rules, args.out, config=cfg)
+    else:
+        _, manifests = convert_pages(
+            args.input, rules, args.out, gazetteer=gazetteer,
+            mention_rules=mention_rules, config=cfg,
+        )
+    total = sum(m["num_triples"] for m in manifests)
+    print(f"wrote {total} triples in {len(manifests)} partitions → {args.out}")
+
+    if args.format and args.format != "parquet":
+        _export(args.out, args.format,
+                args.out.rstrip("/") + _ext(args.format, args.gzip),
+                args.gzip)
+    ray.shutdown()
+    return 0
+
+
+def _ext(fmt: str, gzipped: bool = False) -> str:
+    e = {"nquads": ".nq", "ntriples": ".nt", "turtle": ".ttl",
+         "trig": ".trig"}[fmt]
+    return e + (".gz" if gzipped else "")
+
+
+def _export(store: str, fmt: str, out: str, gzipped: bool = False) -> None:
+    from .stages.materialize import read_triple_store
+    from .stages.nq import export_nquads
+    from .stages.serialize import export_trig, export_turtle
+
+    ds = read_triple_store(store)
+    if fmt in ("nquads", "ntriples"):
+        n = export_nquads(ds, out, gzipped=gzipped)
+    elif fmt == "turtle":
+        n = export_turtle(ds, out)
+    elif fmt == "trig":
+        import pyarrow.parquet as pq
+
+        assertion = None
+        job_file = os.path.join(store, "_job.json")
+        if os.path.exists(job_file):
+            with open(job_file) as f:
+                assertion = (json.load(f).get("graphs") or {}).get("assertion")
+        rows = []
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for r in b.to_pylist():
+                r["graph"] = assertion
+                rows.append(r)
+        prov = os.path.join(store, "_provenance", "quads.parquet")
+        if os.path.exists(prov):
+            rows.extend(pq.read_table(prov).to_pylist())
+        n = export_trig(rows, out)
+    else:
+        raise SystemExit(f"unknown format {fmt}")
+    print(f"exported {n} statements → {out}")
+
+
+def cmd_export(args) -> int:
+    _init_ray(args.parallelism)
+    import ray
+
+    out = args.out or args.store.rstrip("/") + _ext(args.format, args.gzip)
+    _export(args.store, args.format, out, args.gzip)
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cow_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build a skeleton rule document")
+    b.add_argument("files", nargs="+")
+    b.add_argument("--base", default="https://example.com/id/")
+    b.set_defaults(fn=cmd_build)
+
+    c = sub.add_parser("convert", help="convert csv/parquet to a triple store")
+    c.add_argument("input")
+    c.add_argument("--rules")
+    c.add_argument("--out", required=True)
+    c.add_argument("--format", default="parquet",
+                   choices=["parquet", "nquads", "ntriples", "turtle", "trig"])
+    c.add_argument("--gzip", action="store_true")
+    c.add_argument("--num-parts", type=int, default=16)
+    c.add_argument("--no-dedup", action="store_true")
+    c.add_argument("--no-resume", action="store_true")
+    c.add_argument("--parallelism", type=int, default=None)
+    c.add_argument("--gazetteer", help="entity gazetteer JSON for linking")
+    c.add_argument("--mention-rules", help="rule doc applied to mentions")
+    c.set_defaults(fn=cmd_convert)
+
+    e = sub.add_parser("export", help="export a triple store to RDF text")
+    e.add_argument("store")
+    e.add_argument("--format", default="nquads",
+                   choices=["nquads", "ntriples", "turtle", "trig"])
+    e.add_argument("--out")
+    e.add_argument("--gzip", action="store_true")
+    e.add_argument("--parallelism", type=int, default=None)
+    e.set_defaults(fn=cmd_export)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

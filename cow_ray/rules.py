@@ -143,6 +143,7 @@ class RuleDoc:
     primary_key: str | None
     columns: list[ColumnRule]
     dataset_name: str = "dataset"
+    dialect: dict = field(default_factory=dict)  # delimiter/quoteChar/encoding
     doc_hash: str = ""
     emit_column_prov: bool = False  # M14; off by default to match the
     # reference's observable golden output (docs/index.rst assertion
@@ -235,6 +236,7 @@ def parse_rules(doc: dict | str) -> RuleDoc:
         columns.append(_parse_column(spec, base, vocab, namespaces))
 
     name = doc.get("dc:title") or doc.get("name") or doc.get("url") or "dataset"
+    dialect = doc.get("dialect") or {}
     canon = json.dumps(doc, sort_keys=True, ensure_ascii=False).encode()
     rd = RuleDoc(
         base=base,
@@ -245,6 +247,7 @@ def parse_rules(doc: dict | str) -> RuleDoc:
         primary_key=_get(schema, "primaryKey"),
         columns=columns,
         dataset_name=str(name),
+        dialect=dict(dialect),
         doc_hash=hashlib.sha1(canon).hexdigest(),
         emit_column_prov=_as_bool(doc.get("emitColumnProv", False)),
     )

@@ -1,0 +1,212 @@
+"""Dialect-aware CSV source (reference S1–S3, SURVEY.md §2.1).
+
+The reference reads CSV via ``unicodecsv.DictReader`` with
+encoding/delimiter/quotechar taken from the schema dialect
+(``csvw.py:369-374``, dialect override ``csvw.py:263-271``), detects
+encoding with chardet (``csvw.py:64-74``) and sniffs the delimiter from
+the header line (``csvw.py:76-82``).
+
+Here:
+
+* every cell is read as a **string** (the reference's model — typing
+  happens only at triple-object construction), nulls → empty string;
+* ``_row`` is the global 0-based data-row index, derived from byte
+  ranges planned on the driver — execution-order independent;
+* encoding detection is a small stdlib heuristic (BOM → utf-8/16,
+  strict-utf-8 probe, latin-1 fallback) since chardet is not available
+  in this environment; the detected name is reported so a caller can
+  override;
+* delimiter sniffing uses ``csv.Sniffer`` on the header line, exactly
+  like the reference.
+
+Scale shape: one read task per byte chunk (the planner cuts at line
+boundaries after the header), same ReadTask pattern as the parquet
+source.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import os
+
+import pyarrow as pa
+
+
+def detect_encoding(path: str, sample_bytes: int = 1 << 20) -> str:
+    """BOM + utf-8 probe heuristic (stands in for chardet,
+    ``csvw.py:64-74``)."""
+    with open(path, "rb") as f:
+        head = f.read(sample_bytes)
+    if head.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if head.startswith(b"\xff\xfe") or head.startswith(b"\xfe\xff"):
+        return "utf-16"
+    try:
+        head.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
+def sniff_delimiter(path: str, encoding: str | None = None) -> str:
+    """``csv.Sniffer().sniff(header_line)`` (reference
+    ``csvw.py:76-82``)."""
+    encoding = encoding or detect_encoding(path)
+    with open(path, "r", encoding=encoding, errors="ignore") as f:
+        header = f.readline()
+    try:
+        return _csv.Sniffer().sniff(header).delimiter
+    except _csv.Error:
+        return ","
+
+
+def read_header(path: str, delimiter: str = ",", quotechar: str = '"',
+                encoding: str | None = None) -> list[str]:
+    encoding = encoding or detect_encoding(path)
+    with open(path, "r", encoding=encoding, newline="") as f:
+        return next(_csv.reader(f, delimiter=delimiter, quotechar=quotechar))
+
+
+def _plan_chunks(path: str, target_bytes: int) -> list[tuple[int, int]]:
+    """Cut the file into byte ranges at line boundaries (after the
+    header line).  Driver-side, seeks only."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        header_end = len(f.readline())
+        cuts = [header_end]
+        pos = header_end
+        while pos + target_bytes < size:
+            f.seek(pos + target_bytes)
+            f.readline()  # finish the partial line
+            pos = f.tell()
+            if pos >= size:
+                break
+            cuts.append(pos)
+        cuts.append(size)
+    return [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)
+            if cuts[i + 1] > cuts[i]]
+
+
+def _count_rows(path: str, start: int, end: int, delimiter: str,
+                quotechar: str, encoding: str) -> int:
+    with open(path, "rb") as f:
+        f.seek(start)
+        data = f.read(end - start)
+    text = data.decode(encoding, "replace")
+    return sum(1 for _ in _csv.reader(io.StringIO(text), delimiter=delimiter,
+                                      quotechar=quotechar))
+
+
+def read_csv_with_row_ids(
+    path: str,
+    *,
+    delimiter: str | None = None,
+    quotechar: str = '"',
+    encoding: str | None = None,
+    target_chunk_bytes: int = 16 << 20,
+):
+    """CSV file → Dataset of all-string columns + deterministic
+    ``_row``.  Quoted fields may contain newlines ONLY if they don't
+    straddle a planned chunk boundary; for such files use one chunk
+    (``target_chunk_bytes`` ≥ file size) — the reference's reader is
+    single-stream anyway."""
+    import ray.data
+    from ray.data.block import BlockMetadata
+    from ray.data.datasource import Datasource, ReadTask
+
+    encoding = encoding or detect_encoding(path)
+    delimiter = delimiter or sniff_delimiter(path, encoding)
+    header = read_header(path, delimiter, quotechar, encoding)
+
+    chunks = _plan_chunks(path, target_chunk_bytes)
+    # row offsets need per-chunk row counts: count once, driver-side
+    # (byte scan, no parsing state kept) — at real scale this is a
+    # metadata pass comparable to parquet footer reads
+    counts = [
+        _count_rows(path, s, e, delimiter, quotechar, encoding)
+        for s, e in chunks
+    ]
+    offsets = [0]
+    for c in counts[:-1]:
+        offsets.append(offsets[-1] + c)
+
+    def make_read(start: int, end: int, row_start: int):
+        def read() -> list[pa.Table]:
+            with open(path, "rb") as f:
+                f.seek(start)
+                data = f.read(end - start)
+            text = data.decode(encoding, "replace")
+            rows = list(_csv.reader(io.StringIO(text), delimiter=delimiter,
+                                    quotechar=quotechar))
+            cols: dict[str, list[str]] = {h: [] for h in header}
+            for r in rows:
+                for j, h in enumerate(header):
+                    cols[h].append(r[j] if j < len(r) else "")
+            arrays = [pa.array(cols[h], type=pa.string()) for h in header]
+            t = pa.Table.from_arrays(arrays, names=header)
+            return [
+                t.append_column(
+                    "_row",
+                    pa.array(range(row_start, row_start + t.num_rows),
+                             type=pa.int64()),
+                )
+            ]
+
+        return read
+
+    class _CsvSource(Datasource):
+        def get_name(self):
+            return "RowIdCsv"
+
+        def estimate_inmemory_data_size(self):
+            return os.path.getsize(path) * 2
+
+        def get_read_tasks(self, parallelism: int):
+            tasks = []
+            for (s, e), n, off in zip(chunks, counts, offsets):
+                meta = BlockMetadata(num_rows=n, size_bytes=(e - s) * 2,
+                                     exec_stats=None, input_files=[path])
+                tasks.append(ReadTask(make_read(s, e, off), meta))
+            return tasks
+
+    return ray.data.read_datasource(_CsvSource())
+
+
+def convert_csv(
+    csv_path: str,
+    rule_doc,
+    out_dir: str | None = None,
+    *,
+    config=None,
+):
+    """The reference's ``cow_tool convert`` path: CSV + rule document →
+    triple store.  Dialect comes from the rule doc when present
+    (reference ``csvw.py:263-271``)."""
+    from ..pipelines.convert import ConvertConfig
+    from ..rules import RuleDoc, parse_rules
+    from ..triples import EmitTriples
+
+    doc = rule_doc if isinstance(rule_doc, RuleDoc) else parse_rules(rule_doc)
+    dialect = getattr(doc, "dialect", None) or {}
+    ds = read_csv_with_row_ids(
+        csv_path,
+        delimiter=dialect.get("delimiter"),
+        quotechar=dialect.get("quoteChar", '"'),
+        encoding=dialect.get("encoding"),
+    )
+    cfg = config or ConvertConfig()
+    triples = ds.map_batches(EmitTriples(doc), batch_format="pyarrow",
+                             batch_size=cfg.batch_size)
+    if out_dir is None:
+        return triples, None
+    from ..nanopub import Nanopub, job_hash
+    from ..stages.materialize import materialize_triples
+
+    jh = job_hash(doc.doc_hash, [csv_path])
+    np_ = Nanopub(doc.base, doc.dataset_name, jh)
+    manifests = materialize_triples(
+        triples, out_dir, num_parts=cfg.num_parts, job=jh, nanopub=np_,
+        resume=cfg.resume, dedup=cfg.dedup, input_desc=csv_path,
+    )
+    return triples, manifests

@@ -177,8 +177,16 @@ def materialize_triples(
                 f"refusing to resume as {job!r}"
             )
     else:
+        meta = {"job": job, "num_parts": num_parts}
+        if nanopub is not None:
+            meta["graphs"] = {
+                "assertion": nanopub.assertion_graph,
+                "provenance": nanopub.provenance_graph,
+                "pubinfo": nanopub.pubinfo_graph,
+                "np_index": nanopub.default_graph,
+            }
         with open(job_file, "w") as f:
-            json.dump({"job": job, "num_parts": num_parts}, f)
+            json.dump(meta, f)
 
     done = completed_parts(out_dir) if resume else set()
     stage_dir = os.path.join(out_dir, "_stage")

@@ -1,0 +1,146 @@
+"""RDF serialization beyond N-Quads: Turtle and TriG exports.
+
+Reference counterpart: the format transcoder (``csvw_tool.py:60-78``)
+re-parses the whole ``.nq`` into one in-memory rdflib graph and
+re-serializes (xml/n3/turtle/nt/trix/trig) — "a deliberately
+non-scalable edge step" (SURVEY.md §2.1 S6).  Here the same stance:
+these are driver-streamed edge utilities for small/medium exports; the
+canonical distributed store is partitioned Parquet.  Turtle grouping
+(one subject block, ``;``/``,`` abbreviation) requires subject-sorted
+input — which the materialized store already is.
+"""
+
+from __future__ import annotations
+
+from ..namespaces import DEFAULT_NAMESPACES, RDF
+from .nq import escape_literal, format_term
+
+
+def _prefix_table(namespaces: dict[str, str] | None):
+    ns = dict(DEFAULT_NAMESPACES if namespaces is None else namespaces)
+    # longest-namespace-first so the most specific prefix wins
+    return sorted(ns.items(), key=lambda kv: -len(kv[1]))
+
+
+def _qname(iri: str, prefixes) -> str | None:
+    for pfx, ns in prefixes:
+        if iri.startswith(ns):
+            local = iri[len(ns):]
+            if local and all(c.isalnum() or c in "_-." for c in local) \
+               and not local[0].isdigit() and not local.endswith("."):
+                return f"{pfx}:{local}"
+    return None
+
+
+def _term(lex, kind, dt, lang, prefixes) -> str:
+    if kind == "iri":
+        q = _qname(lex, prefixes)
+        if q:
+            return q
+        return f"<{lex}>"
+    lit = f'"{escape_literal(lex)}"'
+    if lang:
+        return f"{lit}@{lang}"
+    if dt:
+        q = _qname(dt, prefixes)
+        return f"{lit}^^{q}" if q else f"{lit}^^<{dt}>"
+    return lit
+
+
+def triples_to_turtle(rows, namespaces: dict[str, str] | None = None) -> str:
+    """Sorted triple rows → Turtle text with prefix header and
+    subject/predicate grouping.  ``rows`` is an iterable of dicts with
+    the triple-table columns, sorted by (subj, pred)."""
+    prefixes = _prefix_table(namespaces)
+    used: set[str] = set()
+    body: list[str] = []
+
+    cur_s = None
+    cur_p = None
+    parts: list[str] = []
+
+    def flush():
+        if parts:
+            body.append(" ;\n".join(parts) + " .\n")
+
+    for r in rows:
+        s, p = r["subj"], r["pred"]
+        term_s = _term(s, "iri", None, None, prefixes)
+        pred_iri = p
+        if pred_iri == RDF + "type":
+            term_p = "a"
+        else:
+            term_p = _term(p, "iri", None, None, prefixes)
+        term_o = _term(r["obj_lex"], r["obj_kind"], r.get("obj_datatype"),
+                       r.get("obj_lang"), prefixes)
+        for t in (term_s, term_p, term_o):
+            if t.startswith('"'):
+                # typed literal: the datatype qname after ^^ counts
+                if "^^" in t and not t.endswith(">"):
+                    used.add(t.rsplit("^^", 1)[1].split(":", 1)[0])
+            elif ":" in t and not t.startswith("<"):
+                used.add(t.split(":", 1)[0])
+        if s != cur_s:
+            flush()
+            parts = [f"{term_s} {term_p} {term_o}"]
+            cur_s, cur_p = s, p
+        elif p != cur_p:
+            parts.append(f"    {term_p} {term_o}")
+            cur_p = p
+        else:
+            parts[-1] += f", {term_o}"
+    flush()
+
+    header = [
+        f"@prefix {pfx}: <{ns}> ."
+        for pfx, ns in sorted(prefixes)
+        if pfx in used
+    ]
+    return "\n".join(header) + ("\n\n" if header else "") + "".join(body)
+
+
+def export_turtle(ds, path: str, namespaces: dict[str, str] | None = None,
+                  sort: bool = True) -> int:
+    """Driver-streamed Turtle export of a triple Dataset."""
+    if sort:
+        ds = ds.sort(["subj", "pred", "obj_lex"])
+    rows = []
+    n = 0
+    for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        rows.extend(batch.to_pylist())
+        n += batch.num_rows
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(triples_to_turtle(rows, namespaces))
+    return n
+
+
+def export_trig(quads_rows, path: str,
+                namespaces: dict[str, str] | None = None) -> int:
+    """Quad rows (with a ``graph`` column) → TriG text: one
+    ``<graph> { ... }`` block per named graph (the nanopublication
+    export shape, reference ``docs/index.rst`` worked example)."""
+    by_graph: dict[str, list[dict]] = {}
+    for r in quads_rows:
+        by_graph.setdefault(r.get("graph") or "", []).append(r)
+    prefixes = _prefix_table(namespaces)
+    out = []
+    header_used: set[str] = set()
+    blocks = []
+    for g in sorted(by_graph):
+        rows = sorted(by_graph[g], key=lambda r: (r["subj"], r["pred"]))
+        body = triples_to_turtle(rows, namespaces)
+        # split off the prefix header turtle generated
+        lines = body.splitlines()
+        data_lines = [ln for ln in lines if not ln.startswith("@prefix")]
+        for ln in lines:
+            if ln.startswith("@prefix"):
+                header_used.add(ln)
+        indented = "\n".join("    " + ln if ln else "" for ln in data_lines
+                             ).strip("\n")
+        gterm = f"<{g}>" if g else ""
+        blocks.append(f"{gterm} {{\n{indented}\n}}\n")
+    out = sorted(header_used) + [""] + blocks
+    text = "\n".join(out)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+    return sum(len(v) for v in by_graph.values())

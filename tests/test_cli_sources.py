@@ -1,0 +1,196 @@
+"""CSV source, skeleton builder, CLI, and serializer tests — the
+reference user surface (SURVEY.md §2.1 S1-S7, §2.9)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+IMF_CSV = """Rank;Country;GDP_Per_Capita
+1;Qatar;131,063
+2;Luxembourg;104,906
+3;Macau;96,832
+4;Singapore;90,249
+5;Brunei Darussalam;83,513
+6;Kuwait;72,675
+7;Ireland;72,524
+8;Norway;70,645
+"""
+
+
+@pytest.fixture()
+def imf_csv(tmp_path):
+    p = tmp_path / "imf_gdppc.csv"
+    p.write_text(IMF_CSV)
+    return str(p)
+
+
+class TestCsvSource:
+    def test_sniff_and_header(self, imf_csv):
+        from cow_ray.sources.csv import detect_encoding, read_header, sniff_delimiter
+
+        assert detect_encoding(imf_csv) in ("utf-8", "ascii")
+        assert sniff_delimiter(imf_csv) == ";"
+        assert read_header(imf_csv, ";") == ["Rank", "Country", "GDP_Per_Capita"]
+
+    def test_read_with_row_ids(self, ray_session, imf_csv):
+        from cow_ray.sources.csv import read_csv_with_row_ids
+
+        ds = read_csv_with_row_ids(imf_csv)
+        rows = sorted(ds.take_all(), key=lambda r: r["_row"])
+        assert len(rows) == 8
+        assert rows[0] == {"Rank": "1", "Country": "Qatar",
+                           "GDP_Per_Capita": "131,063", "_row": 0}
+        assert rows[7]["Country"] == "Norway" and rows[7]["_row"] == 7
+
+    def test_chunked_read_row_ids(self, ray_session, tmp_path):
+        from cow_ray.sources.csv import read_csv_with_row_ids
+
+        p = tmp_path / "big.csv"
+        with open(p, "w") as f:
+            f.write("a,b\n")
+            for i in range(5000):
+                f.write(f"v{i},w{i}\n")
+        ds = read_csv_with_row_ids(str(p), target_chunk_bytes=10_000)
+        rows = {r["_row"]: r["a"] for r in ds.take_all()}
+        assert len(rows) == 5000
+        assert rows[0] == "v0" and rows[4999] == "v4999"
+
+    def test_reference_example_csv(self, ray_session):
+        """The reference's own example input converts with a COW-shaped
+        metadata doc (FIXTURES.md F2)."""
+        from cow_ray.oracle import process_table
+        from cow_ray.rules import parse_rules
+        from cow_ray.sources.csv import read_csv_with_row_ids
+        from cow_ray.triples import EmitTriples
+
+        csv_path = "/root/reference/examples/cow_person_example.csv"
+        meta = {
+            "@context": ["csvw.json", {"@base": "https://iisg.amsterdam/"}],
+            "url": "cow_person_example.csv",
+            "tableSchema": {
+                "aboutUrl": "person/{personID}",
+                "primaryKey": "personID",
+                "columns": [
+                    {"name": "surname", "datatype": "string"},
+                    {"name": "male", "datatype": "boolean"},
+                    {"name": "occupation", "valueUrl": "occupation/{occupation}"},
+                ],
+            },
+        }
+        doc = parse_rules(meta)
+        ds = read_csv_with_row_ids(csv_path)
+        got = {
+            tuple(r[k] for k in ("subj", "pred", "obj_lex", "obj_kind",
+                                 "obj_datatype", "obj_lang"))
+            for r in ds.map_batches(EmitTriples(doc),
+                                    batch_format="pyarrow").take_all()
+        }
+        import csv as _csv
+
+        with open(csv_path) as f:
+            rows = list(_csv.DictReader(f))
+        want, errors, _ = process_table(rows, doc)
+        assert errors == 0
+        assert got == set(want)
+        assert ("https://iisg.amsterdam/person/012",
+                "https://iisg.amsterdam/vocab/occupation",
+                "https://iisg.amsterdam/occupation/chimney%20sweep",
+                "iri", None, None) in got
+
+
+class TestBuild:
+    def test_build_rules_csv(self, imf_csv):
+        from cow_ray.build import build_rules
+        from cow_ray.rules import parse_rules
+
+        doc = build_rules(imf_csv, base="http://example.com/resource",
+                          today="2018-11-14")
+        assert doc["dialect"]["delimiter"] == ";"
+        assert doc["tableSchema"]["primaryKey"] == "Rank"
+        assert [c["name"] for c in doc["tableSchema"]["columns"]] == [
+            "Rank", "Country", "GDP_Per_Capita"]
+        assert all(c["datatype"] == "string"
+                   for c in doc["tableSchema"]["columns"])
+        assert doc["@id"] == "http://example.com/resource/imf_gdppc.csv"
+        compiled = parse_rules(doc)  # skeleton must compile
+        assert compiled.about.pattern.endswith("{_row}")
+
+    def test_build_rules_parquet(self):
+        from cow_ray.build import build_rules
+
+        doc = build_rules("/root/testdata/sf0.001/documents.parquet")
+        names = [c["name"] for c in doc["tableSchema"]["columns"]]
+        assert names == ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+class TestSerializers:
+    def test_turtle_grouping(self):
+        from cow_ray.stages.serialize import triples_to_turtle
+
+        rows = [
+            {"subj": "http://x/s", "pred": "http://x/p1", "obj_lex": "a",
+             "obj_kind": "literal", "obj_datatype": None, "obj_lang": None},
+            {"subj": "http://x/s", "pred": "http://x/p1", "obj_lex": "b",
+             "obj_kind": "literal", "obj_datatype": None, "obj_lang": None},
+            {"subj": "http://x/s",
+             "pred": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+             "obj_lex": "http://www.w3.org/2004/02/skos/core#Concept",
+             "obj_kind": "iri", "obj_datatype": None, "obj_lang": None},
+        ]
+        rows.sort(key=lambda r: (r["subj"], r["pred"]))
+        ttl = triples_to_turtle(rows)
+        assert '"a", "b"' in ttl          # object list abbreviation
+        assert " a skos:Concept" in ttl   # rdf:type → a, qname
+        assert "@prefix skos:" in ttl
+        assert ttl.count("http://x/s>") == 1  # one subject block
+
+    def test_escaped_literals(self):
+        from cow_ray.stages.nq import format_term
+
+        assert format_term('he said "hi"\n', "literal", None, None) == \
+            '"he said \\"hi\\"\\n"'
+        assert format_term("x", "literal", None, "nl") == '"x"@nl'
+        assert format_term(
+            "5", "literal", "http://www.w3.org/2001/XMLSchema#integer", None
+        ) == '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+
+class TestCli:
+    def test_build_convert_export_golden(self, tmp_path):
+        """Full reference workflow in a subprocess CLI: build → convert
+        → export; output must be the docs' golden 24-triple assertion
+        set (FIXTURES.md F4)."""
+        csv_path = tmp_path / "imf_gdppc.csv"
+        csv_path.write_text(IMF_CSV)
+        env = dict(os.environ, PYTHONPATH=REPO)
+
+        r = subprocess.run(
+            [sys.executable, "-m", "cow_ray", "build", str(csv_path),
+             "--base=http://example.com/resource"],
+            capture_output=True, text=True, env=env, cwd=REPO)
+        assert r.returncode == 0, r.stderr
+        rules = json.loads((tmp_path / "imf_gdppc.csv-rules.json").read_text())
+        assert rules["tableSchema"]["aboutUrl"] == "{_row}"
+
+        store = tmp_path / "store"
+        r = subprocess.run(
+            [sys.executable, "-m", "cow_ray", "convert", str(csv_path),
+             "--out", str(store), "--num-parts", "2", "--format", "nquads",
+             "--parallelism", "4"],
+            capture_output=True, text=True, env=env, cwd=REPO)
+        assert r.returncode == 0, r.stderr
+        assert "wrote 24 triples" in r.stdout
+
+        nq = (tmp_path / "store.nq").read_text().strip().splitlines()
+        assert len(nq) == 24
+        assert ('<http://example.com/resource/0> '
+                '<http://example.com/resource/vocab/Country> "Qatar" .' in nq)
+        assert ('<http://example.com/resource/7> '
+                '<http://example.com/resource/vocab/GDP_Per_Capita> '
+                '"70,645" .' in nq)
