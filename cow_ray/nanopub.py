@@ -116,6 +116,18 @@ class Nanopub:
         return q
 
 
+def escape_derivation_quads(np_: Nanopub, derivations) -> list[tuple]:
+    """Reference ``convert_info`` derivation pairs (``csvw.py:341-343``):
+    (escaped IRI, prov:wasDerivedFrom, "original string"^^xsd:string)
+    in the provenance graph."""
+    g = np_.provenance_graph
+    return [
+        (g, escaped, PROV + "wasDerivedFrom", original, KIND_LITERAL,
+         XSD + "string", None)
+        for escaped, original in derivations
+    ]
+
+
 def partition_lineage_quads(
     np_: Nanopub, part_id: int, num_triples: int, content_sha1: str,
     input_desc: str,

@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..nanopub import Nanopub, job_hash
+from ..nanopub import Nanopub, escape_derivation_quads, job_hash
 from ..rules import RuleDoc, parse_rules
 from ..sources.parquet import _expand_paths, read_parquet_with_row_ids
 from ..stages.canonicalize import dedup_triples
@@ -185,6 +185,7 @@ def convert_pages(
     # shuffle — one all-to-all instead of two
     jh = job_hash(doc.doc_hash, files)
     np_ = Nanopub(doc.base, doc.dataset_name, jh)
+    np_.extra_quads = escape_derivation_quads(np_, doc.escape_derivations)
     manifests = materialize_triples(
         triples,
         out_dir,

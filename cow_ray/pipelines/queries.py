@@ -383,8 +383,11 @@ def q_dedup_simhash_docs(sf_dir: str):
 def q_emb_near_dup(sf_dir: str):
     from ..ops.similarity import cosine_near_dup_pairs
 
+    # 0.45: non-empty at every sf (empty results lose their schema
+    # through to_pandas) and ≥6e-4 from the nearest pair cosine at the
+    # driver's sf0.01 — float noise (~1e-7) cannot flip membership
     out = cosine_near_dup_pairs(
-        _read(sf_dir, "embeddings"), threshold=0.5
+        _read(sf_dir, "embeddings"), threshold=0.45
     )
     return out.select_columns(["id_a", "id_b"])
 
@@ -393,7 +396,7 @@ SQL_EMB_NEAR_DUP = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM embeddings a, embeddings b
  WHERE a.vec_id < b.vec_id
-   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 """
 
 

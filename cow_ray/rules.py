@@ -144,6 +144,11 @@ class RuleDoc:
     columns: list[ColumnRule]
     dataset_name: str = "dataset"
     dialect: dict = field(default_factory=dict)  # delimiter/quoteChar/encoding
+    # M17 (reference convert_info, csvw.py:321-361): metadata terms whose
+    # IRI form differs from the authored string after escaping —
+    # recorded as (escaped_iri, original) and emitted into the
+    # provenance graph as (escaped, prov:wasDerivedFrom, "original")
+    escape_derivations: list = field(default_factory=list)
     doc_hash: str = ""
     emit_column_prov: bool = False  # M14; off by default to match the
     # reference's observable golden output (docs/index.rst assertion
@@ -252,6 +257,7 @@ def parse_rules(doc: dict | str) -> RuleDoc:
         emit_column_prov=_as_bool(doc.get("emitColumnProv", False)),
     )
     _validate(rd)
+    _collect_escape_derivations(rd)
     return rd
 
 
@@ -332,6 +338,25 @@ def _parse_column(
         ),
         column_id=_get(spec, "@id", "id"),
     )
+
+
+def _collect_escape_derivations(doc: RuleDoc) -> None:
+    """Reference ``convert_info`` (``csvw.py:321-361``): for every
+    URL-valued metadata term, if iribaker-style escaping changes it,
+    record the derivation for the provenance graph."""
+    seen = set()
+    for c in doc.columns:
+        for t in (c.about, c.property_tmpl, c.value_url, c.collection_url,
+                  c.scheme_url):
+            if t is None or t.kind != CONST:
+                continue
+            try:
+                escaped = expand_url(t.pattern)
+            except ValueError:
+                continue
+            if escaped != t.pattern and (escaped, t.pattern) not in seen:
+                seen.add((escaped, t.pattern))
+                doc.escape_derivations.append((escaped, t.pattern))
 
 
 def _validate(doc: RuleDoc) -> None:

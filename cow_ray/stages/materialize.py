@@ -264,6 +264,7 @@ def materialize_triples(
     # job-level provenance partition (driver-side, small)
     if nanopub is not None:
         quads = nanopub.quads()
+        quads.extend(getattr(nanopub, "extra_quads", []) or [])
         for m in manifests:
             quads.extend(
                 partition_lineage_quads(
