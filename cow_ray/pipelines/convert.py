@@ -51,9 +51,9 @@ class FusedTripleEmitter:
     triples in one pass over each batch (gazetteer/regex state warm in
     ``__init__``)."""
 
-    def __init__(self, doc, mdoc, gazetteer, carry):
-        self.page_emitter = EmitTriples(doc)
-        self.mention_emitter = EmitTriples(mdoc)
+    def __init__(self, doc, mdoc, gazetteer, carry, metrics=None):
+        self.page_emitter = EmitTriples(doc, metrics=metrics)
+        self.mention_emitter = EmitTriples(mdoc, metrics=metrics)
         self.linker = EntityLinker(gazetteer, carry=carry)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -80,6 +80,7 @@ class ConvertConfig:
     link_concurrency: int | tuple | None = None  # actor pool size
     num_parts: int = 16               # output partitions (≈ bytes/256MiB)
     stage_blocks: int | None = None   # coalesce before the stage write
+    collect_metrics: bool = False     # MetricsCollector actor (opt-in)
     dedup: bool = True
     resume: bool = True
     derived: dict = field(default_factory=dict)  # col -> batch fn
@@ -126,6 +127,12 @@ def convert_pages(
         needed |= {"url"} & available
     needed.discard("_row")
 
+    metrics = None
+    if cfg.collect_metrics:
+        from ..state import create_metrics_collector
+
+        metrics = create_metrics_collector()
+
     ds = read_parquet_with_row_ids(files, columns=sorted(needed))
 
     if has_html:
@@ -151,7 +158,8 @@ def convert_pages(
             # ramp-up lag (measured 2× on the flagship).  For a big
             # gazetteer/embedding index, set link_concurrency to get an
             # actor pool and pass a ray.put handle as the gazetteer.
-            fused = FusedTripleEmitter(doc, mdoc, gazetteer, carry)
+            fused = FusedTripleEmitter(doc, mdoc, gazetteer, carry,
+                                       metrics=metrics)
 
             def emit_fused(batch: pa.Table) -> pa.Table:
                 return fused(batch)
@@ -165,7 +173,7 @@ def convert_pages(
                 FusedTripleEmitter,
                 fn_constructor_kwargs={
                     "doc": doc, "mdoc": mdoc, "gazetteer": gazetteer,
-                    "carry": carry,
+                    "carry": carry, "metrics": metrics,
                 },
                 batch_format="pyarrow",
                 batch_size=cfg.link_batch_size,
@@ -173,7 +181,8 @@ def convert_pages(
             )
     else:
         triples = ds.map_batches(
-            EmitTriples(doc), batch_format="pyarrow", batch_size=cfg.batch_size
+            EmitTriples(doc, metrics=metrics), batch_format="pyarrow",
+            batch_size=cfg.batch_size,
         )
 
     if out_dir is None:
@@ -197,4 +206,13 @@ def convert_pages(
         stage_blocks=cfg.stage_blocks,
         input_desc=";".join(files),
     )
+    if metrics is not None:
+        from ..state.metrics import fetch
+
+        counts = fetch(metrics)
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(out_dir, "_metrics.json"), "w") as f:
+            _json.dump(counts, f)
     return triples, manifests

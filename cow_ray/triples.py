@@ -212,8 +212,9 @@ class EmitTriples:
     per-chunk ``BurstConverter`` setup, amortized across all batches.
     """
 
-    def __init__(self, doc: RuleDoc):
+    def __init__(self, doc: RuleDoc, metrics=None):
         self.doc = doc
+        self.metrics = metrics  # optional MetricsCollector actor handle
         self.fields = doc.referenced_fields()
         # precompile linkURI brace fragments (reference
         # `_extract_between_braces`, csvw.py:624-625)
@@ -246,9 +247,15 @@ class EmitTriples:
                 pieces.append(t)
 
         self.errors += ctx.errors
-        if not pieces:
-            return empty_triple_table()
-        return pa.concat_tables(pieces)
+        out = pa.concat_tables(pieces) if pieces else empty_triple_table()
+        if self.metrics is not None:
+            # fire-and-forget: one tiny RPC per batch, no data-path wait
+            self.metrics.add.remote(
+                rows_in=ctx.n, triples_out=out.num_rows,
+                errors=ctx.errors, null_skips=self.null_skips,
+            )
+            self.null_skips = 0  # flushed
+        return out
 
     # ---- per-rule emission ----
 
