@@ -76,11 +76,19 @@ def local_distinct(table: pa.Table, cols: list[str] | None = None) -> pa.Table:
 
 
 def dedup_triples(ds, num_parts: int = 64, cols: list[str] | None = None):
-    """Exact global distinct over the triple table.
+    """Exact global distinct over the triple table (Dataset in →
+    Dataset out).
 
     ``num_parts`` bounds per-partition memory: each partition is one
     group materialized on a worker (choose ≈ total_bytes / 256 MiB; the
-    content-hash key distributes uniformly, so parts are even)."""
+    content-hash key distributes uniformly, so parts are even).
+
+    Scale note: this uses Ray's ``groupby`` shuffle, which is fine for
+    query-sized data but measured ~10× slower than the filesystem
+    scatter/gather at the 10M-triple mark (low-cardinality sort keys).
+    For store-bound flows always prefer
+    ``materialize_triples(..., dedup=True)`` — dedup there rides the
+    partitioned write for free (see stages/materialize.py)."""
     cols = cols or TRIPLE_COLS
 
     def prep(batch: pa.Table) -> pa.Table:

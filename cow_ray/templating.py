@@ -86,11 +86,14 @@ class CompiledTemplate:
     """A pattern classified and compiled once; renderable per row or per
     Arrow batch."""
 
-    __slots__ = ("pattern", "kind", "parts", "fields")
+    __slots__ = ("pattern", "kind", "parts", "fields", "lowering")
 
     def __init__(self, pattern: str):
         self.pattern = pattern
         self.kind, self.parts, self.fields = self._classify(pattern)
+        self.lowering = (
+            _compile_lowering(pattern) if self.kind == COMPLEX else None
+        )
 
     @staticmethod
     def _classify(pattern: str):
@@ -162,6 +165,75 @@ class CompiledTemplate:
             return pa.array([args[0]] * n, type=pa.string())
         args.append("")  # separator
         return pc.binary_join_element_wise(*args)
+
+
+# ---- COMPLEX-pattern lowering (SURVEY.md §2.7 cookbook) ----
+#
+# A handful of Jinja cookbook shapes cover most real rule documents.
+# When a whole pattern matches one of these, the kernel evaluates it
+# with Arrow kernels and only routes rows the lowering can't PROVE
+# equivalent (guard mask) through the exact Jinja path — the same
+# guarded-fast-path structure as IRI minting.  The oracle never uses
+# lowering; equivalence is asserted by the kernel-vs-oracle tests.
+
+_LOWER_CASE_RE = re.compile(r"^\{\{\s*([A-Za-z_]\w*)\s*\|\s*(lower|upper)\s*\}\}$")
+_ZEROPAD_RE = re.compile(
+    r"^\{\{\s*'%0(\d+)d'\s*\|\s*format\(\s*([A-Za-z_]\w*)\s*\|\s*int\s*\)\s*\}\}$"
+)
+_IF_EQ_RE = re.compile(
+    r"^\{%\s*if\s+([A-Za-z_]\w*)\s*==\s*'([^']*)'\s*%\}([^{}%]*)"
+    r"\{%\s*else\s*%\}([^{}%]*)\{%\s*endif\s*%\}$"
+)
+_NON_ASCII_RE = r"[^\x00-\x7F]"
+_PURE_DIGITS_RE = r"^[0-9]+$"
+
+
+def _compile_lowering(pattern: str):
+    """Return ``fn(cols, n) -> (pa.Array, fallback_mask)`` or None.
+    ``fallback_mask`` marks rows that must re-render via Jinja."""
+    m = _LOWER_CASE_RE.match(pattern)
+    if m:
+        col, op = m.group(1), m.group(2)
+        kernel = pc.utf8_lower if op == "lower" else pc.utf8_upper
+
+        def case_fn(cols, n, _col=col, _kernel=kernel):
+            arr = cols[_col]
+            out = _kernel(arr)
+            # non-ASCII case mapping can differ between utf8proc and
+            # Python str casing → exact path for those rows
+            need = pc.fill_null(
+                pc.match_substring_regex(arr, _NON_ASCII_RE), True
+            )
+            return out, need
+
+        return case_fn
+    m = _ZEROPAD_RE.match(pattern)
+    if m:
+        width, col = int(m.group(1)), m.group(2)
+
+        def pad_fn(cols, n, _col=col, _w=width):
+            arr = cols[_col]
+            out = pc.utf8_lpad(arr, _w, "0")
+            # '%0Nd' % int(x): equivalent to lpad ONLY for pure-digit
+            # strings (no sign/space/empty; int() would strip/raise/0)
+            digits = pc.fill_null(
+                pc.match_substring_regex(arr, _PURE_DIGITS_RE), False
+            )
+            need = pc.invert(digits)
+            return out, need
+
+        return pad_fn
+    m = _IF_EQ_RE.match(pattern)
+    if m:
+        col, lit, then_v, else_v = m.groups()
+
+        def if_fn(cols, n, _col=col, _lit=lit, _t=then_v, _e=else_v):
+            arr = cols[_col]
+            out = pc.if_else(pc.equal(arr, _lit), _t, _e)
+            return out, pa.repeat(False, n)
+
+        return if_fn
+    return None
 
 
 _template_cache: dict[str, CompiledTemplate] = {}

@@ -122,6 +122,30 @@ def _render(tmpl, ctx: _BatchCtx, sel: np.ndarray) -> tuple[pa.Array, np.ndarray
             ctx.errors += int(sel.sum())
             return pa.nulls(ctx.n, pa.string()), np.zeros(ctx.n, dtype=bool)
         return arr, sel.copy()
+    lowering = getattr(tmpl, "lowering", None)
+    if lowering is not None:
+        # cookbook fast path (templating._compile_lowering): Arrow
+        # kernels for all rows, exact-Jinja re-render only where the
+        # guard mask says equivalence isn't proven
+        try:
+            arr, need = lowering(ctx.cols, ctx.n)
+        except KeyError:
+            ctx.errors += int(sel.sum())
+            return pa.nulls(ctx.n, pa.string()), np.zeros(ctx.n, dtype=bool)
+        need = _bools(need) & sel
+        ok = sel.copy()
+        if need.any():
+            vals = arr.to_pylist()
+            rows = ctx.py_rows()
+            render_row = tmpl.render_row
+            for i in np.nonzero(need)[0]:
+                try:
+                    vals[i] = render_row(rows[i])
+                except Exception:
+                    ok[i] = False
+                    ctx.errors += 1
+            arr = pa.array(vals, type=pa.string())
+        return arr, ok
     rows = ctx.py_rows()
     out: list[str | None] = [None] * ctx.n
     ok = np.zeros(ctx.n, dtype=bool)

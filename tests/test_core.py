@@ -377,3 +377,65 @@ class TestOracle:
         assert is_value_null("", parse_rules(
             {"base": BASE, "aboutUrl": "r/{_row}",
              "columns": [{"name": "a"}]}).columns[0], None)
+
+
+class TestLowering:
+    """Cookbook-pattern lowering must agree with exact Jinja rendering
+    on every value class (guard-masked rows fall back)."""
+
+    VALUES = ["abc", "ABC", "MiXed", "café", "İstanbul", "012", "0", "12345",
+              "1234567", "-5", " 12", "", "x1", "nan", "12.5"]
+
+    def _check(self, pattern, col="v"):
+        import numpy as np
+        import pyarrow as pa
+        from cow_ray.templating import compile_template, normalize_column
+
+        t = compile_template(pattern)
+        assert t.lowering is not None, f"{pattern} did not lower"
+        cols = {col: normalize_column(pa.array(self.VALUES))}
+        arr, need = t.lowering(cols, len(self.VALUES))
+        vals = arr.to_pylist()
+        need = np.asarray(need.to_pylist() if hasattr(need, "to_pylist")
+                          else need, dtype=bool)
+        for i, v in enumerate(self.VALUES):
+            want = None
+            try:
+                want = t.render_row({col: v, "_row": i})
+            except Exception:
+                continue  # jinja raises → fallback handles; skip
+            if not need[i]:
+                assert vals[i] == want, (pattern, v, vals[i], want)
+
+    def test_lower_upper(self):
+        self._check("{{v|lower}}")
+        self._check("{{v|upper}}")
+
+    def test_zeropad(self):
+        self._check("{{'%05d'|format(v|int)}}")
+        self._check("{{'%03d'|format(v|int)}}")
+
+    def test_if_else(self):
+        self._check("{% if v == 'abc' %}yes{% else %}no{% endif %}")
+
+    def test_kernel_uses_lowering_consistently(self):
+        import pyarrow as pa
+        from cow_ray.oracle import process_table
+        from cow_ray.triples import EmitTriples
+
+        d = parse_rules({
+            "base": BASE, "aboutUrl": "r/{_row}",
+            "columns": [
+                {"name": "v", "value": "{{'%05d'|format(v|int)}}"},
+                {"name": "v", "value": "{{v|upper}}", "propertyUrl": "rdfs:label"},
+            ],
+        })
+        rows = [{"v": x} for x in self.VALUES]
+        want, errors, _ = process_table(rows, d)
+        t = pa.Table.from_pylist(rows).append_column(
+            "_row", pa.array(range(len(rows)), type=pa.int64()))
+        k = EmitTriples(d)
+        out = k(t)
+        got = set(zip(*[out[c].to_pylist() for c in out.column_names]))
+        assert got == set(want)
+        assert k.errors == errors
