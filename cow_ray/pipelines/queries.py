@@ -623,6 +623,50 @@ SELECT user_id, event_type, event_id, ts FROM (
 """
 
 
+
+
+def q_lineitem_orders_join(sf_dir: str):
+    """Both-sides-large join: Ray's native hash-partitioned
+    ``Dataset.join`` (lineitem ⋈ orders on orderkey), then a grouped
+    monthly revenue rollup.  Complements the broadcast join
+    (``q_orders_by_nation``) — this is the shuffle-join path."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def month_revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        month = pc.floor_temporal(batch["o_orderdate"], unit="month")
+        return pa.table({"month": month, "revenue": rev})
+
+    out = (
+        joined.map_batches(month_revenue, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Count(alias_name="n_items"))
+    )
+
+    def final_round(batch: pa.Table) -> pa.Table:
+        return _round2(batch, "revenue")
+
+    return out.map_batches(final_round, batch_format="pyarrow")
+
+
+SQL_LINEITEM_ORDERS_JOIN = """
+SELECT date_trunc('month', o.o_orderdate) AS month,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+ GROUP BY 1
+"""
+
+
 # ----------------------------------------------------------- multimodal
 
 
@@ -663,6 +707,7 @@ QUERIES = {
     "orders_by_nation": q_orders_by_nation,
     "events_hourly": q_events_hourly,
     "events_first": q_events_first,
+    "lineitem_orders_join": q_lineitem_orders_join,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -682,4 +727,5 @@ ORACLES = {
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_first": SQL_EVENTS_FIRST,
+    "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
 }
