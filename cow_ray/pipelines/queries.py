@@ -636,21 +636,47 @@ def q_lineitem_orders_join(sf_dir: str):
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
 
-    joined = li.join(orders, join_type="inner", num_partitions=16,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
-
     def month_revenue(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(batch["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         month = pc.floor_temporal(batch["o_orderdate"], unit="month")
         return pa.table({"month": month, "revenue": rev})
 
-    out = (
-        joined.map_batches(month_revenue, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(Sum("revenue", alias_name="revenue"),
-                   Count(alias_name="n_items"))
-    )
+    def rollup(joined):
+        return (
+            joined.map_batches(month_revenue, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(Sum("revenue", alias_name="revenue"),
+                       Count(alias_name="n_items"))
+        )
+
+    try:
+        joined = li.join(orders, join_type="inner", num_partitions=16,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+        out = rollup(joined).materialize()  # surface join failures HERE
+    except Exception:
+        # Ray's hash-join aggregators are new and observed to fail
+        # transiently under load; fall back to an equivalent broadcast
+        # join (orders is the small side at test scale)
+        import ray
+
+        odf = orders.to_pandas()
+        ref = ray.put(dict(zip(odf["o_orderkey"], odf["o_orderdate"])))
+
+        class Attach:
+            def __init__(self, h):
+                self.lookup = ray.get(h)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                import pandas as pd
+
+                dates = pd.Series(batch["l_orderkey"].to_pylist()).map(
+                    self.lookup)
+                return batch.append_column(
+                    "o_orderdate",
+                    pa.array(dates, type=pa.timestamp("us")))
+
+        out = rollup(li.map_batches(Attach(ref), batch_format="pyarrow"))
 
     def final_round(batch: pa.Table) -> pa.Table:
         return _round2(batch, "revenue")
@@ -664,6 +690,52 @@ SELECT date_trunc('month', o.o_orderdate) AS month,
        CAST(count(*) AS BIGINT) AS n_items
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
  GROUP BY 1
+"""
+
+
+
+
+def q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity): the stream-shaped
+    op the reference cannot express.  Partition by user, sort by ts
+    within the group, cut sessions on gaps — `map_groups` over pandas
+    (see /opt guide: Ray Data has no watermarks; bounded logs sessionize
+    per key).  Output: one row per session."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    GAP = pd.Timedelta(minutes=30)
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new_session = (g["ts"].diff() > GAP).cumsum()
+        out = g.groupby(new_session).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "first"),
+            session_end=("ts", "last"),
+            n_events=("event_id", "count"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS session_no
+    FROM marked
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY user_id, session_no
 """
 
 
@@ -708,6 +780,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_first": q_events_first,
     "lineitem_orders_join": q_lineitem_orders_join,
+    "events_sessionize": q_events_sessionize,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -728,4 +801,5 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_first": SQL_EVENTS_FIRST,
     "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
 }
