@@ -68,21 +68,47 @@ def read_header(path: str, delimiter: str = ",", quotechar: str = '"',
         return next(_csv.reader(f, delimiter=delimiter, quotechar=quotechar))
 
 
-def _plan_chunks(path: str, target_bytes: int) -> list[tuple[int, int]]:
-    """Cut the file into byte ranges at line boundaries (after the
-    header line).  Driver-side, seeks only."""
+def _plan_chunks(path: str, target_bytes: int,
+                 quotechar: str = '"') -> list[tuple[int, int]]:
+    """Cut the file into byte ranges at *record* boundaries after the
+    header: a newline is a safe cut only when the number of quote
+    characters seen so far is even (otherwise it sits inside a quoted
+    field — embedded newlines would silently corrupt a naive
+    line-boundary cut).  One sequential driver scan; the same scan is
+    what row-offset counting needs anyway."""
+    import numpy as np
+
     size = os.path.getsize(path)
+    q = quotechar.encode()[0]
+    cuts: list[int] = []
     with open(path, "rb") as f:
         header_end = len(f.readline())
-        cuts = [header_end]
+        cuts.append(header_end)
+        f.seek(header_end)
         pos = header_end
-        while pos + target_bytes < size:
-            f.seek(pos + target_bytes)
-            f.readline()  # finish the partial line
-            pos = f.tell()
-            if pos >= size:
+        quotes = 0  # parity carried across blocks
+        next_cut = header_end + target_bytes
+        while True:
+            block = f.read(8 << 20)
+            if not block:
                 break
-            cuts.append(pos)
+            arr = np.frombuffer(block, dtype=np.uint8)
+            is_q = arr == q
+            nl_idx = np.nonzero(arr == 0x0A)[0]
+            if nl_idx.size:
+                parity = (quotes + np.cumsum(is_q)[nl_idx]) % 2
+                safe = nl_idx[parity == 0]
+                # greedy: first safe newline at/after each needed cut
+                while safe.size:
+                    j = np.searchsorted(safe, next_cut - pos - 1)
+                    if j >= safe.size:
+                        break
+                    cut = pos + int(safe[j]) + 1
+                    cuts.append(cut)
+                    next_cut = cut + target_bytes
+            quotes = (quotes + int(is_q.sum())) % 2
+            pos += len(block)
+    if not cuts or cuts[-1] != size:
         cuts.append(size)
     return [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)
             if cuts[i + 1] > cuts[i]]
@@ -107,10 +133,8 @@ def read_csv_with_row_ids(
     target_chunk_bytes: int = 16 << 20,
 ):
     """CSV file → Dataset of all-string columns + deterministic
-    ``_row``.  Quoted fields may contain newlines ONLY if they don't
-    straddle a planned chunk boundary; for such files use one chunk
-    (``target_chunk_bytes`` ≥ file size) — the reference's reader is
-    single-stream anyway."""
+    ``_row``.  Chunk cuts are quote-parity-aware, so quoted fields may
+    contain newlines — a cut never lands inside a quoted field."""
     import ray.data
     from ray.data.block import BlockMetadata
     from ray.data.datasource import Datasource, ReadTask
@@ -119,7 +143,7 @@ def read_csv_with_row_ids(
     delimiter = delimiter or sniff_delimiter(path, encoding)
     header = read_header(path, delimiter, quotechar, encoding)
 
-    chunks = _plan_chunks(path, target_chunk_bytes)
+    chunks = _plan_chunks(path, target_chunk_bytes, quotechar)
     # row offsets need per-chunk row counts: count once, driver-side
     # (byte scan, no parsing state kept) — at real scale this is a
     # metadata pass comparable to parquet footer reads

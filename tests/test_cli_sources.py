@@ -194,3 +194,31 @@ class TestCli:
         assert ('<http://example.com/resource/7> '
                 '<http://example.com/resource/vocab/GDP_Per_Capita> '
                 '"70,645" .' in nq)
+
+
+class TestQuotedNewlines:
+    def test_chunk_cuts_respect_quoted_newlines(self, ray_session, tmp_path):
+        """A multiline quoted field must survive aggressive chunking —
+        cuts are quote-parity-aware."""
+        import csv as _csv
+
+        from cow_ray.sources.csv import read_csv_with_row_ids
+
+        p = tmp_path / "quoted.csv"
+        with open(p, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["id", "note"])
+            for i in range(2000):
+                note = f"line one {i}\nline two {i}\nline three" if i % 3 == 0 \
+                    else f"plain {i}"
+                w.writerow([str(i), note])
+        ds = read_csv_with_row_ids(str(p), target_chunk_bytes=2000)
+        rows = {r["_row"]: r for r in ds.take_all()}
+        assert len(rows) == 2000
+        assert rows[0]["note"] == "line one 0\nline two 0\nline three"
+        assert rows[1999]["id"] == "1999"
+        # compare against single-stream csv module
+        with open(p, newline="") as f:
+            want = list(_csv.DictReader(f))
+        for i, wrow in enumerate(want):
+            assert rows[i]["note"] == wrow["note"]
