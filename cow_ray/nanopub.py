@@ -47,7 +47,11 @@ def file_fingerprint(path: str) -> str:
 
 def job_hash(rule_doc_hash: str, input_paths: list[str]) -> str:
     """Deterministic job identity: rule doc + input file identities
-    (path + size; cheap — no data read)."""
+    (path + size + mtime_ns; cheap — no data read).  mtime catches
+    same-size content edits, so a resume against modified inputs
+    REFUSES (job-hash mismatch) instead of silently serving stale
+    partitions; use :func:`file_fingerprint` when content-hash
+    certainty is worth a full read."""
     import os
 
     h = hashlib.sha1()
@@ -55,7 +59,9 @@ def job_hash(rule_doc_hash: str, input_paths: list[str]) -> str:
     for p in sorted(input_paths):
         h.update(p.encode())
         try:
-            h.update(str(os.path.getsize(p)).encode())
+            st = os.stat(p)
+            h.update(str(st.st_size).encode())
+            h.update(str(st.st_mtime_ns).encode())
         except OSError:
             pass
     return h.hexdigest()

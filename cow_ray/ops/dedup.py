@@ -140,8 +140,9 @@ def minhash_lsh_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
     The bucket groupby is the only shuffle; its key (band, band_hash)
     is hash-distributed.  Oversized buckets (>1000 ids — degenerate
     near-identical content) are truncated pairwise to cap the
-    quadratic blowup, and the truncation is counted in a ``capped``
-    column rather than silent.
+    quadratic blowup; run exact dedup first if such clusters are
+    expected (the final pair-dedup drops the per-bucket ``capped``
+    counter, so the truncation is bounded but not surfaced).
     """
     hasher = MinHasher(num_perm, shingle_k, text_col)
     sigs = ds.map_batches(hasher, batch_format="pyarrow",

@@ -231,9 +231,16 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95,
 
     class Pairs:
         def __init__(self, handle):
-            self.ids_all, self.m_all = ray.get(handle)
+            # resolve LAZILY (first batch, inside the worker): eager
+            # ray.get here would run on the driver and embed the whole
+            # corpus matrix in the pickled closure, defeating the
+            # object-store broadcast
+            self._handle = handle
+            self.ids_all = self.m_all = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.m_all is None:
+                self.ids_all, self.m_all = ray.get(self._handle)
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             m = _norm_rows(_as_matrix(batch[vec_col]))
             if m.size == 0:

@@ -83,7 +83,7 @@ class ConvertConfig:
     collect_metrics: bool = False     # MetricsCollector actor (opt-in)
     dedup: bool = True
     resume: bool = True
-    derived: dict = field(default_factory=dict)  # col -> batch fn
+    derived: dict = field(default_factory=dict)  # col -> fn | (fn, [input_cols])
 
 
 def convert_pages(
@@ -121,10 +121,18 @@ def convert_pages(
         needed |= {"text"} if "text" in available or has_html else set()
         if mdoc is not None:
             needed |= mdoc.referenced_fields() & available
-    for col, fn in cfg.derived.items():
-        # a derived column's inputs must be read; conservatively keep
-        # url for the builtin host deriver
-        needed |= {"url"} & available
+    derived: dict = {}
+    for col, spec in cfg.derived.items():
+        # a derived entry is fn or (fn, [input_cols]); its inputs must
+        # survive column pruning.  Bare fns contribute 'url' (the
+        # builtin host deriver's input) for back-compat.
+        if isinstance(spec, tuple):
+            fn, inputs = spec
+            needed |= set(inputs) & available
+        else:
+            fn = spec
+            needed |= {"url"} & available
+        derived[col] = fn
     needed.discard("_row")
 
     metrics = None
@@ -140,7 +148,7 @@ def convert_pages(
             ExtractText(), batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
         )
-    for col, fn in cfg.derived.items():
+    for col, fn in derived.items():
         ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=cfg.batch_size)
 
     if gazetteer is not None and mdoc is not None:

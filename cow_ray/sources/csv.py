@@ -114,14 +114,30 @@ def _plan_chunks(path: str, target_bytes: int,
             if cuts[i + 1] > cuts[i]]
 
 
+def _read_chunk_rows(path: str, start: int, end: int, delimiter: str,
+                     quotechar: str, encoding: str) -> list[list[str]]:
+    """Parse one chunk to rows.  start == -1 means "whole file in text
+    mode, skipping the header" (multi-byte encodings).  Blank lines are
+    dropped — ``csv.DictReader`` (the reference's reader) skips them."""
+    if start == -1:
+        with open(path, "r", encoding=encoding, errors="replace",
+                  newline="") as f:
+            rows = list(_csv.reader(f, delimiter=delimiter,
+                                    quotechar=quotechar))[1:]
+    else:
+        with open(path, "rb") as f:
+            f.seek(start)
+            data = f.read(end - start)
+        text = data.decode(encoding, "replace")
+        rows = list(_csv.reader(io.StringIO(text), delimiter=delimiter,
+                                quotechar=quotechar))
+    return [r for r in rows if r]
+
+
 def _count_rows(path: str, start: int, end: int, delimiter: str,
                 quotechar: str, encoding: str) -> int:
-    with open(path, "rb") as f:
-        f.seek(start)
-        data = f.read(end - start)
-    text = data.decode(encoding, "replace")
-    return sum(1 for _ in _csv.reader(io.StringIO(text), delimiter=delimiter,
-                                      quotechar=quotechar))
+    return len(_read_chunk_rows(path, start, end, delimiter, quotechar,
+                                encoding))
 
 
 def read_csv_with_row_ids(
@@ -143,7 +159,15 @@ def read_csv_with_row_ids(
     delimiter = delimiter or sniff_delimiter(path, encoding)
     header = read_header(path, delimiter, quotechar, encoding)
 
-    chunks = _plan_chunks(path, target_chunk_bytes, quotechar)
+    if encoding.lower().replace("_", "-") in ("utf-16", "utf-16-le",
+                                              "utf-16-be", "utf-32",
+                                              "utf-32-le", "utf-32-be"):
+        # multi-byte code units: 0x0A bytes are NOT newlines, so byte
+        # chunking would shear code units.  Single whole-file task
+        # (the reference's reader is single-stream anyway).
+        chunks = [(-1, os.path.getsize(path))]
+    else:
+        chunks = _plan_chunks(path, target_chunk_bytes, quotechar)
     # row offsets need per-chunk row counts: count once, driver-side
     # (byte scan, no parsing state kept) — at real scale this is a
     # metadata pass comparable to parquet footer reads
@@ -157,12 +181,8 @@ def read_csv_with_row_ids(
 
     def make_read(start: int, end: int, row_start: int):
         def read() -> list[pa.Table]:
-            with open(path, "rb") as f:
-                f.seek(start)
-                data = f.read(end - start)
-            text = data.decode(encoding, "replace")
-            rows = list(_csv.reader(io.StringIO(text), delimiter=delimiter,
-                                    quotechar=quotechar))
+            rows = _read_chunk_rows(path, start, end, delimiter, quotechar,
+                                    encoding)
             cols: dict[str, list[str]] = {h: [] for h in header}
             for r in rows:
                 for j, h in enumerate(header):

@@ -203,6 +203,17 @@ def materialize_triples(
             json.dump(meta, f)
 
     done = completed_parts(out_dir) if resume else set()
+    if not resume:
+        # explicit rebuild: clear published partitions so finish_part
+        # doesn't short-circuit on stale _DONE markers
+        for name in list(os.listdir(out_dir)):
+            if name.startswith("part-"):
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+        for f in ("_SUCCESS",):
+            try:
+                os.remove(os.path.join(out_dir, f))
+            except OSError:
+                pass
     stage_dir = os.path.join(out_dir, "_stage")
     # stale intermediates from a crashed run must not double-count
     shutil.rmtree(stage_dir, ignore_errors=True)

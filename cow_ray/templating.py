@@ -199,10 +199,13 @@ def _compile_lowering(pattern: str):
         def case_fn(cols, n, _col=col, _kernel=kernel):
             arr = cols[_col]
             out = _kernel(arr)
-            # non-ASCII case mapping can differ between utf8proc and
-            # Python str casing → exact path for those rows
-            need = pc.fill_null(
-                pc.match_substring_regex(arr, _NON_ASCII_RE), True
+            # exact path for: non-ASCII (utf8proc vs str casing) and any
+            # value containing braces (the reference runs .format() on
+            # the RENDERED value — csvw.py:857-866 — which substitutes
+            # or raises on braces)
+            need = pc.or_(
+                pc.fill_null(pc.match_substring_regex(arr, _NON_ASCII_RE), True),
+                pc.fill_null(pc.match_substring_regex(arr, r"[{}]"), True),
             )
             return out, need
 
@@ -216,10 +219,16 @@ def _compile_lowering(pattern: str):
             out = pc.utf8_lpad(arr, _w, "0")
             # '%0Nd' % int(x): equivalent to lpad ONLY for pure-digit
             # strings (no sign/space/empty; int() would strip/raise/0)
+            # AND not leading-zero values longer than the width —
+            # int("00123") strips to "0123" under %04d while lpad keeps
+            # "00123"
             digits = pc.fill_null(
                 pc.match_substring_regex(arr, _PURE_DIGITS_RE), False
             )
-            need = pc.invert(digits)
+            long_lz = pc.fill_null(
+                pc.match_substring_regex(arr, rf"^0[0-9]{{{_w},}}$"), False
+            )
+            need = pc.or_(pc.invert(digits), long_lz)
             return out, need
 
         return pad_fn

@@ -345,7 +345,13 @@ class EmitTriples:
                         return None
                     o_arr, any_ok = _mint_no_validate(values, emit, ctx)
                     emit &= any_ok
-                elif rule.is_link_uri and rule_idx in self._link_frag:
+                elif rule.is_link_uri and rule_idx not in self._link_frag:
+                    # missing aboutUrl/valueUrl: the reference's
+                    # _extract_between_braces on None raises per row →
+                    # swallowed, no triple, no SKOS (csvw.py:588-592)
+                    ctx.errors += int(emit.sum())
+                    return None
+                elif rule.is_link_uri:
                     s_t, o_t = self._link_frag[rule_idx]
                     s_arr, s_ok = _render(s_t, ctx, emit)
                     s_arr, s_ok = _mint(s_arr, s_ok, ctx)

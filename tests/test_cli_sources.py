@@ -222,3 +222,69 @@ class TestQuotedNewlines:
             want = list(_csv.DictReader(f))
         for i, wrow in enumerate(want):
             assert rows[i]["note"] == wrow["note"]
+
+
+class TestReviewRegressions:
+    def test_utf16_csv(self, ray_session, tmp_path):
+        """UTF-16 input must parse correctly (single-task text-mode
+        path — byte chunking would shear 2-byte code units)."""
+        from cow_ray.sources.csv import detect_encoding, read_csv_with_row_ids
+
+        p = tmp_path / "u16.csv"
+        rows = "id,name\n" + "\n".join(f"{i},name{i}" for i in range(500))
+        p.write_bytes(rows.encode("utf-16"))
+        assert detect_encoding(str(p)) == "utf-16"
+        ds = read_csv_with_row_ids(str(p), delimiter=",")
+        got = {r["_row"]: r["name"] for r in ds.take_all()}
+        assert len(got) == 500
+        assert got[0] == "name0" and got[499] == "name499"
+
+    def test_blank_lines_skipped(self, ray_session, tmp_path):
+        """Blank lines are skipped like the reference's DictReader —
+        no phantom rows, no shifted _row ids."""
+        from cow_ray.sources.csv import read_csv_with_row_ids
+
+        p = tmp_path / "blank.csv"
+        p.write_text("a,b\n1,2\n\n3,4\n\n\n5,6\n")
+        rows = sorted(read_csv_with_row_ids(str(p), delimiter=",").take_all(),
+                      key=lambda r: r["_row"])
+        assert [(r["_row"], r["a"]) for r in rows] == [(0, "1"), (1, "3"),
+                                                       (2, "5")]
+
+    def test_no_resume_rebuilds(self, ray_session, tmp_path):
+        """resume=False must rebuild existing partitions, not serve
+        stale _DONE-marked ones."""
+        import pyarrow as pa
+        import ray.data
+
+        from cow_ray.stages.materialize import (
+            materialize_triples,
+            read_triple_store,
+        )
+        from cow_ray.triples import TRIPLE_SCHEMA
+
+        def ds_of(vals):
+            return ray.data.from_arrow(pa.Table.from_pylist(
+                [{"subj": f"s/{v}", "pred": "p", "obj_lex": str(v),
+                  "obj_kind": "literal", "obj_datatype": None,
+                  "obj_lang": None} for v in vals], schema=TRIPLE_SCHEMA))
+
+        out = str(tmp_path / "store")
+        materialize_triples(ds_of(range(10)), out, num_parts=2, job="j1")
+        materialize_triples(ds_of(range(50)), out, num_parts=2, job="j1",
+                            resume=False)
+        assert read_triple_store(out).count() == 50
+
+    def test_job_hash_changes_on_touch(self, tmp_path):
+        import os
+        import time
+
+        from cow_ray.nanopub import job_hash
+
+        p = tmp_path / "f.csv"
+        p.write_text("same-size-a")
+        h1 = job_hash("r", [str(p)])
+        time.sleep(0.01)
+        p.write_text("same-size-b")  # same byte length
+        h2 = job_hash("r", [str(p)])
+        assert h1 != h2
