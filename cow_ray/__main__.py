@@ -103,20 +103,29 @@ def cmd_convert(args) -> int:
 
 def _ext(fmt: str, gzipped: bool = False) -> str:
     e = {"nquads": ".nq", "ntriples": ".nt", "turtle": ".ttl",
-         "trig": ".trig"}[fmt]
+         "trig": ".trig", "xml": ".xml", "trix": ".trix"}[fmt]
     return e + (".gz" if gzipped else "")
 
 
 def _export(store: str, fmt: str, out: str, gzipped: bool = False) -> None:
     from .stages.materialize import read_triple_store
     from .stages.nq import export_nquads
-    from .stages.serialize import export_trig, export_turtle
+    from .stages.serialize import (
+        export_rdfxml,
+        export_trig,
+        export_trix,
+        export_turtle,
+    )
 
     ds = read_triple_store(store)
     if fmt in ("nquads", "ntriples"):
         n = export_nquads(ds, out, gzipped=gzipped)
     elif fmt == "turtle":
         n = export_turtle(ds, out)
+    elif fmt == "xml":
+        n = export_rdfxml(ds, out)
+    elif fmt == "trix":
+        n = export_trix(ds, out)
     elif fmt == "trig":
         import pyarrow.parquet as pq
 
@@ -163,7 +172,8 @@ def main(argv=None) -> int:
     c.add_argument("--rules")
     c.add_argument("--out", required=True)
     c.add_argument("--format", default="parquet",
-                   choices=["parquet", "nquads", "ntriples", "turtle", "trig"])
+                   choices=["parquet", "nquads", "ntriples", "turtle",
+                            "trig", "xml", "trix"])
     c.add_argument("--gzip", action="store_true")
     c.add_argument("--num-parts", type=int, default=16)
     c.add_argument("--no-dedup", action="store_true")
@@ -176,7 +186,8 @@ def main(argv=None) -> int:
     e = sub.add_parser("export", help="export a triple store to RDF text")
     e.add_argument("store")
     e.add_argument("--format", default="nquads",
-                   choices=["nquads", "ntriples", "turtle", "trig"])
+                   choices=["nquads", "ntriples", "turtle", "trig",
+                            "xml", "trix"])
     e.add_argument("--out")
     e.add_argument("--gzip", action="store_true")
     e.add_argument("--parallelism", type=int, default=None)

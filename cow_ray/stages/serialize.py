@@ -144,3 +144,98 @@ def export_trig(quads_rows, path: str,
     with open(path, "w", encoding="utf-8") as f:
         f.write(text)
     return sum(len(v) for v in by_graph.values())
+
+
+# ---- RDF/XML and TriX (S6 parity: the reference's remaining formats) ----
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+             .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def triples_to_rdfxml(rows) -> str:
+    """Plain rdf:Description serialization (no qname abbreviation of
+    predicates beyond the split required by XML element names).  Rows
+    sorted by subject give one Description block per subject."""
+    out = ['<?xml version="1.0" encoding="utf-8"?>',
+           '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">']
+    cur = None
+    opened = False
+    for r in rows:
+        s = r["subj"]
+        if s != cur:
+            if opened:
+                out.append("</rdf:Description>")
+            out.append(f'<rdf:Description rdf:about="{_xml_escape(s)}">')
+            cur = s
+            opened = True
+        p = r["pred"]
+        # split the predicate IRI into namespace + XML-legal local name
+        cut = max(p.rfind("#"), p.rfind("/")) + 1
+        ns, local = p[:cut], p[cut:] or "predicate"
+        attrs = f' xmlns:p="{_xml_escape(ns)}"'
+        if r["obj_kind"] == "iri":
+            out.append(f'  <p:{local}{attrs} '
+                       f'rdf:resource="{_xml_escape(r["obj_lex"])}"/>')
+        else:
+            extra = ""
+            if r.get("obj_lang"):
+                extra = f' xml:lang="{_xml_escape(r["obj_lang"])}"'
+            elif r.get("obj_datatype"):
+                extra = f' rdf:datatype="{_xml_escape(r["obj_datatype"])}"'
+            out.append(f'  <p:{local}{attrs}{extra}>'
+                       f'{_xml_escape(r["obj_lex"])}</p:{local}>')
+    if opened:
+        out.append("</rdf:Description>")
+    out.append("</rdf:RDF>")
+    return "\n".join(out)
+
+
+def triples_to_trix(rows, graph: str | None = None) -> str:
+    """TriX serialization (one <graph> block)."""
+    out = ['<?xml version="1.0" encoding="utf-8"?>',
+           '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">',
+           "<graph>"]
+    if graph:
+        out.append(f"  <uri>{_xml_escape(graph)}</uri>")
+    for r in rows:
+        out.append("  <triple>")
+        out.append(f"    <uri>{_xml_escape(r['subj'])}</uri>")
+        out.append(f"    <uri>{_xml_escape(r['pred'])}</uri>")
+        if r["obj_kind"] == "iri":
+            out.append(f"    <uri>{_xml_escape(r['obj_lex'])}</uri>")
+        elif r.get("obj_lang"):
+            out.append(f'    <plainLiteral xml:lang="{_xml_escape(r["obj_lang"])}">'
+                       f'{_xml_escape(r["obj_lex"])}</plainLiteral>')
+        elif r.get("obj_datatype"):
+            out.append(f'    <typedLiteral datatype="{_xml_escape(r["obj_datatype"])}">'
+                       f'{_xml_escape(r["obj_lex"])}</typedLiteral>')
+        else:
+            out.append(f"    <plainLiteral>{_xml_escape(r['obj_lex'])}"
+                       f"</plainLiteral>")
+        out.append("  </triple>")
+    out.append("</graph>")
+    out.append("</TriX>")
+    return "\n".join(out)
+
+
+def _collect_sorted(ds):
+    rows = []
+    for batch in ds.sort(["subj", "pred", "obj_lex"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        rows.extend(batch.to_pylist())
+    return rows
+
+
+def export_rdfxml(ds, path: str) -> int:
+    rows = _collect_sorted(ds)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(triples_to_rdfxml(rows))
+    return len(rows)
+
+
+def export_trix(ds, path: str, graph: str | None = None) -> int:
+    rows = _collect_sorted(ds)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(triples_to_trix(rows, graph))
+    return len(rows)

@@ -288,3 +288,42 @@ class TestReviewRegressions:
         p.write_text("same-size-b")  # same byte length
         h2 = job_hash("r", [str(p)])
         assert h1 != h2
+
+
+class TestXmlSerializers:
+    ROWS = [
+        {"subj": "http://x/s1", "pred": "http://x/v/name", "obj_lex": "A & B",
+         "obj_kind": "literal", "obj_datatype": None, "obj_lang": "en"},
+        {"subj": "http://x/s1", "pred": "http://x/v/knows",
+         "obj_lex": "http://x/s2", "obj_kind": "iri",
+         "obj_datatype": None, "obj_lang": None},
+        {"subj": "http://x/s2", "pred": "http://x/v/age", "obj_lex": "5",
+         "obj_kind": "literal",
+         "obj_datatype": "http://www.w3.org/2001/XMLSchema#integer",
+         "obj_lang": None},
+    ]
+
+    def test_rdfxml_well_formed(self):
+        import xml.etree.ElementTree as ET
+
+        from cow_ray.stages.serialize import triples_to_rdfxml
+
+        xml = triples_to_rdfxml(self.ROWS)
+        root = ET.fromstring(xml)
+        descs = list(root)
+        assert len(descs) == 2  # one Description per subject
+        assert "A &amp; B" in xml
+        assert 'rdf:resource="http://x/s2"' in xml
+        assert 'rdf:datatype="http://www.w3.org/2001/XMLSchema#integer"' in xml
+
+    def test_trix_well_formed(self):
+        import xml.etree.ElementTree as ET
+
+        from cow_ray.stages.serialize import triples_to_trix
+
+        xml = triples_to_trix(self.ROWS, graph="http://g/1")
+        root = ET.fromstring(xml)
+        ns = "{http://www.w3.org/2004/03/trix/trix-1/}"
+        triples = root.findall(f"{ns}graph/{ns}triple")
+        assert len(triples) == 3
+        assert 'xml:lang="en"' in xml
