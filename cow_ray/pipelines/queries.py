@@ -651,9 +651,15 @@ def q_lineitem_orders_join(sf_dir: str):
         )
 
     try:
+        expected = li.count()  # every lineitem has an order (FK) —
+        # the inner join must conserve rows exactly
         joined = li.join(orders, join_type="inner", num_partitions=16,
                          on=("l_orderkey",), right_on=("o_orderkey",))
         out = rollup(joined).materialize()  # surface join failures HERE
+        got = sum(r["n_items"] for r in out.take_all())
+        if got != expected:
+            raise RuntimeError(
+                f"join dropped/duplicated rows: {got} != {expected}")
     except Exception:
         # Ray's hash-join aggregators are new and observed to fail
         # transiently under load; fall back to an equivalent broadcast
