@@ -327,3 +327,70 @@ class TestXmlSerializers:
         triples = root.findall(f"{ns}graph/{ns}triple")
         assert len(triples) == 3
         assert 'xml:lang="en"' in xml
+
+
+class TestCsvChunkingProperty:
+    def test_random_csvs_match_single_stream(self, ray_session, tmp_path):
+        """Random CSVs (quotes, embedded newlines/delimiters, unicode,
+        blanks) read chunked must equal the csv module's single-stream
+        parse (the reference's reader), for several chunk sizes."""
+        import csv as _csv
+        import random
+
+        from cow_ray.sources.csv import read_csv_with_row_ids
+
+        rng = random.Random(42)
+        alphabet = ["plain", "with,comma", 'quo"te', "multi\nline",
+                    "café ünïcode", "", "  spaces  ", "semi;colon", "{brace}"]
+        for trial in range(4):
+            p = tmp_path / f"fuzz{trial}.csv"
+            ncols = rng.randint(1, 5)
+            header = [f"c{i}" for i in range(ncols)]
+            with open(p, "w", newline="", encoding="utf-8") as f:
+                w = _csv.writer(f)
+                w.writerow(header)
+                for _ in range(rng.randint(0, 400)):
+                    w.writerow([rng.choice(alphabet) for _ in range(ncols)])
+            with open(p, newline="", encoding="utf-8") as f:
+                want = [r for r in _csv.reader(f)][1:]
+                want = [r for r in want if r]
+            for chunk in (400, 5000):
+                ds = read_csv_with_row_ids(str(p), delimiter=",",
+                                           target_chunk_bytes=chunk)
+                got = sorted(ds.take_all(), key=lambda r: r["_row"])
+                assert len(got) == len(want), (trial, chunk)
+                for i, wrow in enumerate(want):
+                    assert [got[i][h] for h in header] == wrow, (trial, chunk, i)
+
+
+class TestMetricsCollector:
+    def test_metrics_flow(self, ray_session, tmp_path):
+        import json
+
+        from cow_ray.fixtures import GAZETTEER, write_pages_parquet
+        from cow_ray.pipelines import ConvertConfig, convert_pages
+        from cow_ray.pipelines.convert import derive_host
+
+        src = write_pages_parquet(str(tmp_path / "p.parquet"), 300, seed=8,
+                                  row_group_size=100)
+        out = str(tmp_path / "store")
+        page_rules = {"base": "https://kg.example.org/",
+                      "aboutUrl": "page/{_row}",
+                      "columns": [{"name": "text", "datatype": "string",
+                                   "lang": "{lang}"}]}
+        mention_rules = {"base": "https://kg.example.org/",
+                         "aboutUrl": "page/{_row}",
+                         "columns": [{"name": "entity_id",
+                                      "valueUrl": "entity/{entity_id}"}]}
+        _, manifests = convert_pages(
+            src, page_rules, out, gazetteer=GAZETTEER,
+            mention_rules=mention_rules,
+            config=ConvertConfig(num_parts=2,
+                                 derived={"host": derive_host},
+                                 collect_metrics=True))
+        m = json.load(open(out + "/_metrics.json"))
+        # rows_in counts both emitters (pages + mention rows)
+        assert m["rows_in"] >= 300
+        assert m["triples_out"] > 300
+        assert m["errors"] == 0
+        assert m["null_skips"] > 0  # the fixture has empty-text rows
