@@ -83,7 +83,18 @@ def cmd_convert(args) -> int:
         with open(args.mention_rules) as f:
             mention_rules = json.load(f)
 
-    if args.input.endswith(".csv"):
+    inputs = sorted(glob.glob(args.input)) or [args.input]
+    if len(inputs) > 1 and all(f.endswith(".csv") for f in inputs):
+        # reference behavior: glob of CSVs converts each file (its own
+        # sidecar metadata) into a per-file sub-store
+        total_parts = []
+        for f in inputs:
+            frules = _load_rules(f, None) if args.rules is None else rules
+            sub = os.path.join(args.out, os.path.basename(f) + ".store")
+            _, m = convert_csv(f, frules, sub, config=cfg)
+            total_parts.extend(m)
+        manifests = total_parts
+    elif args.input.endswith(".csv"):
         _, manifests = convert_csv(args.input, rules, args.out, config=cfg)
     else:
         _, manifests = convert_pages(

@@ -745,6 +745,24 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
 """
 
 
+
+
+def q_approx_distinct_docs(sf_dir: str):
+    """HyperLogLog approximate distinct counts (mergeable-sketch
+    aggregation pattern — ops/sketch.py): one register-array per batch,
+    elementwise-max merge; the exchange never carries data rows.
+    Rows-only check (approx estimates can't hash-match an exact SQL
+    oracle; accuracy is asserted in tests: <2% at p=12)."""
+    from ..ops.sketch import approx_distinct
+
+    ds = _docs(sf_dir)
+    out = []
+    for col in ("text", "source", "lang"):
+        out.append({"column": col,
+                    "approx_distinct": int(round(approx_distinct(ds, col)))})
+    return pa.Table.from_pylist(out)
+
+
 # ----------------------------------------------------------- multimodal
 
 
@@ -787,6 +805,7 @@ QUERIES = {
     "events_first": q_events_first,
     "lineitem_orders_join": q_lineitem_orders_join,
     "events_sessionize": q_events_sessionize,
+    "approx_distinct_docs": q_approx_distinct_docs,
     "multimodal_decode": q_multimodal_decode,
 }
 

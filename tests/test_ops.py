@@ -273,3 +273,30 @@ class TestMultimodal:
                              batch_format="pyarrow").take_all()
         got = {(r["media_id"], r["frame_index"]) for r in out}
         assert got == {(1, 0), (1, 10), (1, 20), (2, 0)}
+
+
+class TestSketch:
+    def test_hll_accuracy_distributed(self, docs_ds):
+        import duckdb
+
+        from cow_ray.ops.sketch import approx_distinct
+
+        est = approx_distinct(docs_ds, "text")
+        exact = duckdb.connect().execute(
+            f"SELECT count(DISTINCT text) FROM read_parquet('{DOCS}')"
+        ).fetchone()[0]
+        assert abs(est - exact) / exact < 0.05
+
+    def test_hll_merge_equals_single_pass(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from cow_ray.ops.sketch import hll_estimate, hll_registers
+
+        vals = pa.array([f"v{i}" for i in range(10_000)])
+        single = hll_registers(vals)
+        merged = np.zeros_like(single)
+        for off in range(0, 10_000, 1000):
+            merged = np.maximum(merged, hll_registers(vals.slice(off, 1000)))
+        assert (single == merged).all()
+        assert abs(hll_estimate(merged) - 10_000) / 10_000 < 0.05
