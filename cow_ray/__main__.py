@@ -71,7 +71,9 @@ def cmd_convert(args) -> int:
     from .pipelines.convert import ConvertConfig, convert_pages
     from .sources.csv import convert_csv
 
-    rules = _load_rules(args.input, args.rules)
+    inputs = sorted(glob.glob(args.input)) or [args.input]
+    rules = (_load_rules(args.input, args.rules)
+             if (args.rules or len(inputs) == 1) else None)
     cfg = ConvertConfig(num_parts=args.num_parts, dedup=not args.no_dedup,
                         resume=not args.no_resume)
     gazetteer = None
@@ -83,7 +85,6 @@ def cmd_convert(args) -> int:
         with open(args.mention_rules) as f:
             mention_rules = json.load(f)
 
-    inputs = sorted(glob.glob(args.input)) or [args.input]
     if len(inputs) > 1 and all(f.endswith(".csv") for f in inputs):
         # reference behavior: glob of CSVs converts each file (its own
         # sidecar metadata) into a per-file sub-store
