@@ -72,8 +72,9 @@ def cmd_convert(args) -> int:
     from .sources.csv import convert_csv
 
     inputs = sorted(glob.glob(args.input)) or [args.input]
-    rules = (_load_rules(args.input, args.rules)
-             if (args.rules or len(inputs) == 1) else None)
+    single = inputs[0] if len(inputs) == 1 else None
+    rules = (_load_rules(single or args.input, args.rules)
+             if (args.rules or single) else None)
     cfg = ConvertConfig(num_parts=args.num_parts, dedup=not args.no_dedup,
                         resume=not args.no_resume)
     gazetteer = None
@@ -85,30 +86,50 @@ def cmd_convert(args) -> int:
         with open(args.mention_rules) as f:
             mention_rules = json.load(f)
 
+    sub_stores: list[str] = []
     if len(inputs) > 1 and all(f.endswith(".csv") for f in inputs):
         # reference behavior: glob of CSVs converts each file (its own
         # sidecar metadata) into a per-file sub-store
         total_parts = []
+        used: dict[str, int] = {}
         for f in inputs:
             frules = _load_rules(f, None) if args.rules is None else rules
-            sub = os.path.join(args.out, os.path.basename(f) + ".store")
+            name = os.path.basename(f)
+            n = used.get(name, 0)
+            used[name] = n + 1
+            if n:  # same basename from different dirs: keep distinct
+                name = f"{name}.{n}"
+            sub = os.path.join(args.out, name + ".store")
+            sub_stores.append(sub)
             _, m = convert_csv(f, frules, sub, config=cfg)
             total_parts.extend(m)
         manifests = total_parts
-    elif args.input.endswith(".csv"):
-        _, manifests = convert_csv(args.input, rules, args.out, config=cfg)
+    elif len(inputs) > 1:
+        # multi-file parquet: one job over the file list, shared rules
+        if rules is None:
+            raise SystemExit(
+                "a multi-file parquet glob needs --rules (one shared "
+                "rule document)")
+        _, manifests = convert_pages(
+            inputs, rules, args.out, gazetteer=gazetteer,
+            mention_rules=mention_rules, config=cfg,
+        )
+    elif single.endswith(".csv"):
+        _, manifests = convert_csv(single, rules, args.out, config=cfg)
     else:
         _, manifests = convert_pages(
-            args.input, rules, args.out, gazetteer=gazetteer,
+            single, rules, args.out, gazetteer=gazetteer,
             mention_rules=mention_rules, config=cfg,
         )
     total = sum(m["num_triples"] for m in manifests)
     print(f"wrote {total} triples in {len(manifests)} partitions → {args.out}")
 
     if args.format and args.format != "parquet":
-        _export(args.out, args.format,
-                args.out.rstrip("/") + _ext(args.format, args.gzip),
-                args.gzip)
+        targets = sub_stores or [args.out]
+        for store in targets:
+            _export(store, args.format,
+                    store.rstrip("/") + _ext(args.format, args.gzip),
+                    args.gzip)
     ray.shutdown()
     return 0
 

@@ -64,16 +64,25 @@ def hll_estimate(regs: np.ndarray) -> float:
     return raw
 
 
-def approx_distinct(ds, col: str, p: int = 12) -> float:
-    """Distributed approximate distinct count of a string column."""
+def approx_distinct_multi(ds, cols: list[str], p: int = 12) -> dict[str, float]:
+    """Distributed approximate distinct counts for several columns in a
+    SINGLE pass (one sketch row per (batch, column))."""
 
     def sketch(batch: pa.Table) -> pa.Table:
-        regs = hll_registers(batch[col], p)
-        return pa.table({"regs": pa.array([regs.tolist()],
-                                          type=pa.list_(pa.uint8()))})
+        rows = []
+        for col in cols:
+            rows.append({"col": col,
+                         "regs": hll_registers(batch[col], p).tolist()})
+        return pa.Table.from_pylist(rows)
 
-    parts = ds.map_batches(sketch, batch_format="pyarrow").take_all()
-    merged = np.zeros(1 << p, dtype=np.uint8)
-    for row in parts:
-        merged = np.maximum(merged, np.asarray(row["regs"], dtype=np.uint8))
-    return hll_estimate(merged)
+    merged = {c: np.zeros(1 << p, dtype=np.uint8) for c in cols}
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        c = row["col"]
+        merged[c] = np.maximum(merged[c],
+                               np.asarray(row["regs"], dtype=np.uint8))
+    return {c: hll_estimate(r) for c, r in merged.items()}
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Distributed approximate distinct count of a string column."""
+    return approx_distinct_multi(ds, [col], p)[col]

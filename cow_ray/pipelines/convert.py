@@ -215,9 +215,9 @@ def convert_pages(
         input_desc=";".join(files),
     )
     if metrics is not None:
-        from ..state.metrics import fetch
+        from ..state.metrics import fetch_stable
 
-        counts = fetch(metrics)
+        counts = fetch_stable(metrics)
         import json as _json
         import os as _os
 

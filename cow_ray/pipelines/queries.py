@@ -753,14 +753,12 @@ def q_approx_distinct_docs(sf_dir: str):
     elementwise-max merge; the exchange never carries data rows.
     Rows-only check (approx estimates can't hash-match an exact SQL
     oracle; accuracy is asserted in tests: <2% at p=12)."""
-    from ..ops.sketch import approx_distinct
+    from ..ops.sketch import approx_distinct_multi
 
-    ds = _docs(sf_dir)
-    out = []
-    for col in ("text", "source", "lang"):
-        out.append({"column": col,
-                    "approx_distinct": int(round(approx_distinct(ds, col)))})
-    return pa.Table.from_pylist(out)
+    est = approx_distinct_multi(_docs(sf_dir), ["text", "source", "lang"])
+    return pa.Table.from_pylist(
+        [{"column": c, "approx_distinct": int(round(v))}
+         for c, v in est.items()])
 
 
 # ----------------------------------------------------------- multimodal

@@ -102,16 +102,13 @@ def triples_to_turtle(rows, namespaces: dict[str, str] | None = None) -> str:
 def export_turtle(ds, path: str, namespaces: dict[str, str] | None = None,
                   sort: bool = True) -> int:
     """Driver-streamed Turtle export of a triple Dataset."""
-    if sort:
-        ds = ds.sort(["subj", "pred", "obj_lex"])
-    rows = []
-    n = 0
-    for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        rows.extend(batch.to_pylist())
-        n += batch.num_rows
+    rows = _collect_sorted(ds) if sort else [
+        r for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
     with open(path, "w", encoding="utf-8") as f:
         f.write(triples_to_turtle(rows, namespaces))
-    return n
+    return len(rows)
 
 
 def export_trig(quads_rows, path: str,
@@ -148,9 +145,34 @@ def export_trig(quads_rows, path: str,
 
 # ---- RDF/XML and TriX (S6 parity: the reference's remaining formats) ----
 
+import re as _re
+
+# XML 1.0 cannot represent most C0 control chars at all (not even as
+# entities); replace with U+FFFD so the export stays parseable (lossy —
+# the lossless serializations are the N-Quads/Turtle family)
+_XML_ILLEGAL_RE = _re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f]")
+# longest XML-NCName suffix of a predicate IRI (the RDF/XML split point)
+_NCNAME_SUFFIX_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
 def _xml_escape(s: str) -> str:
+    s = _XML_ILLEGAL_RE.sub("\ufffd", s)
     return (s.replace("&", "&amp;").replace("<", "&lt;")
              .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def _split_predicate(p: str) -> tuple[str, str]:
+    """RDF/XML predicate split: namespace + XML-legal local name whose
+    concatenation is exactly the IRI.  Raises for predicates RDF/XML
+    genuinely cannot express (ending in '/' or '#', digit-only tails) —
+    the same limitation rdflib's serializer has."""
+    m = _NCNAME_SUFFIX_RE.search(p)
+    if not m or m.start() == 0:
+        raise ValueError(
+            f"predicate {p!r} is not expressible in RDF/XML (no valid "
+            "XML-name suffix); use nquads/turtle/trig instead")
+    return p[: m.start()], p[m.start():]
 
 
 def triples_to_rdfxml(rows) -> str:
@@ -170,9 +192,7 @@ def triples_to_rdfxml(rows) -> str:
             cur = s
             opened = True
         p = r["pred"]
-        # split the predicate IRI into namespace + XML-legal local name
-        cut = max(p.rfind("#"), p.rfind("/")) + 1
-        ns, local = p[:cut], p[cut:] or "predicate"
+        ns, local = _split_predicate(p)
         attrs = f' xmlns:p="{_xml_escape(ns)}"'
         if r["obj_kind"] == "iri":
             out.append(f'  <p:{local}{attrs} '

@@ -50,3 +50,28 @@ def fetch(handle) -> dict[str, int]:
     import ray
 
     return ray.get(handle.get.remote())
+
+
+def fetch_stable(handle, settle_rounds: int = 2, delay: float = 0.2,
+                 timeout: float = 5.0) -> dict[str, int]:
+    """Fetch counters after the in-flight fire-and-forget adds settle:
+    actor-call ordering is only guaranteed per caller, and the adds come
+    from many workers — poll until two consecutive reads agree."""
+    import time
+
+    import ray
+
+    prev = None
+    stable = 0
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        cur = ray.get(handle.get.remote())
+        if cur == prev:
+            stable += 1
+            if stable >= settle_rounds:
+                break
+        else:
+            stable = 0
+        prev = cur
+        time.sleep(delay)
+    return prev or {}
