@@ -136,7 +136,7 @@ def cmd_convert(args) -> int:
 
 def _ext(fmt: str, gzipped: bool = False) -> str:
     e = {"nquads": ".nq", "ntriples": ".nt", "turtle": ".ttl",
-         "trig": ".trig", "xml": ".xml", "trix": ".trix"}[fmt]
+         "n3": ".n3", "trig": ".trig", "xml": ".xml", "trix": ".trix"}[fmt]
     return e + (".gz" if gzipped else "")
 
 
@@ -153,7 +153,10 @@ def _export(store: str, fmt: str, out: str, gzipped: bool = False) -> None:
     ds = read_triple_store(store)
     if fmt in ("nquads", "ntriples"):
         n = export_nquads(ds, out, gzipped=gzipped)
-    elif fmt == "turtle":
+    elif fmt in ("turtle", "n3"):
+        # Turtle output is valid N3 (N3 ⊃ Turtle); the reference's `n3`
+        # extension (csvw.py:39-41) likewise emits rdflib's turtle-style
+        # serialization for plain triple data
         n = export_turtle(ds, out)
     elif fmt == "xml":
         n = export_rdfxml(ds, out)
@@ -206,7 +209,7 @@ def main(argv=None) -> int:
     c.add_argument("--out", required=True)
     c.add_argument("--format", default="parquet",
                    choices=["parquet", "nquads", "ntriples", "turtle",
-                            "trig", "xml", "trix"])
+                            "n3", "trig", "xml", "trix"])
     c.add_argument("--gzip", action="store_true")
     c.add_argument("--num-parts", type=int, default=16)
     c.add_argument("--no-dedup", action="store_true")
@@ -219,8 +222,8 @@ def main(argv=None) -> int:
     e = sub.add_parser("export", help="export a triple store to RDF text")
     e.add_argument("store")
     e.add_argument("--format", default="nquads",
-                   choices=["nquads", "ntriples", "turtle", "trig",
-                            "xml", "trix"])
+                   choices=["nquads", "ntriples", "turtle", "n3",
+                            "trig", "xml", "trix"])
     e.add_argument("--out")
     e.add_argument("--gzip", action="store_true")
     e.add_argument("--parallelism", type=int, default=None)

@@ -109,16 +109,14 @@ class COW:
         total = sum(m["num_triples"] for m in manifests)
         print(f"Converted {source_file}: {total} triples → {store}")
 
-        ext = {"nquads": "nq", "ntriples": "nt", "turtle": "ttl",
-               "trig": "trig"}.get(output_format, "nq")
-        out = f"{source_file}.{ext}" + (".gz" if gzipped else "")
-        from .stages.materialize import read_triple_store
-        from .stages.nq import export_nquads
-        from .stages.serialize import export_turtle
+        # route through the CLI exporter so every format gets its real
+        # serializer (the old path wrote N-Quads into a .trig file)
+        from .__main__ import _export, _ext
 
-        ds = read_triple_store(store)
-        if output_format == "turtle":
-            export_turtle(ds, out)
-        else:
-            export_nquads(ds, out, gzipped=gzipped)
+        fmt = output_format if output_format in (
+            "nquads", "ntriples", "turtle", "n3", "trig", "xml", "trix"
+        ) else "nquads"
+        out = source_file + _ext(fmt, gzipped and fmt in ("nquads", "ntriples"))
+        _export(store, fmt, out,
+                gzipped=gzipped and fmt in ("nquads", "ntriples"))
         print(f"Serialized to {out}")

@@ -190,6 +190,13 @@ def materialize_triples(
                 f"output dir {out_dir} belongs to job {prev.get('job')!r}, "
                 f"refusing to resume as {job!r}"
             )
+        # resuming with a different modulus would filter done partitions
+        # against part ids computed with the new one — silent duplication
+        if prev.get("num_parts") not in (None, num_parts):
+            raise ValueError(
+                f"output dir {out_dir} was written with num_parts="
+                f"{prev['num_parts']}, refusing to resume with {num_parts}"
+            )
     else:
         meta = {"job": job, "num_parts": num_parts}
         if nanopub is not None:
@@ -215,8 +222,14 @@ def materialize_triples(
             except OSError:
                 pass
     stage_dir = os.path.join(out_dir, "_stage")
-    # stale intermediates from a crashed run must not double-count
+    # stale intermediates from a crashed run must not double-count:
+    # the stage dir AND any part-*.tmp-<pid> left by a finish_part that
+    # crashed between populate and os.replace (its _DONE marker would
+    # otherwise make the part look published)
     shutil.rmtree(stage_dir, ignore_errors=True)
+    for name in list(os.listdir(out_dir)):
+        if name.startswith("part-") and ".tmp-" in name:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
 
     def assign_part(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -311,5 +324,11 @@ def read_triple_store(out_dir: str):
     only)."""
     import ray.data
 
-    paths = sorted(_glob.glob(os.path.join(out_dir, "part-*", "triples.parquet")))
+    # canonical layout only — never match a part-*.tmp-<pid> leftover
+    paths = sorted(
+        _glob.glob(
+            os.path.join(out_dir, "part-[0-9][0-9][0-9][0-9][0-9]",
+                         "triples.parquet")
+        )
+    )
     return ray.data.read_parquet(paths)

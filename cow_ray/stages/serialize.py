@@ -26,8 +26,12 @@ def _qname(iri: str, prefixes) -> str | None:
     for pfx, ns in prefixes:
         if iri.startswith(ns):
             local = iri[len(ns):]
+            # PN_LOCAL-conservative: first char must be alphabetic or
+            # '_' (a leading '-'/'.'/digit makes 'sdv:-foo'-style names
+            # that Turtle parsers reject) and no trailing '.'
             if local and all(c.isalnum() or c in "_-." for c in local) \
-               and not local[0].isdigit() and not local.endswith("."):
+               and (local[0].isalpha() or local[0] == "_") \
+               and not local.endswith("."):
                 return f"{pfx}:{local}"
     return None
 

@@ -183,8 +183,6 @@ def _null_mask(values: pa.Array, rule: ColumnRule, schema_null: str | None) -> n
     ``csvw.py:916-930`` incl. its quirks) → True where the cell is
     null-skipped."""
     empty = _bools(pc.equal(values, ""))
-    if rule.parse_on_empty:
-        empty &= False
     if rule.null_scalar is not None:
         matches = _bools(
             pc.is_in(
@@ -195,8 +193,7 @@ def _null_mask(values: pa.Array, rule: ColumnRule, schema_null: str | None) -> n
                 ),
             )
         )
-        return empty | matches
-    if rule.null_list is not None:
+    elif rule.null_list is not None:
         matches = _bools(
             pc.is_in(
                 values,
@@ -206,9 +203,17 @@ def _null_mask(values: pa.Array, rule: ColumnRule, schema_null: str | None) -> n
                 ),
             )
         )
-        return empty | matches
-    # no column-level null spec → schema null NOT consulted (quirk)
-    return empty
+    else:
+        # no column-level null spec → schema null NOT consulted (quirk)
+        matches = None
+    if rule.parse_on_empty:
+        # reference short-circuits isValueNull to False on an empty
+        # cell when parseOnEmpty is set — even '' in the null spec
+        # must not drop the triple
+        if matches is None:
+            return np.zeros(len(values), dtype=bool)
+        return matches & ~empty
+    return empty if matches is None else empty | matches
 
 
 def _condition_mask(rule: ColumnRule, ctx: _BatchCtx) -> np.ndarray:

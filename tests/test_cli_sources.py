@@ -150,6 +150,20 @@ class TestSerializers:
         assert "@prefix skos:" in ttl
         assert ttl.count("http://x/s>") == 1  # one subject block
 
+    def test_qname_rejects_hostile_local_names(self):
+        """Local names starting with '-'/'.'/digit are not valid
+        PN_LOCAL starts — must fall back to the full <iri> (rdflib
+        does the same)."""
+        from cow_ray.stages.serialize import _prefix_table, _qname
+
+        prefixes = _prefix_table({"skos": "http://www.w3.org/2004/02/skos/core#"})
+        assert _qname("http://www.w3.org/2004/02/skos/core#-foo", prefixes) is None
+        assert _qname("http://www.w3.org/2004/02/skos/core#.foo", prefixes) is None
+        assert _qname("http://www.w3.org/2004/02/skos/core#9foo", prefixes) is None
+        assert _qname("http://www.w3.org/2004/02/skos/core#foo.", prefixes) is None
+        assert (_qname("http://www.w3.org/2004/02/skos/core#_ok-1.a", prefixes)
+                == "skos:_ok-1.a")
+
     def test_escaped_literals(self):
         from cow_ray.stages.nq import format_term
 

@@ -31,6 +31,11 @@ def col_rule(i: int, kind: str, null_kind: str, datatype: str | None,
         rule["null"] = "NA"
     elif null_kind == "list":
         rule["null"] = ["NA", "none"]
+    elif null_kind == "list_empty":
+        # '' as an explicit null sentinel — exercises the
+        # parseOnEmpty short-circuit (reference isValueNull returns
+        # False on an empty cell before consulting the spec)
+        rule["null"] = ["", "NA"]
     elif null_kind == "cond":
         rule["null"] = [{"name": other, "null": "0"}]
     if parse_on_empty:
@@ -64,7 +69,7 @@ rule_st = st.builds(
     st.integers(0, 2),
     st.sampled_from(["literal", "value_url", "value_tmpl", "jinja",
                      "about_override"]),
-    st.sampled_from(["none", "scalar", "list", "cond"]),
+    st.sampled_from(["none", "scalar", "list", "list_empty", "cond"]),
     st.sampled_from([None, "string", "integer", "anyURI"]),
     st.booleans(),
 )

@@ -256,6 +256,39 @@ class TestMaterialize:
         with pytest.raises(ValueError, match="refusing"):
             materialize_triples(self._triples_ds(50), out, num_parts=2, job="OTHER")
 
+    def test_resume_refuses_num_parts_change(self, ray_session, tmp_path):
+        """Rerunning with a different modulus would duplicate triples
+        (done partitions filtered against new part ids) — must raise."""
+        from cow_ray.stages.materialize import materialize_triples
+
+        out = str(tmp_path / "store")
+        materialize_triples(self._triples_ds(100), out, num_parts=4, job="j1")
+        with pytest.raises(ValueError, match="num_parts"):
+            materialize_triples(self._triples_ds(100), out, num_parts=8,
+                                job="j1")
+
+    def test_stale_tmp_dir_not_double_counted(self, ray_session, tmp_path):
+        """A part-NNNNN.tmp-<pid> left by a crash between populate and
+        os.replace must be cleaned on rerun and never read back."""
+        import shutil
+
+        from cow_ray.stages.materialize import (
+            materialize_triples,
+            read_triple_store,
+        )
+
+        out = str(tmp_path / "store")
+        ds = self._triples_ds(100)
+        materialize_triples(ds, out, num_parts=4, job="j1")
+        # simulate the crash window: a fully-populated tmp clone
+        src = os.path.join(out, "part-00001")
+        stale = os.path.join(out, "part-00001.tmp-9999")
+        shutil.copytree(src, stale)
+        assert read_triple_store(out).count() == 100  # glob ignores tmp
+        materialize_triples(ds, out, num_parts=4, job="j1")
+        assert not os.path.exists(stale)  # rerun cleans it
+        assert read_triple_store(out).count() == 100
+
 
 class TestConvertPipeline:
     def test_flagship_e2e(self, ray_session, tmp_path):
