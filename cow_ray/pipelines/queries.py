@@ -523,26 +523,37 @@ def q_orders_by_nation(sf_dir: str):
                          columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
-    nk2name = dict(zip(nation["n_nationkey"].to_pylist(),
-                       nation["n_name"].to_pylist()))
-    lookup = {
-        ck: nk2name[nk]
-        for ck, nk in zip(cust["c_custkey"].to_pylist(),
-                          cust["c_nationkey"].to_pylist())
-    }
-    ref = ray.put(lookup)
+    # pre-join the two dimensions driver-side (both tiny) into parallel
+    # Arrow arrays: custkey -> nation name; broadcast once via ray.put
+    # (zero-copy out of plasma in every task)
+    nidx = pc.index_in(cust["c_nationkey"], value_set=nation["n_nationkey"])
+    ref = ray.put(
+        (
+            cust["c_custkey"].combine_chunks(),
+            pc.take(nation["n_name"].combine_chunks(), nidx).combine_chunks(),
+        )
+    )
 
     class AttachNation:
         def __init__(self, handle):
-            self.lookup = ray.get(handle)
+            keys, names = ray.get(handle)
+            # sort ONCE per worker so each batch is an O(B log N)
+            # binary search — pc.index_in would rebuild an O(N) hash
+            # table on the broadcast side per batch
+            knp = keys.to_numpy(zero_copy_only=False)
+            order = np.argsort(knp, kind="stable")
+            self.keys = knp[order]
+            self.names = pc.take(names, pa.array(order))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            names = pd.Series(batch["o_custkey"].to_pylist()).map(self.lookup)
-            return batch.append_column(
-                "nation", pa.array(names.tolist(), type=pa.string())
-            )
+            # vectorized lookup — no pandas round-trip, no Python loop
+            probe = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, probe)
+            idx = np.clip(idx, 0, len(self.keys) - 1)
+            miss = self.keys[idx] != probe
+            out = pc.take(self.names,
+                          pa.array(idx, mask=miss, type=pa.int64()))
+            return batch.append_column("nation", out)
 
     out = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -601,16 +612,27 @@ SELECT user_id, date_trunc('hour', ts) AS hour,
 
 
 def q_events_first(sf_dir: str):
+    """Min-by with a map-side partial reduce: each batch keeps one row
+    per (user_id, event_type) before the shuffle, so the exchange
+    carries ≈ keys×blocks rows instead of every event.  min-by is
+    associative — local winner then global winner is the global min."""
     import pandas as pd
 
     ds = _read(sf_dir, "events",
                columns=["user_id", "event_type", "event_id", "ts"])
 
+    def local_first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["ts", "event_id"]).drop_duplicates(
+            ["user_id", "event_type"], keep="first"
+        )
+
     def first_event(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["ts", "event_id"]).head(1)
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(
-        first_event, batch_format="pandas"
+    return (
+        ds.map_batches(local_first, batch_format="pandas")
+        .groupby(["user_id", "event_type"])
+        .map_groups(first_event, batch_format="pandas")
     )
 
 
@@ -623,6 +645,49 @@ SELECT user_id, event_type, event_id, ts FROM (
 """
 
 
+
+
+_BROADCAST_JOIN_MAX_ROWS = 10_000_000  # ≈ a few hundred MB of (key, date)
+
+
+def _broadcast_attach_orderdate(li, orders):
+    """Broadcast-join variant of lineitem ⋈ orders: ship the (orderkey,
+    orderdate) arrays once via ray.put and probe per batch with a
+    vectorized binary search.  Only valid while the small side fits in
+    worker heaps — enforced, not assumed."""
+    import ray
+
+    n = orders.count()  # parquet-metadata count: no data scan
+    if n > _BROADCAST_JOIN_MAX_ROWS:
+        raise ValueError(
+            f"orders has {n} rows — too large to broadcast; use the "
+            "native hash-partitioned join (unset COW_RAY_JOIN_STRATEGY)"
+        )
+    ot = pa.concat_tables(
+        ray.get(orders.to_arrow_refs())
+    ).combine_chunks()
+    knp = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(knp, kind="stable")
+    ref = ray.put(
+        (knp[order], ot["o_orderdate"].combine_chunks().take(pa.array(order)))
+    )
+
+    class Attach:
+        def __init__(self, h):
+            self.keys, self.dates = ray.get(h)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            probe = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(self.keys, probe), 0,
+                          len(self.keys) - 1)
+            miss = self.keys[idx] != probe
+            dates = pc.take(self.dates,
+                            pa.array(idx, mask=miss, type=pa.int64()))
+            out = batch.append_column("o_orderdate", dates)
+            # inner-join semantics: drop probe rows with no match
+            return out.filter(pa.array(~miss)) if miss.any() else out
+
+    return li.map_batches(Attach(ref), batch_format="pyarrow")
 
 
 def q_lineitem_orders_join(sf_dir: str):
@@ -650,39 +715,17 @@ def q_lineitem_orders_join(sf_dir: str):
                        Count(alias_name="n_items"))
         )
 
-    try:
-        expected = li.count()  # every lineitem has an order (FK) —
-        # the inner join must conserve rows exactly
+    # strategy selection is EXPLICIT, never a silent runtime fallback:
+    # a blanket except around the native join masked real regressions
+    # and cost an extra count() scan + a mid-query materialize (round-1
+    # verdict).  Row conservation (FK: every lineitem has an order) is
+    # asserted in tests, not in the query path.
+    if os.environ.get("COW_RAY_JOIN_STRATEGY") == "broadcast":
+        out = rollup(_broadcast_attach_orderdate(li, orders))
+    else:
         joined = li.join(orders, join_type="inner", num_partitions=16,
                          on=("l_orderkey",), right_on=("o_orderkey",))
-        out = rollup(joined).materialize()  # surface join failures HERE
-        got = sum(r["n_items"] for r in out.take_all())
-        if got != expected:
-            raise RuntimeError(
-                f"join dropped/duplicated rows: {got} != {expected}")
-    except Exception:
-        # Ray's hash-join aggregators are new and observed to fail
-        # transiently under load; fall back to an equivalent broadcast
-        # join (orders is the small side at test scale)
-        import ray
-
-        odf = orders.to_pandas()
-        ref = ray.put(dict(zip(odf["o_orderkey"], odf["o_orderdate"])))
-
-        class Attach:
-            def __init__(self, h):
-                self.lookup = ray.get(h)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                import pandas as pd
-
-                dates = pd.Series(batch["l_orderkey"].to_pylist()).map(
-                    self.lookup)
-                return batch.append_column(
-                    "o_orderdate",
-                    pa.array(dates, type=pa.timestamp("us")))
-
-        out = rollup(li.map_batches(Attach(ref), batch_format="pyarrow"))
+        out = rollup(joined)
 
     def final_round(batch: pa.Table) -> pa.Table:
         return _round2(batch, "revenue")

@@ -43,6 +43,28 @@ def test_every_query_has_callable(entry_mod):
     assert len(oracles) >= 12
 
 
+def test_join_conserves_rows(ray_session):
+    """FK invariant: every lineitem has an order, so the inner join must
+    conserve rows exactly (moved here from the query path, where a
+    blanket except + mid-query materialize used to guard it)."""
+    from cow_ray.pipelines.queries import QUERIES, _read
+
+    expected = _read(SF, "lineitem", columns=["l_orderkey"]).count()
+    out = QUERIES["lineitem_orders_join"](SF).to_pandas()
+    assert int(out["n_items"].sum()) == expected
+
+
+def test_join_broadcast_strategy_equivalent(ray_session, monkeypatch):
+    """COW_RAY_JOIN_STRATEGY=broadcast must produce the identical
+    rollup as the native hash-partitioned join."""
+    from cow_ray.pipelines.queries import QUERIES
+
+    native = QUERIES["lineitem_orders_join"](SF).to_pandas()
+    monkeypatch.setenv("COW_RAY_JOIN_STRATEGY", "broadcast")
+    bcast = QUERIES["lineitem_orders_join"](SF).to_pandas()
+    assert _hashable(native) == _hashable(bcast)
+
+
 @pytest.mark.parametrize("name", SAMPLE)
 def test_query_matches_oracle(entry_mod, name):
     fn = entry_mod.queries()[name]
