@@ -212,16 +212,122 @@ def lsh_topk(ds, queries: np.ndarray, query_ids, dim: int, k: int = 5,
                                                batch_format="pyarrow")
 
 
+_PAIR_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("score", pa.float64())]
+)
+
+# above this corpus size the broadcast all-pairs GEMM variant is
+# refused and the LSH-bucketed path runs instead (mode="auto")
+BROADCAST_NEAR_DUP_MAX_ROWS = 200_000
+
+
+def _pairs_of(ids: np.ndarray, m: np.ndarray, threshold: float) -> pa.Table:
+    """All qualifying (id_a < id_b) pairs within one in-memory slice."""
+    if m.shape[0] < 2:
+        return _PAIR_SCHEMA.empty_table()
+    s = m @ m.T
+    ia, ib = np.nonzero(s >= threshold)
+    keep = ids[ia] < ids[ib]
+    ia, ib = ia[keep], ib[keep]
+    return pa.table(
+        {"id_a": pa.array(ids[ia].astype(np.int64)),
+         "id_b": pa.array(ids[ib].astype(np.int64)),
+         "score": pa.array(np.round(s[ia, ib], 6))}
+    )
+
+
+def lsh_near_dup_pairs(ds, threshold: float = 0.95, *,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       planes: int = 4, seed: int = 13, multi_probe: int = 2):
+    """Scale path for near-duplicate pairs: NO driver-side corpus
+    materialization and no O(n²) GEMM.  Each row is emitted to its
+    hyperplane bucket plus every ``multi_probe``-bit-flip bucket
+    (coverage: signature Hamming distance ≤ 2×multi_probe), pairs are
+    found per bucket (corpus/2^planes-sized GEMMs via ``groupby``),
+    then deduplicated — a pair can surface in several probe buckets.
+
+    Recall < 1 by construction (a pair whose signatures differ in more
+    than 2×multi_probe bits is missed); size ``planes``/``multi_probe``
+    to the similarity floor you care about and verify recall against
+    ``cosine_near_dup_pairs(mode="broadcast")`` on a sample — the
+    accompanying tests pin recall 1.0 at test scale.  Row expansion is
+    ``1 + C(planes,1) + ... + C(planes,multi_probe)`` copies into the
+    bucket shuffle; keep multi_probe ≤ 2."""
+    from itertools import combinations
+
+    dim = len(ds.take(1)[0][vec_col])
+    lsh = HyperplaneLSH(dim, planes, seed, vec_col)
+    flips = [0]
+    for r in range(1, multi_probe + 1):
+        for bits in combinations(range(planes), r):
+            flips.append(sum(1 << b for b in bits))
+    flips_np = np.asarray(flips, dtype=np.int64)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        sub = batch.select([id_col, vec_col])
+        n = sub.num_rows
+        if n == 0:
+            return sub.append_column("bucket",
+                                     pa.array([], type=pa.int64()))
+        m = _norm_rows(_as_matrix(sub[vec_col]))
+        base = lsh.bucket_of(m).astype(np.int64)
+        # row i replicated once per probe bucket (vectorized tile/xor)
+        idx = np.repeat(np.arange(n), len(flips_np))
+        buckets = (base[:, None] ^ flips_np[None, :]).ravel()
+        out = sub.take(pa.array(idx))
+        return out.append_column("bucket", pa.array(buckets))
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        m = _norm_rows(_as_matrix(group[vec_col]))
+        return _pairs_of(ids, m, threshold)
+
+    def first_pair(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .map_groups(first_pair, batch_format="pyarrow")
+    )
+
+
 def cosine_near_dup_pairs(ds, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          max_rows: int | None = None):
+                          max_rows: int | None = None, mode: str = "auto",
+                          **lsh_kwargs):
     """Embedding near-duplicate pairs (id_a < id_b, cosine ≥
-    threshold).  Small-side variant: the corpus matrix is broadcast
-    and each batch compares itself against it (O(n·batch) GEMMs).  For
-    corpora too big to broadcast, bucket with HyperplaneLSH first."""
+    threshold).
+
+    ``mode="broadcast"``: exact — the corpus matrix is broadcast and
+    each batch compares itself against it (O(n·batch) GEMMs).  Only
+    valid while the corpus fits in a worker heap; refused above
+    ``BROADCAST_NEAR_DUP_MAX_ROWS``.
+
+    ``mode="lsh"``: the scale path (``lsh_near_dup_pairs``) — bucketed,
+    streaming, no driver materialization, recall < 1 by construction.
+
+    ``mode="auto"`` (default): broadcast below the row threshold, LSH
+    above it — a metadata-only ``count()`` decides."""
     import ray
 
     sub = ds if max_rows is None else ds.limit(max_rows)
+    if mode == "auto":
+        mode = ("broadcast" if sub.count() <= BROADCAST_NEAR_DUP_MAX_ROWS
+                else "lsh")
+    if mode == "lsh":
+        return lsh_near_dup_pairs(sub, threshold, id_col=id_col,
+                                  vec_col=vec_col, **lsh_kwargs)
+    if mode != "broadcast":
+        raise ValueError(f"unknown mode {mode!r}")
+    n_rows = sub.count()
+    if n_rows > BROADCAST_NEAR_DUP_MAX_ROWS:
+        raise ValueError(
+            f"corpus has {n_rows} rows — too large to broadcast; use "
+            "mode='lsh' (or 'auto')"
+        )
     all_tbl = sub.select_columns([id_col, vec_col]).to_arrow_refs()
     tables = [ray.get(r) for r in all_tbl]
     full = pa.concat_tables([t if isinstance(t, pa.Table) else pa.Table.from_batches([t]) for t in tables])

@@ -232,6 +232,43 @@ class TestSimilarity:
         assert list(pairs) == [(0, 1)]
         assert pairs[(0, 1)] == pytest.approx(1.0)
 
+    def test_lsh_near_dup_full_recall_at_test_scale(self, emb_ds):
+        """The scale path must find the exact broadcast pair set on the
+        driver's corpus at the query threshold (0.45) — recall 1.0,
+        deterministic seed."""
+        from cow_ray.ops.similarity import (
+            cosine_near_dup_pairs,
+            lsh_near_dup_pairs,
+        )
+
+        exact = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(
+            emb_ds, threshold=0.45, mode="broadcast").take_all()}
+        approx = {(r["id_a"], r["id_b"]) for r in lsh_near_dup_pairs(
+            emb_ds, threshold=0.45).take_all()}
+        assert exact  # non-trivial corpus
+        assert approx == exact  # recall 1.0 AND no false pairs
+
+    def test_near_dup_big_path_never_materializes_corpus(
+            self, emb_ds, monkeypatch):
+        """Above the broadcast row threshold, mode='auto' must route to
+        the LSH path without ever pulling the corpus to the driver."""
+        import ray.data
+
+        from cow_ray.ops import similarity
+
+        def boom(self):
+            raise AssertionError("big path pulled the corpus to the driver")
+
+        monkeypatch.setattr(ray.data.Dataset, "to_arrow_refs", boom)
+        monkeypatch.setattr(similarity, "BROADCAST_NEAR_DUP_MAX_ROWS", 10)
+        out = similarity.cosine_near_dup_pairs(
+            emb_ds, threshold=0.45, mode="auto").take_all()
+        assert out  # produced pairs via the bucketed path
+        # and the broadcast mode refuses outright instead of OOMing
+        with pytest.raises(ValueError, match="too large to broadcast"):
+            similarity.cosine_near_dup_pairs(
+                emb_ds, threshold=0.45, mode="broadcast")
+
 
 class TestMultimodal:
     def test_decode_stage_plumbing(self, ray_session):
