@@ -97,37 +97,71 @@ class MinHasher:
         return v.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t or "") for t in batch[self.text_col].to_pylist()]
-        arr = pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64()))
+        texts = batch[self.text_col].to_pylist()
+        if not texts:
+            return batch.append_column(
+                "minhash", pa.array([], type=pa.list_(pa.uint64()))
+            )
+        flat = np.concatenate([self.signature(t or "") for t in texts])
+        offsets = pa.array(
+            np.arange(len(texts) + 1, dtype=np.int32) * self.num_perm
+        )
+        arr = pa.ListArray.from_arrays(offsets, pa.array(flat))
         return batch.append_column("minhash", arr)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — the u64 mixer that replaced
+    the per-band ``hashlib.md5`` calls (round-1 verdict: O(docs×bands)
+    interpreter work in the hottest dedup stage)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 
 class BandEmitter:
     """signature → (band_id, band_hash) rows; explode for the LSH
-    bucket groupby."""
+    bucket groupby.  Fully vectorized: the batch signature column is
+    one (docs, bands, rows_per_band) u64 array; each band hashes by a
+    splitmix64 fold over its rows (collision probability ~2⁻⁶⁴ — the
+    same false-candidate budget the md5-prefix carried)."""
 
     def __init__(self, num_bands: int = 32, id_col: str = "doc_id"):
         self.num_bands = num_bands
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        sigs = batch["minhash"].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, sig in zip(ids, sigs):
-            sig = np.asarray(sig, dtype=np.uint64)
-            rows_per_band = len(sig) // self.num_bands
-            for b in range(self.num_bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                out_id.append(i)
-                out_band.append(b)
-                out_hash.append(h)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    self.id_col: batch[self.id_col],
+                    "band": pa.array([], type=pa.int32()),
+                    "band_hash": pa.array([], type=pa.uint64()),
+                }
+            )
+        col = batch["minhash"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        num_perm = len(flat) // n
+        rows_per_band = num_perm // self.num_bands
+        m = flat.reshape(n, self.num_bands, rows_per_band)
+        # iterative xor-mix fold across the band rows (rows_per_band
+        # vectorized passes, typically 4) — order-sensitive, like md5
+        h = np.full((n, self.num_bands), np.uint64(rows_per_band),
+                    dtype=np.uint64)
+        for r in range(rows_per_band):
+            h = _splitmix64(h ^ m[:, :, r])
+        idx = np.repeat(np.arange(n, dtype=np.int64), self.num_bands)
         return pa.table(
             {
-                self.id_col: pa.array(out_id, type=batch[self.id_col].type),
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.string()),
+                self.id_col: batch[self.id_col].take(pa.array(idx)),
+                "band": pa.array(
+                    np.tile(np.arange(self.num_bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(h.ravel()),
             }
         )
 
@@ -151,21 +185,19 @@ def minhash_lsh_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
                              batch_format="pyarrow")
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group[id_col].to_pylist()))
+        ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
         capped = 0
         if len(ids) > 1000:
             capped = len(ids) - 1000
             ids = ids[:1000]
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+        ia, ib = np.triu_indices(len(ids), k=1)
         return pa.table(
             {
-                "id_a": pa.array(a_out, type=pa.int64()),
-                "id_b": pa.array(b_out, type=pa.int64()),
-                "capped": pa.array([capped] * len(a_out), type=pa.int32()),
+                "id_a": pa.array(ids[ia].astype(np.int64)),
+                "id_b": pa.array(ids[ib].astype(np.int64)),
+                "capped": pa.array(
+                    np.full(len(ia), capped, dtype=np.int32)
+                ),
             }
         )
 
