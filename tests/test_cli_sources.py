@@ -377,6 +377,70 @@ class TestCsvChunkingProperty:
                     assert [got[i][h] for h in header] == wrow, (trial, chunk, i)
 
 
+class TestCsvSinglePassPlanning:
+    def test_planner_counts_match_parse(self, tmp_path):
+        """The single-scan row counts must equal what the chunk parser
+        actually yields — per chunk, across hostile content."""
+        from cow_ray.sources.csv import _plan_chunks, _read_chunk_rows
+
+        p = tmp_path / "hostile.csv"
+        body = (
+            "a,b\n"
+            "1,\"multi\nline\"\n"
+            "\n"                     # blank → dropped
+            "\r\n"                   # CRLF blank → dropped
+            "2,plain\r\n"
+            "\"\",empty-quoted\n"    # [''] → kept
+            "3,tail-no-newline"
+        )
+        p.write_bytes(body.encode("utf-8"))
+        for target in (8, 25, 1 << 20):
+            chunks, counts = _plan_chunks(str(p), target)
+            for (s, e), n in zip(chunks, counts):
+                rows = _read_chunk_rows(str(p), s, e, ",", '"', "utf-8")
+                assert len(rows) == n, (target, s, e)
+            assert sum(counts) == 4
+
+    def test_planning_is_one_file_pass(self, tmp_path, monkeypatch):
+        """Driver-side planning reads the file ~once (byte scan) —
+        never a second full CSV-parse pass (round-1 verdict)."""
+        import builtins
+
+        from cow_ray.sources import csv as csv_mod
+
+        p = tmp_path / "big.csv"
+        with open(p, "w", newline="", encoding="utf-8") as f:
+            f.write("a,b\n")
+            for i in range(20000):
+                f.write(f"{i},value-{i}\n")
+        size = p.stat().st_size
+
+        read_bytes = {"n": 0}
+        real_open = builtins.open
+
+        def counting_open(file, *a, **kw):
+            fh = real_open(file, *a, **kw)
+            if str(file) == str(p):
+                real_read = fh.read
+
+                def read(*ra, **rk):
+                    out = real_read(*ra, **rk)
+                    read_bytes["n"] += (len(out) if isinstance(out, (bytes, str))
+                                        else 0)
+                    return out
+
+                fh.read = read
+            return fh
+
+        monkeypatch.setattr(builtins, "open", counting_open)
+        chunks, counts = csv_mod._plan_chunks(str(p), 32 << 10)
+        assert sum(counts) == 20000
+        assert len(chunks) > 3
+        # one byte pass (+ the readline'd header); 1.5× headroom for
+        # block rounding — the old two-pass planner read ≥2×
+        assert read_bytes["n"] < size * 1.5
+
+
 class TestMetricsCollector:
     def test_metrics_flow(self, ray_session, tmp_path):
         import json
