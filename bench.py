@@ -127,7 +127,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
     names = [
         "kg_doc_triples", "kg_source_triples_dedup", "kg_mention_triples",
-        "kg_canonical_sources", "text_token_stats", "text_quality",
+        "kg_canonical_sources", "kg_cookbook_triples",
+        "text_token_stats", "text_quality",
         "dedup_exact_docs", "dedup_minhash_docs", "dedup_simhash_docs",
         "doc_fingerprint", "ann_topk", "emb_near_dup",
         "q1_pricing_summary", "top_parts_by_qty", "orders_by_nation",

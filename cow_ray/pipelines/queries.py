@@ -162,6 +162,57 @@ SELECT '{KG}doc/' || CAST(doc_id AS VARCHAR),
 """
 
 
+# Cookbook Jinja shapes (docs/index.rst "Commonly used Template
+# Formatting"): concat `~`, string slice, arithmetic — each lowered to
+# Arrow kernels (templating._compile_lowering) and hash-verified here
+# against the DuckDB oracle.
+COOKBOOK_RULES = {
+    "base": KG,
+    "name": "cookbook",
+    "aboutUrl": "doc/{doc_id}",
+    "columns": [
+        {"name": "source", "value": "{{source ~ '-' ~ lang}}",
+         "datatype": "string", "propertyUrl": "dc:identifier"},
+        {"name": "text", "value": "{{text[0:40]}}",
+         "datatype": "string", "propertyUrl": "schema:abstract"},
+        {"name": "n_chars", "value": "{{n_chars|int * 10}}",
+         "datatype": "string", "propertyUrl": "schema:position"},
+    ],
+}
+
+
+def q_kg_cookbook_triples(sf_dir: str):
+    from ..rules import parse_rules
+    from ..triples import EmitTriples
+
+    return _docs(sf_dir).map_batches(
+        EmitTriples(parse_rules(COOKBOOK_RULES)), batch_format="pyarrow"
+    )
+
+
+SQL_KG_COOKBOOK_TRIPLES = f"""
+WITH d AS (SELECT * FROM documents)
+SELECT '{KG}doc/' || CAST(doc_id AS VARCHAR) AS subj,
+       'http://purl.org/dc/terms/identifier' AS pred,
+       source || '-' || lang AS obj_lex, 'literal' AS obj_kind,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang
+  FROM d WHERE length(source) > 0
+UNION ALL
+SELECT '{KG}doc/' || CAST(doc_id AS VARCHAR),
+       'http://schema.org/abstract',
+       substr(text, 1, 40), 'literal', CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+  FROM d WHERE length(text) > 0
+UNION ALL
+SELECT '{KG}doc/' || CAST(doc_id AS VARCHAR),
+       'http://schema.org/position',
+       CAST(n_chars * 10 AS VARCHAR), 'literal', CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+  FROM d
+"""
+
+
 def q_kg_source_triples_dedup(sf_dir: str):
     from ..rules import parse_rules
     from ..stages.canonicalize import dedup_triples
@@ -827,6 +878,7 @@ QUERIES = {
     "kg_canonical_sources": q_kg_canonical_sources,
     "kg_mentions": q_kg_mentions,
     "kg_mention_triples": q_kg_mention_triples,
+    "kg_cookbook_triples": q_kg_cookbook_triples,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "lang_hist": q_lang_hist,
@@ -854,6 +906,7 @@ ORACLES = {
     "kg_doc_triples": SQL_KG_DOC_TRIPLES,
     "kg_source_triples_dedup": SQL_KG_SOURCE_TRIPLES_DEDUP,
     "kg_canonical_sources": SQL_KG_CANONICAL_SOURCES,
+    "kg_cookbook_triples": SQL_KG_COOKBOOK_TRIPLES,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_hist": SQL_LANG_HIST,

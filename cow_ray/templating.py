@@ -176,7 +176,9 @@ class CompiledTemplate:
 # guarded-fast-path structure as IRI minting.  The oracle never uses
 # lowering; equivalence is asserted by the kernel-vs-oracle tests.
 
-_LOWER_CASE_RE = re.compile(r"^\{\{\s*([A-Za-z_]\w*)\s*\|\s*(lower|upper)\s*\}\}$")
+_LOWER_CASE_RE = re.compile(
+    r"^\{\{\s*([A-Za-z_]\w*)\s*\|\s*(lower|upper)\s*(?:\(\s*\))?\s*\}\}$"
+)
 _ZEROPAD_RE = re.compile(
     r"^\{\{\s*'%0(\d+)d'\s*\|\s*format\(\s*([A-Za-z_]\w*)\s*\|\s*int\s*\)\s*\}\}$"
 )
@@ -186,6 +188,28 @@ _IF_EQ_RE = re.compile(
 )
 _NON_ASCII_RE = r"[^\x00-\x7F]"
 _PURE_DIGITS_RE = r"^[0-9]+$"
+
+# concat chain: {{a ~ '-' ~ b}} — names / quoted literals joined by ~
+_CONCAT_OPERAND = r"(?:[A-Za-z_]\w*|'[^'{}]*')"
+_CONCAT_RE = re.compile(
+    r"^\{\{\s*(" + _CONCAT_OPERAND + r"(?:\s*~\s*" + _CONCAT_OPERAND
+    + r")+)\s*\}\}$"
+)
+_CONCAT_OPERAND_RE = re.compile(_CONCAT_OPERAND)
+# string slice: {{name[n:m]}} (either bound optional, Python semantics)
+_SLICE_RE = re.compile(
+    r"^\{\{\s*([A-Za-z_]\w*)\s*\[\s*(-?\d+)?\s*:\s*(-?\d+)?\s*\]\s*\}\}$"
+)
+# arithmetic: {{name|float() * 1000}} / {{name|int + 1}} etc.
+_ARITH_RE = re.compile(
+    r"^\{\{\s*([A-Za-z_]\w*)\s*\|\s*(int|float)\s*(?:\(\s*\))?\s*"
+    r"([*+/-])\s*(-?\d+(?:\.\d+)?)\s*\}\}$"
+)
+# fast-path numeric cell shapes (anything else → exact Jinja fallback:
+# jinja's int/float filters have soft-fail semantics — default 0 —
+# plus whitespace/exponent/underscore acceptance we don't reproduce)
+_PLAIN_FLOAT_RE = r"^-?[0-9]{1,15}(\.[0-9]{1,15})?$"
+_PLAIN_INT_RE = r"^-?[0-9]{1,15}$"
 
 
 def _compile_lowering(pattern: str):
@@ -242,7 +266,124 @@ def _compile_lowering(pattern: str):
             return out, pa.repeat(False, n)
 
         return if_fn
+    m = _CONCAT_RE.match(pattern)
+    if m:
+        ops: list[tuple[str, str]] = []  # ("lit"|"col", value)
+        for tok in _CONCAT_OPERAND_RE.findall(m.group(1)):
+            if tok.startswith("'"):
+                ops.append(("lit", tok[1:-1]))
+            else:
+                ops.append(("col", tok))
+        cols_used = [v for k, v in ops if k == "col"]
+
+        def concat_fn(cols, n, _ops=tuple(ops), _cu=tuple(cols_used)):
+            if any(c not in cols for c in _cu):
+                # jinja renders a missing name as '' — let the exact
+                # path decide, don't guess
+                return pa.nulls(n, pa.string()), pa.repeat(True, n)
+            args: list = []
+            need = None
+            for kind, v in _ops:
+                if kind == "lit":
+                    args.append(v)
+                else:
+                    arr = cols[v]
+                    args.append(arr)
+                    # post-render .format() consumes braces in VALUES
+                    b = pc.fill_null(
+                        pc.match_substring_regex(arr, r"[{}]"), True
+                    )
+                    need = b if need is None else pc.or_(need, b)
+            args.append("")  # separator
+            out = pc.binary_join_element_wise(*args)
+            return out, (need if need is not None else pa.repeat(False, n))
+
+        return concat_fn
+    m = _SLICE_RE.match(pattern)
+    if m:
+        col = m.group(1)
+        start = int(m.group(2)) if m.group(2) is not None else 0
+        stop = int(m.group(3)) if m.group(3) is not None else None
+
+        def slice_fn(cols, n, _col=col, _s=start, _e=stop):
+            arr = cols.get(_col)
+            if arr is None:
+                return pa.nulls(n, pa.string()), pa.repeat(True, n)
+            # utf8_slice_codeunits slices by codepoint with Python
+            # semantics (negative bounds, out-of-range clamps) — the
+            # same unit Python str slicing uses
+            out = pc.utf8_slice_codeunits(
+                arr, start=_s,
+                stop=(2**31 - 1) if _e is None else _e,
+            )
+            need = pc.fill_null(pc.match_substring_regex(arr, r"[{}]"), True)
+            return out, need
+
+        return slice_fn
+    m = _ARITH_RE.match(pattern)
+    if m:
+        col, cast, op, lit_s = m.groups()
+        as_float = cast == "float" or "." in lit_s or op == "/"
+        if op == "/" and float(lit_s) == 0:
+            # Python raises ZeroDivisionError (→ swallowed per-row
+            # error); IEEE float division would emit inf — no fast path
+            return None
+        lit = float(lit_s) if as_float else int(lit_s)
+        guard_re = _PLAIN_FLOAT_RE if cast == "float" else _PLAIN_INT_RE
+        # _checked kernels: int64 overflow must not wrap silently —
+        # Python ints are unbounded, so an overflowing batch falls back
+        # to the exact Jinja path wholesale
+        kernels = {"+": pc.add_checked, "-": pc.subtract_checked,
+                   "*": pc.multiply_checked, "/": pc.divide_checked}
+
+        def arith_fn(cols, n, _col=col, _op=kernels[op], _lit=lit,
+                     _f=as_float, _g=guard_re):
+            arr = cols.get(_col)
+            if arr is None:
+                return pa.nulls(n, pa.string()), pa.repeat(True, n)
+            plain = pc.fill_null(pc.match_substring_regex(arr, _g), False)
+            need = pc.invert(plain)
+            # compute only over guard-clean rows; the rest re-render
+            safe = pc.if_else(plain, arr, "0")
+            try:
+                num = pc.cast(safe, pa.float64() if _f else pa.int64())
+                res = _op(num, _lit)
+            except pa.ArrowInvalid:
+                return pa.nulls(n, pa.string()), pa.repeat(True, n)
+            if _f or pa.types.is_floating(res.type):
+                out = _pyfloat_strings(res)
+                # Python str() switches to exponent notation below 1e-4
+                # and above 1e16; Arrow below ~1e-4 (different shortest
+                # form) and already at 1e10 — route both disagreement
+                # bands through exact Jinja instead of replicating the
+                # format boundaries (measured: 2500.0→'2500' vs '2500.0'
+                # agree after the .0 repair; 1e10→'1e+10' vs
+                # '10000000000.0' cannot)
+                absr = pc.abs(res)
+                band = pc.or_(
+                    pc.and_(pc.less(absr, 1e-3), pc.not_equal(res, 0.0)),
+                    pc.greater_equal(absr, 1e10),
+                )
+                need = pc.or_(need, pc.fill_null(band, False))
+            else:
+                out = pc.cast(res, pa.string())
+            return out, need
+
+        return arith_fn
     return None
+
+
+def _pyfloat_strings(arr: pa.Array) -> pa.Array:
+    """float64 array → strings formatted exactly like Python
+    ``str(float)`` (what Jinja emits): shortest round-trip repr, a
+    trailing ``.0`` on integral values, two-digit exponents."""
+    s = pc.cast(arr, pa.string())
+    # Arrow emits single-digit exponents ("1e-7"); Python pads ("1e-07")
+    s = pc.replace_substring_regex(s, pattern=r"e([+-])([0-9])$",
+                                   replacement=r"e\10\2")
+    # Arrow drops ".0" on integral floats ("2500"); Python keeps it
+    integral = pc.invert(pc.match_substring_regex(s, r"[.en]"))
+    return pc.if_else(integral, pc.binary_join_element_wise(s, ".0", ""), s)
 
 
 _template_cache: dict[str, CompiledTemplate] = {}

@@ -134,6 +134,68 @@ class TestKernelVsOracle:
         rows = [{"gdp": "150", "name": "Qatar"}, {"gdp": "50", "name": "Chad"}]
         assert_match(doc, rows, start_row=7)
 
+    def test_cookbook_concat_lowering(self):
+        """{{a ~ '-' ~ b}} (docs/index.rst cookbook) — Arrow fast path
+        must match exact Jinja+format on hostile values."""
+        vals = ["x", "", "café", "{brace}", "a}b", "  sp  ", "12", "none"]
+        rows = [{"a": va, "b": vb} for va in vals for vb in vals]
+        assert_match(
+            {"base": BASE, "aboutUrl": "r/{_row}",
+             "columns": [{"name": "a", "value": "{{a ~ '-' ~ b}}",
+                          "datatype": "string"}]},
+            rows,
+        )
+        # literal containing '~' stays one literal
+        assert_match(
+            {"base": BASE, "aboutUrl": "r/{_row}",
+             "columns": [{"name": "a", "value": "{{a ~ '~x~' ~ a}}",
+                          "datatype": "string"}]},
+            rows[:8],
+        )
+
+    def test_cookbook_slice_lowering(self):
+        """{{v[n:m]}} — codepoint slicing incl. unicode, negatives,
+        out-of-range bounds, open ends."""
+        vals = ["hello world", "", "ü", "çafé-unicode", "{x}", "ab",
+                "0123456789abcdef"]
+        rows = [{"v": v} for v in vals]
+        for pat in ("{{v[0:5]}}", "{{v[2:4]}}", "{{v[3:]}}", "{{v[:4]}}",
+                    "{{v[-3:]}}", "{{v[1:-1]}}", "{{v[5:2]}}"):
+            assert_match(
+                {"base": BASE, "aboutUrl": "r/{_row}",
+                 "columns": [{"name": "v", "value": pat,
+                              "datatype": "string"}]},
+                rows,
+            )
+
+    def test_cookbook_arithmetic_lowering(self):
+        """{{v|float() * 1000}} family — numeric formatting must equal
+        Python str() exactly (the '.0' / exponent-padding cases)."""
+        vals = ["2.5", "0", "-3", "1", "0.001", "12.75", "999999999999999",
+                "00123", "1e3", "abc", "", " 7 ", "инф", "12.5.3", "0.0000001"]
+        rows = [{"v": v} for v in vals]
+        for pat in ("{{v|float() * 1000}}", "{{v|float * 2}}",
+                    "{{v|float() / 3}}", "{{v|float - 0.5}}",
+                    "{{v|int * 10}}", "{{v|int + 1}}", "{{v|int() - 7}}",
+                    "{{v|int / 4}}"):
+            assert_match(
+                {"base": BASE, "aboutUrl": "r/{_row}",
+                 "columns": [{"name": "v", "value": pat,
+                              "datatype": "string"}]},
+                rows,
+            )
+
+    def test_cookbook_lowerings_are_active(self):
+        """The shapes above must actually compile to a lowering (not
+        silently fall back to row-wise Jinja)."""
+        from cow_ray.templating import CompiledTemplate
+
+        for pat in ("{{a ~ '-' ~ b}}", "{{v[2:4]}}", "{{v|float() * 1000}}",
+                    "{{v|int + 1}}", "{{v|lower()}}"):
+            assert CompiledTemplate(pat).lowering is not None, pat
+        # div-by-zero must NOT lower (Python raises; IEEE gives inf)
+        assert CompiledTemplate("{{v|float() / 0}}").lowering is None
+
     def test_error_isolation_missing_column(self):
         doc = {
             "base": BASE, "aboutUrl": "r/{_row}",

@@ -57,6 +57,12 @@ def col_rule(i: int, kind: str, null_kind: str, datatype: str | None,
             rule["datatype"] = datatype
     elif kind == "jinja":
         rule["value"] = "{{" + rule["name"] + "|upper}}:{{_row + 1}}"
+    elif kind == "jinja_concat":
+        rule["value"] = "{{" + rule["name"] + " ~ '-' ~ " + other + "}}"
+    elif kind == "jinja_slice":
+        rule["value"] = "{{" + rule["name"] + "[1:4]}}"
+    elif kind == "jinja_arith":
+        rule["value"] = "{{" + rule["name"] + "|float() * 1000}}"
     elif kind == "about_override":
         rule["aboutUrl"] = f"alt/{{{other}}}"
         rule["propertyUrl"] = "rdfs:seeAlso"
@@ -68,6 +74,7 @@ rule_st = st.builds(
     col_rule,
     st.integers(0, 2),
     st.sampled_from(["literal", "value_url", "value_tmpl", "jinja",
+                     "jinja_concat", "jinja_slice", "jinja_arith",
                      "about_override"]),
     st.sampled_from(["none", "scalar", "list", "list_empty", "cond"]),
     st.sampled_from([None, "string", "integer", "anyURI"]),
