@@ -46,7 +46,7 @@ from .namespaces import (
     XSD_LINKURI,
     XSD_STRING,
 )
-from .templating import CONST, CompiledTemplate, compile_template
+from .templating import COMPLEX, CONST, CompiledTemplate, compile_template
 
 _PREFIX_RE = re.compile(r"^([A-Za-z][A-Za-z0-9_.\-]*):(?!//)(.*)$")
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
@@ -359,15 +359,73 @@ def _collect_escape_derivations(doc: RuleDoc) -> None:
                 doc.escape_derivations.append((escaped, t.pattern))
 
 
+def _validate_complex_url(t, placeholder_row: dict) -> None:
+    """Fail-fast check of a COMPLEX (Jinja) URL template against a
+    placeholder header row — the reference renders *every* metadata
+    term against ``{headers…, _row: 0}`` and IRI-validates before
+    converting (``csvw.py:281-293``, ``util/__init__.py:111-135``).
+
+    Jinja *syntax* errors always raise RuleError.  Render/IRI failures
+    raise too, EXCEPT for patterns with ``{% %}`` statements (row-value
+    conditionals — the placeholder render only sees one branch), which
+    downgrade to a warning."""
+    import warnings
+
+    from jinja2 import Template, TemplateSyntaxError
+
+    try:
+        tmpl = Template(t.pattern)
+    except TemplateSyntaxError as e:
+        raise RuleError(
+            f"malformed Jinja template {t.pattern!r}: {e}"
+        ) from e
+    row = dict(placeholder_row)
+    for f in t.fields:
+        row.setdefault(f, "x")
+    try:
+        try:
+            rendered = tmpl.render(**row)
+        except TypeError:
+            # reference quirk (util/__init__.py:122-127): LD/Jinja
+            # interactions like {{_row + 'x'}} — strip the statement
+            # and assume the rest is fine
+            rendered = re.sub(r"/\{\{.+\}\}", "", t.pattern)
+        expand_url(rendered.format(**row))
+    except Exception as e:
+        if "{%" in t.pattern:
+            warnings.warn(
+                f"cannot pre-validate conditional template {t.pattern!r} "
+                f"({e}); IRI errors will surface per-row at runtime",
+                stacklevel=2,
+            )
+        else:
+            raise RuleError(
+                f"template {t.pattern!r} cannot mint a valid IRI: {e}"
+            ) from e
+
+
 def _validate(doc: RuleDoc) -> None:
-    """Fail-fast validation of all row-independent IRIs (reference
-    analogue: ``validateTerm`` over every metadata term,
-    ``csvw.py:289-293`` + ``util/__init__.py:111-135``).  CONST
-    templates must mint valid IRIs outright; SIMPLE templates are
-    checked with a placeholder substitution; COMPLEX (Jinja) templates
-    are deferred to runtime (they can reference arbitrary expressions)."""
+    """Fail-fast validation of all metadata terms (reference analogue:
+    ``validateTerm`` over every metadata term, ``csvw.py:289-293`` +
+    ``util/__init__.py:111-135``).  CONST templates must mint valid
+    IRIs outright; SIMPLE templates are checked with a placeholder
+    substitution; COMPLEX (Jinja) templates are compiled (syntax
+    errors fail fast) and URL-valued ones are additionally rendered
+    against a placeholder row and IRI-validated."""
+    from jinja2 import Template, TemplateSyntaxError
+
     placeholder_row: dict[str, object] = {"_row": 0}
     for c in doc.columns:
+        # literal/lang COMPLEX templates: syntax must compile (a typo'd
+        # Jinja rule must not surface as a million swallowed row errors)
+        for t in (c.value_tmpl, c.lang):
+            if t is not None and t.kind == COMPLEX:
+                try:
+                    Template(t.pattern)
+                except TemplateSyntaxError as e:
+                    raise RuleError(
+                        f"malformed Jinja template {t.pattern!r}: {e}"
+                    ) from e
         for t in (c.about, c.property_tmpl, c.value_url, c.collection_url, c.scheme_url):
             if t is None:
                 continue
@@ -386,8 +444,12 @@ def _validate(doc: RuleDoc) -> None:
                     raise RuleError(
                         f"template {t.pattern!r} cannot mint a valid IRI: {e}"
                     ) from e
+            else:
+                _validate_complex_url(t, placeholder_row)
     if doc.about.kind == CONST:
         try:
             expand_url(doc.about.pattern)
         except ValueError as e:
             raise RuleError(str(e)) from e
+    elif doc.about.kind == COMPLEX:
+        _validate_complex_url(doc.about, placeholder_row)

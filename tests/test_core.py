@@ -170,6 +170,36 @@ class TestRules:
         d = doc_of([{"name": "a", "propertyUrl": "http://bad iri/x"}])
         assert d.columns[0].property_const == "http://bad%20iri/x"
 
+    def test_malformed_jinja_fails_fast(self):
+        """A Jinja syntax error in ANY template must raise RuleError at
+        parse time, not surface as a million swallowed row errors
+        (reference validates every metadata term before converting,
+        csvw.py:281-293)."""
+        with pytest.raises(RuleError, match="malformed"):
+            doc_of([{"name": "a", "value": "{{a|lower"}])  # unclosed
+        with pytest.raises(RuleError, match="malformed"):
+            doc_of([{"name": "a", "valueUrl": "x/{{ a + }}"}])  # bad expr
+        with pytest.raises(RuleError, match="malformed"):
+            doc_of([{"name": "a",
+                     "aboutUrl": "{% if a %}x{% endif"}])  # unclosed stmt
+
+    def test_complex_url_iri_prevalidated(self):
+        # a COMPLEX valueUrl whose placeholder render raises (beyond
+        # the reference's TypeError quirk) fails fast…
+        with pytest.raises(RuleError, match="valid IRI"):
+            doc_of([{"name": "a", "valueUrl": "x/{{ none.foo() }}"}])
+        # …but the same failure inside a {% %} conditional only warns
+        # (the placeholder render sees one row-dependent branch)
+        with pytest.warns(UserWarning):
+            doc_of([{"name": "a",
+                     "valueUrl":
+                     "{% if a == 'x' %}{{ none.foo() }}{% endif %}"}])
+        # valid COMPLEX url templates still parse clean, and the
+        # reference's TypeError quirk ({{_row + 'x'}}) stays accepted
+        d = doc_of([{"name": "a", "valueUrl": "thing/{{a|lower}}"}])
+        assert d.columns[0].value_url.kind == "complex"
+        doc_of([{"name": "a", "valueUrl": "t/{{_row + 'x'}}"}])
+
     def test_null_parsing(self):
         d = doc_of(
             [
