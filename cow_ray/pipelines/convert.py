@@ -51,9 +51,12 @@ class FusedTripleEmitter:
     triples in one pass over each batch (gazetteer/regex state warm in
     ``__init__``)."""
 
-    def __init__(self, doc, mdoc, gazetteer, carry, metrics=None):
-        self.page_emitter = EmitTriples(doc, metrics=metrics)
-        self.mention_emitter = EmitTriples(mdoc, metrics=metrics)
+    def __init__(self, doc, mdoc, gazetteer, carry, metrics=None,
+                 error_markers=False):
+        self.page_emitter = EmitTriples(doc, metrics=metrics,
+                                        error_markers=error_markers)
+        self.mention_emitter = EmitTriples(mdoc, metrics=metrics,
+                                           error_markers=error_markers)
         self.linker = EntityLinker(gazetteer, carry=carry)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -151,6 +154,11 @@ def convert_pages(
     for col, fn in derived.items():
         ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=cfg.batch_size)
 
+    # subject-attributed error/skip markers only matter when a store is
+    # being materialized (finish_part strips + counts them per
+    # partition); a plain Dataset return must stay marker-free
+    markers = out_dir is not None
+
     if gazetteer is not None and mdoc is not None:
         # FUSED single pass: page triples + (link → mention triples) in
         # one actor-pool stage.  Two separate branches would make Ray
@@ -167,7 +175,7 @@ def convert_pages(
             # gazetteer/embedding index, set link_concurrency to get an
             # actor pool and pass a ray.put handle as the gazetteer.
             fused = FusedTripleEmitter(doc, mdoc, gazetteer, carry,
-                                       metrics=metrics)
+                                       metrics=metrics, error_markers=markers)
 
             def emit_fused(batch: pa.Table) -> pa.Table:
                 return fused(batch)
@@ -182,6 +190,7 @@ def convert_pages(
                 fn_constructor_kwargs={
                     "doc": doc, "mdoc": mdoc, "gazetteer": gazetteer,
                     "carry": carry, "metrics": metrics,
+                    "error_markers": markers,
                 },
                 batch_format="pyarrow",
                 batch_size=cfg.link_batch_size,
@@ -189,7 +198,8 @@ def convert_pages(
             )
     else:
         triples = ds.map_batches(
-            EmitTriples(doc, metrics=metrics), batch_format="pyarrow",
+            EmitTriples(doc, metrics=metrics, error_markers=markers),
+            batch_format="pyarrow",
             batch_size=cfg.batch_size,
         )
 

@@ -277,8 +277,10 @@ def convert_csv(
         encoding=dialect.get("encoding"),
     )
     cfg = config or ConvertConfig()
-    triples = ds.map_batches(EmitTriples(doc), batch_format="pyarrow",
-                             batch_size=cfg.batch_size)
+    triples = ds.map_batches(
+        EmitTriples(doc, error_markers=out_dir is not None),
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+    )
     if out_dir is None:
         return triples, None
     from ..nanopub import Nanopub, job_hash

@@ -63,6 +63,8 @@ MANIFEST_SCHEMA = pa.schema(
         ("part_id", pa.int32()),
         ("num_triples", pa.int64()),
         ("content_sha1", pa.string()),
+        ("errors", pa.int64()),
+        ("null_skips", pa.int64()),
         ("path", pa.string()),
     ]
 )
@@ -107,6 +109,8 @@ def finish_part(
     runs as an independent ``ray.remote`` task (or inline in tests)."""
     from ..triples import TRIPLE_SCHEMA
 
+    from ..triples import MARKER_ERRORS, MARKER_KIND
+
     files = sorted(
         _glob.glob(os.path.join(stage_dir, f"part_id={part_id}", "*.parquet"))
     )
@@ -114,6 +118,23 @@ def finish_part(
         table = pa.concat_tables([pq.read_table(f) for f in files])
     else:
         table = TRIPLE_SCHEMA.empty_table()
+    errors = null_skips = 0
+    if table.num_rows:
+        import pyarrow.compute as pc
+
+        # strip + count the sideband error/skip markers (emitted by
+        # EmitTriples(error_markers=True); subject-attributed, so this
+        # partition's breakdown is exact)
+        is_marker = pc.fill_null(pc.equal(table["obj_kind"], MARKER_KIND),
+                                 False)
+        if pc.any(is_marker).as_py():
+            markers = table.filter(is_marker)
+            table = table.filter(pc.invert(is_marker))
+            counts = pc.cast(markers["obj_datatype"], pa.int64())
+            is_err = pc.equal(markers["pred"], MARKER_ERRORS)
+            total = pc.sum(counts).as_py() or 0
+            errors = pc.sum(pc.if_else(is_err, counts, 0)).as_py() or 0
+            null_skips = total - errors
     if table.num_rows:
         # polars for the dedup+sort: ~3× the pyarrow kernels on
         # realistic parts (and the gather phase is the scaling-critical
@@ -135,6 +156,8 @@ def finish_part(
             "part_id": part_id,
             "num_triples": m["num_triples"],
             "content_sha1": m["content_sha1"],
+            "errors": m.get("errors", 0),
+            "null_skips": m.get("null_skips", 0),
             "path": os.path.join(final, "triples.parquet"),
         }
 
@@ -146,6 +169,8 @@ def finish_part(
         "part_id": part_id,
         "num_triples": table.num_rows,
         "content_sha1": sha,
+        "errors": errors,
+        "null_skips": null_skips,
         "job": job,
     }
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
@@ -160,6 +185,8 @@ def finish_part(
         "part_id": part_id,
         "num_triples": table.num_rows,
         "content_sha1": sha,
+        "errors": errors,
+        "null_skips": null_skips,
         "path": os.path.join(final, "triples.parquet"),
     }
 
@@ -293,6 +320,8 @@ def materialize_triples(
                     "part_id": m["part_id"],
                     "num_triples": m["num_triples"],
                     "content_sha1": m["content_sha1"],
+                    "errors": m.get("errors", 0),
+                    "null_skips": m.get("null_skips", 0),
                     "path": os.path.join(_part_dir(out_dir, part_id),
                                          "triples.parquet"),
                 }

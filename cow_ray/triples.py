@@ -70,11 +70,57 @@ def empty_triple_table() -> pa.Table:
     return TRIPLE_SCHEMA.empty_table()
 
 
+# sideband marker rows (obj_kind=MARKER_KIND) carry per-row error /
+# null-skip counts through the store's subject-hash scatter so
+# finish_part can attribute them per partition; they are stripped
+# before triples.parquet is written.  A row whose subject failed to
+# mint is attributed to subj "" (the catch-all partition hash("")%N).
+MARKER_KIND = "__marker__"
+MARKER_ERRORS = "urn:x-cow-ray:errors"
+MARKER_NULL_SKIPS = "urn:x-cow-ray:null-skips"
+
+
+def marker_table(ctx: _BatchCtx, subj_arr: pa.Array, subj_ok: np.ndarray,
+                 origin: str | None) -> pa.Table | None:
+    """Build the marker rows for one batch (None when clean).  One row
+    per (input row, counter kind): subj = attributed subject, obj_lex =
+    global row id, obj_lang = rule-doc origin tag (together unique
+    under the distinct), obj_datatype = count."""
+    if not (ctx.err_rows.any() or ctx.skip_rows.any()):
+        return None
+    subj = np.where(
+        subj_ok, np.asarray(subj_arr.to_numpy(zero_copy_only=False)), ""
+    )
+    if "_row" in ctx.cols:
+        row_ids = ctx.cols["_row"].to_numpy(zero_copy_only=False)
+    else:  # degenerate: batch-local ids (convert pipelines always
+        # carry _row; only bare map_batches tests land here)
+        row_ids = np.arange(ctx.n).astype(str)
+    tables = []
+    for pred, counts in ((MARKER_ERRORS, ctx.err_rows),
+                         (MARKER_NULL_SKIPS, ctx.skip_rows)):
+        idx = np.nonzero(counts)[0]
+        if not idx.size:
+            continue
+        tables.append(pa.table({
+            "subj": pa.array(subj[idx], type=pa.string()),
+            "pred": pa.array([pred] * len(idx), type=pa.string()),
+            "obj_lex": pa.array(row_ids[idx].astype(str), type=pa.string()),
+            "obj_kind": pa.array([MARKER_KIND] * len(idx), type=pa.string()),
+            "obj_datatype": pa.array(counts[idx].astype(str),
+                                     type=pa.string()),
+            "obj_lang": pa.array([origin or ""] * len(idx),
+                                 type=pa.string()),
+        }))
+    return pa.concat_tables(tables) if tables else None
+
+
 class _BatchCtx:
     """Shared per-batch evaluation context: normalized columns, lazily
-    built row dicts, counters."""
+    built row dicts, per-row error/skip counters (row-attributed so the
+    store can carry per-partition error breakdowns)."""
 
-    __slots__ = ("table", "n", "cols", "_py_rows", "errors")
+    __slots__ = ("table", "n", "cols", "_py_rows", "err_rows", "skip_rows")
 
     def __init__(self, table: pa.Table, fields: set[str]):
         self.table = table
@@ -85,7 +131,12 @@ class _BatchCtx:
             if f in names:
                 self.cols[f] = normalize_column(table[f])
         self._py_rows: list[dict] | None = None
-        self.errors = 0
+        self.err_rows = np.zeros(self.n, dtype=np.int64)
+        self.skip_rows = np.zeros(self.n, dtype=np.int64)
+
+    @property
+    def errors(self) -> int:
+        return int(self.err_rows.sum())
 
     def py_rows(self) -> list[dict]:
         """Typed row dicts for COMPLEX (Jinja) evaluation: normalized
@@ -119,7 +170,7 @@ def _render(tmpl, ctx: _BatchCtx, sel: np.ndarray) -> tuple[pa.Array, np.ndarray
         except KeyError:
             # referenced column absent from the batch → every selected
             # row fails (reference: str.format KeyError swallowed)
-            ctx.errors += int(sel.sum())
+            ctx.err_rows += sel
             return pa.nulls(ctx.n, pa.string()), np.zeros(ctx.n, dtype=bool)
         return arr, sel.copy()
     lowering = getattr(tmpl, "lowering", None)
@@ -130,7 +181,7 @@ def _render(tmpl, ctx: _BatchCtx, sel: np.ndarray) -> tuple[pa.Array, np.ndarray
         try:
             arr, need = lowering(ctx.cols, ctx.n)
         except KeyError:
-            ctx.errors += int(sel.sum())
+            ctx.err_rows += sel
             return pa.nulls(ctx.n, pa.string()), np.zeros(ctx.n, dtype=bool)
         need = _bools(need) & sel
         ok = sel.copy()
@@ -143,7 +194,7 @@ def _render(tmpl, ctx: _BatchCtx, sel: np.ndarray) -> tuple[pa.Array, np.ndarray
                     vals[i] = render_row(rows[i])
                 except Exception:
                     ok[i] = False
-                    ctx.errors += 1
+                    ctx.err_rows[i] += 1
             arr = pa.array(vals, type=pa.string())
         return arr, ok
     rows = ctx.py_rows()
@@ -155,7 +206,7 @@ def _render(tmpl, ctx: _BatchCtx, sel: np.ndarray) -> tuple[pa.Array, np.ndarray
             out[i] = render_row(rows[i])
             ok[i] = True
         except Exception:
-            ctx.errors += 1
+            ctx.err_rows[i] += 1
     return pa.array(out, type=pa.string()), ok
 
 
@@ -174,7 +225,7 @@ def _mint(arr: pa.Array, ok: np.ndarray, ctx: _BatchCtx) -> tuple[pa.Array, np.n
             except Exception:
                 valid[i] = False
         arr = pa.array(vals, type=pa.string())
-    ctx.errors += int((ok & ~valid).sum())
+    ctx.err_rows += ok & ~valid
     return arr, valid
 
 
@@ -241,9 +292,15 @@ class EmitTriples:
     per-chunk ``BurstConverter`` setup, amortized across all batches.
     """
 
-    def __init__(self, doc: RuleDoc, metrics=None):
+    def __init__(self, doc: RuleDoc, metrics=None, error_markers: bool = False):
         self.doc = doc
         self.metrics = metrics  # optional MetricsCollector actor handle
+        # error_markers: additionally emit one __marker__ row per input
+        # row that had errors / null-skips, subject-attributed, so the
+        # materialized store can report per-partition breakdowns
+        # (markers ride the same subject-hash scatter and are counted +
+        # stripped in finish_part — they never reach triples.parquet)
+        self.error_markers = error_markers
         self.fields = doc.referenced_fields()
         # precompile linkURI brace fragments (reference
         # `_extract_between_braces`, csvw.py:624-625)
@@ -276,14 +333,20 @@ class EmitTriples:
                 pieces.append(t)
 
         self.errors += ctx.errors
+        batch_skips = int(ctx.skip_rows.sum())
+        self.null_skips += batch_skips
         out = pa.concat_tables(pieces) if pieces else empty_triple_table()
         if self.metrics is not None:
             # fire-and-forget: one tiny RPC per batch, no data-path wait
             self.metrics.add.remote(
                 rows_in=ctx.n, triples_out=out.num_rows,
-                errors=ctx.errors, null_skips=self.null_skips,
+                errors=ctx.errors, null_skips=batch_skips,
             )
             self.null_skips = 0  # flushed
+        if self.error_markers:
+            m = marker_table(ctx, subj_arr, subj_ok, self.doc.doc_hash[:8])
+            if m is not None:
+                out = pa.concat_tables([out, m])
         return out
 
     # ---- per-rule emission ----
@@ -305,11 +368,11 @@ class EmitTriples:
             nm = _null_mask(values, rule, doc.schema_null)
             if rule.null_conditions:
                 nm |= _condition_mask(rule, ctx)
-            self.null_skips += int(nm.sum())
+            ctx.skip_rows += nm
             emit &= ~nm
         elif rule.null_conditions:
             cm = _condition_mask(rule, ctx)
-            self.null_skips += int(cm.sum())
+            ctx.skip_rows += cm
             emit &= ~cm
         if not emit.any():
             return None
@@ -346,7 +409,7 @@ class EmitTriples:
                     # object = IRI-baked raw cell (csvw.py:583-586); no
                     # validation in the reference either
                     if values is None:
-                        ctx.errors += int(emit.sum())
+                        ctx.err_rows += emit
                         return None
                     o_arr, any_ok = _mint_no_validate(values, emit, ctx)
                     emit &= any_ok
@@ -354,7 +417,7 @@ class EmitTriples:
                     # missing aboutUrl/valueUrl: the reference's
                     # _extract_between_braces on None raises per row →
                     # swallowed, no triple, no SKOS (csvw.py:588-592)
-                    ctx.errors += int(emit.sum())
+                    ctx.err_rows += emit
                     return None
                 elif rule.is_link_uri:
                     s_t, o_t = self._link_frag[rule_idx]
@@ -408,7 +471,7 @@ class EmitTriples:
             elif values is not None:
                 v_arr = values
             else:
-                ctx.errors += int(emit.sum())
+                ctx.err_rows += emit
                 return None
             if not emit.any():
                 return None
@@ -499,7 +562,7 @@ def _mint_no_validate(
             except Exception:
                 ok[i] = False
         arr = pa.array(vals, type=pa.string())
-    ctx.errors += int((sel & ~ok).sum())
+    ctx.err_rows += sel & ~ok
     return arr, ok
 
 

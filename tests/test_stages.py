@@ -267,6 +267,51 @@ class TestMaterialize:
             materialize_triples(self._triples_ds(100), out, num_parts=8,
                                 job="j1")
 
+    def test_per_partition_error_and_skip_counters(self, ray_session,
+                                                   tmp_path):
+        """Manifests must carry subject-attributed errors/null_skips,
+        and the marker rows must never reach triples.parquet."""
+        import pyarrow.parquet as pq_
+
+        from cow_ray.oracle import process_table
+        from cow_ray.pipelines import convert_pages
+        from cow_ray.pipelines.convert import ConvertConfig
+        from cow_ray.rules import parse_rules
+        from cow_ray.stages.materialize import read_triple_store
+
+        rows = [
+            {"a": "ok", "b": "1"},
+            {"a": "NA", "b": "2"},      # null-skip on column a
+            {"a": "x{bad}", "b": "3"},  # format error in COMPLEX value
+            {"a": "NA", "b": "x{y}"},   # skip + error in one row
+        ]
+        src = str(tmp_path / "in.parquet")
+        pq_.write_table(pa.Table.from_pylist(rows), src)
+        rules = {
+            "base": "https://x.org/", "aboutUrl": "r/{_row}",
+            "columns": [
+                {"name": "a", "null": "NA", "datatype": "string"},
+                {"name": "b", "value": "{{b|upper}}", "datatype": "string"},
+            ],
+        }
+        out = str(tmp_path / "store")
+        _, manifests = convert_pages(
+            src, rules, out, config=ConvertConfig(num_parts=4))
+        doc = parse_rules(rules)
+        _, want_errors, want_skips = process_table(
+            [dict(r) for r in rows], doc, 0)
+        assert sum(m["errors"] for m in manifests) == want_errors > 0
+        assert sum(m["null_skips"] for m in manifests) == want_skips == 2
+        back = read_triple_store(out)
+        kinds = set(
+            k for b in back.iter_batches(batch_format="pyarrow")
+            for k in b["obj_kind"].to_pylist()
+        )
+        assert "__marker__" not in kinds
+        # triples equal the oracle set exactly (markers fully stripped)
+        want_triples, _, _ = process_table([dict(r) for r in rows], doc, 0)
+        assert back.count() == len(set(want_triples))
+
     def test_stale_tmp_dir_not_double_counted(self, ray_session, tmp_path):
         """A part-NNNNN.tmp-<pid> left by a crash between populate and
         os.replace must be cleaned on rerun and never read back."""
