@@ -82,6 +82,8 @@ class ConvertConfig:
     link_batch_size: int | None = None
     link_concurrency: int | tuple | None = None  # actor pool size
     num_parts: int = 16               # output partitions (≈ bytes/256MiB)
+    shuffle: str | None = None        # store shuffle: actors|storage (see
+                                      # stages.materialize)
     stage_blocks: int | None = None   # coalesce before the stage write
     collect_metrics: bool = False     # MetricsCollector actor (opt-in)
     dedup: bool = True
@@ -223,6 +225,7 @@ def convert_pages(
         dedup=cfg.dedup,
         stage_blocks=cfg.stage_blocks,
         input_desc=";".join(files),
+        shuffle=cfg.shuffle,
     )
     if metrics is not None:
         from ..state.metrics import fetch_stable

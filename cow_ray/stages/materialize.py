@@ -101,55 +101,66 @@ def _file_sha1(path: str) -> str:
     return h.hexdigest()
 
 
-def finish_part(
-    out_dir: str, stage_dir: str, part_id: int, job: str, dedup: bool
-) -> dict:
-    """Phase-2 worker: stage files of one partition → final sorted,
-    deduplicated, atomically-published part.  Pure filesystem work —
-    runs as an independent ``ray.remote`` task (or inline in tests)."""
-    from ..triples import TRIPLE_SCHEMA
+class _HashingFile:
+    """File wrapper that sha1-hashes bytes as they are written, so the
+    manifest hash costs zero extra passes (the gather phase is
+    bandwidth-bound; a re-read of the published file was a full extra
+    pass — round-1 scaling audit)."""
 
-    from ..triples import MARKER_ERRORS, MARKER_KIND
+    def __init__(self, f):
+        self._f = f
+        self._h = hashlib.sha1()
 
-    files = sorted(
-        _glob.glob(os.path.join(stage_dir, f"part_id={part_id}", "*.parquet"))
-    )
-    if files:
-        table = pa.concat_tables([pq.read_table(f) for f in files])
-    else:
-        table = TRIPLE_SCHEMA.empty_table()
+    def write(self, data):
+        self._h.update(data)
+        return self._f.write(data)
+
+    def hexdigest(self) -> str:
+        return self._h.hexdigest()
+
+    def __getattr__(self, name):
+        return getattr(self._f, name)
+
+
+def _finalize_lazy(lf, dedup: bool):
+    """Shared partition-finishing kernel over a polars LazyFrame of
+    triple rows (possibly including sideband error/skip markers):
+    count+strip markers → optional global distinct → sort → canonical
+    Arrow table.  Returns ``(table, errors, null_skips)``.
+
+    One engine pass end-to-end — the gather side is bandwidth-bound,
+    and every extra materialization of the partition costs a full DRAM
+    round trip (round-1 scaling audit).  Markers are counted from a
+    column-pruned side pass (obj_kind is a tiny dictionary column)."""
+    import polars as pl
+
+    from ..triples import MARKER_ERRORS, MARKER_KIND, TRIPLE_SCHEMA
+
     errors = null_skips = 0
-    if table.num_rows:
-        import pyarrow.compute as pc
+    mdf = (
+        lf.filter(pl.col("obj_kind") == MARKER_KIND)
+        .select([pl.col("pred"),
+                 pl.col("obj_datatype").cast(pl.Int64).alias("n")])
+        .collect()
+    )
+    if mdf.height:
+        total = int(mdf["n"].sum())
+        errors = int(mdf.filter(pl.col("pred") == MARKER_ERRORS)["n"]
+                     .sum() or 0)
+        null_skips = total - errors
+        lf = lf.filter(pl.col("obj_kind") != MARKER_KIND)
+    if dedup:
+        lf = lf.unique()
+    df = lf.sort(["subj", "pred", "obj_lex"]).collect()
+    return df.to_arrow().cast(TRIPLE_SCHEMA), errors, null_skips
 
-        # strip + count the sideband error/skip markers (emitted by
-        # EmitTriples(error_markers=True); subject-attributed, so this
-        # partition's breakdown is exact)
-        is_marker = pc.fill_null(pc.equal(table["obj_kind"], MARKER_KIND),
-                                 False)
-        if pc.any(is_marker).as_py():
-            markers = table.filter(is_marker)
-            table = table.filter(pc.invert(is_marker))
-            counts = pc.cast(markers["obj_datatype"], pa.int64())
-            is_err = pc.equal(markers["pred"], MARKER_ERRORS)
-            total = pc.sum(counts).as_py() or 0
-            errors = pc.sum(pc.if_else(is_err, counts, 0)).as_py() or 0
-            null_skips = total - errors
-    if table.num_rows:
-        # polars for the dedup+sort: ~3× the pyarrow kernels on
-        # realistic parts (and the gather phase is the scaling-critical
-        # one); cast back to the canonical schema afterwards
-        import polars as pl
 
-        df = pl.from_arrow(table)
-        if dedup:
-            df = df.unique()
-        df = df.sort(["subj", "pred", "obj_lex"])
-        table = df.to_arrow().cast(TRIPLE_SCHEMA)
-
+def _publish_part(out_dir: str, part_id: int, table: pa.Table, job: str,
+                  errors: int, null_skips: int) -> dict:
+    """Atomically publish one finished partition (tmp dir + rename);
+    short-circuits to the existing manifest on a resume race."""
     final = _part_dir(out_dir, part_id)
     if os.path.exists(os.path.join(final, "_DONE")):
-        # resume race / rerun: trust the published manifest
         with open(os.path.join(final, "manifest.json")) as f:
             m = json.load(f)
         return {
@@ -163,8 +174,10 @@ def finish_part(
 
     tmp = final + f".tmp-{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(table, os.path.join(tmp, "triples.parquet"))
-    sha = _file_sha1(os.path.join(tmp, "triples.parquet"))
+    with open(os.path.join(tmp, "triples.parquet"), "wb") as raw:
+        hf = _HashingFile(raw)
+        pq.write_table(table, hf)
+    sha = hf.hexdigest()
     manifest = {
         "part_id": part_id,
         "num_triples": table.num_rows,
@@ -191,6 +204,77 @@ def finish_part(
     }
 
 
+def finish_part(
+    out_dir: str, stage_dir: str, part_id: int, job: str, dedup: bool
+) -> dict:
+    """Storage-shuffle phase-2 worker: stage files of one partition →
+    final sorted, deduplicated, atomically-published part.  Pure
+    filesystem work — runs as an independent ``ray.remote`` task (or
+    inline in tests)."""
+    from ..triples import TRIPLE_SCHEMA
+
+    files = sorted(
+        _glob.glob(os.path.join(stage_dir, f"part_id={part_id}", "*.parquet"))
+    )
+    if files:
+        import polars as pl
+
+        table, errors, null_skips = _finalize_lazy(pl.scan_parquet(files),
+                                                   dedup)
+    else:
+        table, errors, null_skips = TRIPLE_SCHEMA.empty_table(), 0, 0
+    return _publish_part(out_dir, part_id, table, job, errors, null_skips)
+
+
+class PartReducer:
+    """Object-store shuffle reducer: one actor owns a contiguous range
+    of output partitions.  ``append`` only *pins* the incoming Arrow
+    slice (zero-copy out of plasma — the bytes stay where the map task
+    put them; at cluster scale Ray spills plasma to disk, so the
+    reducer never holds the partition in its heap before finalize).
+    ``finalize`` runs the shared dedup→sort→publish kernel per owned
+    partition.
+
+    This replaces the storage shuffle's write+read round trip of every
+    staged byte through the scratch filesystem — the round-1 scaling
+    audit's #1 ask (the gather read was a second full pass over DRAM
+    bandwidth that does not scale with cores)."""
+
+    def __init__(self, out_dir: str, job: str, dedup: bool):
+        self.out_dir = out_dir
+        self.job = job
+        self.dedup = dedup
+        self.chunks: list[pa.Table] = []  # mixed-part slices, part_id col
+
+    def append(self, table: pa.Table) -> None:
+        self.chunks.append(table)
+
+    def finalize(self, owned: list[int]) -> list[dict]:
+        import polars as pl
+
+        from ..triples import TRIPLE_SCHEMA
+
+        by_part: dict = {}
+        if self.chunks:
+            df = pl.from_arrow(pa.concat_tables(self.chunks))
+            self.chunks = []
+            by_part = {
+                int(k[0] if isinstance(k, tuple) else k): sub.drop("part_id")
+                for k, sub in df.partition_by("part_id", as_dict=True).items()
+            }
+        out = []
+        for p in owned:
+            sub = by_part.pop(p, None)
+            if sub is None:
+                table, errors, skips = TRIPLE_SCHEMA.empty_table(), 0, 0
+            else:
+                table, errors, skips = _finalize_lazy(sub.lazy(), self.dedup)
+            out.append(
+                _publish_part(self.out_dir, p, table, self.job, errors, skips)
+            )
+        return out
+
+
 def materialize_triples(
     ds,
     out_dir: str,
@@ -202,9 +286,16 @@ def materialize_triples(
     dedup: bool = False,
     stage_blocks: int | None = None,
     input_desc: str = "",
+    shuffle: str | None = None,
 ):
     """Write the triple Dataset as a sorted partitioned store.  Returns
-    the manifest list (one small dict per partition)."""
+    the manifest list (one small dict per partition).
+
+    ``shuffle``: ``"actors"`` (default; object-store shuffle via
+    PartReducer — see its docstring) or ``"storage"`` (two-phase
+    filesystem shuffle through ``out_dir/_stage`` — for partitions
+    larger than the reducers' plasma budget).  ``None`` reads
+    ``$GRAFT_SHUFFLE`` then defaults to actors."""
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
@@ -278,37 +369,100 @@ def materialize_triples(
 
     _timing = os.environ.get("GRAFT_TIMING") == "1"
     _t0 = _time.time()
-
-    # phase 1: scatter (hive-partitioned append write, no exchange).
-    # zstd on the stage files: triple text compresses 4-6×, and phase 2
-    # is bandwidth-bound — decompression cost scales with cores, bytes
-    # moved do not.  The block coalesce bounds the stage file count at
-    # ~(blocks × parts): the parquet sink writes one file per block per
-    # partition value, and thousands of tiny files turn phase 2 into
-    # file-open overhead.
-    staged = ds.map_batches(assign_part, batch_format="pyarrow")
-    if stage_blocks is not None:
-        staged = staged.repartition(stage_blocks)
-    staged.write_parquet(
-        stage_dir, partition_cols=["part_id"], compression="zstd"
-    )
-
-    _t1 = _time.time()
-    if _timing:
-        print(f"[materialize] phase1 scatter: {_t1 - _t0:.2f}s", flush=True)
-
-    # phase 2: gather — independent per-partition tasks (raw ray.remote:
-    # a fixed, tiny task list whose inputs live on the filesystem; a
-    # Dataset stage would size-bundle the descriptors into one task)
-    finish = ray.remote(finish_part)
     todo = [p for p in range(num_parts) if p not in done]
-    manifests = list(
-        ray.get([finish.remote(out_dir, stage_dir, p, job, dedup) for p in todo])
-    )
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    if _timing:
-        print(f"[materialize] phase2 gather: {_time.time() - _t1:.2f}s",
-              flush=True)
+    if shuffle is None:
+        shuffle = os.environ.get("GRAFT_SHUFFLE", "actors")
+
+    if shuffle == "actors":
+        # ---- object-store shuffle (default) ----
+        # Map tasks push per-reducer slices straight into plasma-backed
+        # reducer actors; no staged byte is ever written to / read back
+        # from scratch storage.  The per-batch ray.get on the appends
+        # is both the delivery barrier (finalize may only run after
+        # every append) and natural backpressure.  Reducers take
+        # num_cpus=0: they do no work during ingest (append just pins
+        # the slice) and their finalize CPU burst runs after the map
+        # stage has drained.  At 100-TB scale plasma spills slices to
+        # local disk instead of holding them in heap memory.
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        n_red = max(1, min(num_parts, cpus))
+        ppa = -(-num_parts // n_red)  # parts per reducer (ceil)
+        Reducer = ray.remote(PartReducer)
+        reducers = [
+            Reducer.options(num_cpus=0).remote(out_dir, job, dedup)
+            for _ in range(n_red)
+        ]
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            batch = assign_part(batch)
+            n = batch.num_rows
+            if n:
+                import numpy as np
+
+                aidx = (
+                    batch["part_id"].to_numpy(zero_copy_only=False) // ppa
+                )
+                refs = [
+                    reducers[int(k)].append.remote(
+                        batch.filter(pa.array(aidx == k))
+                    )
+                    for k in np.unique(aidx)
+                ]
+                ray.get(refs)
+            return pa.table({"rows": pa.array([n], type=pa.int64())})
+
+        ds.map_batches(scatter, batch_format="pyarrow").count()
+        _t1 = _time.time()
+        if _timing:
+            print(f"[materialize] phase1 scatter: {_t1 - _t0:.2f}s",
+                  flush=True)
+        owned = [
+            [p for p in todo if p // ppa == k] for k in range(n_red)
+        ]
+        manifests = [
+            m
+            for ms in ray.get(
+                [reducers[k].finalize.remote(owned[k])
+                 for k in range(n_red)]
+            )
+            for m in ms
+        ]
+        for r in reducers:
+            ray.kill(r)
+        if _timing:
+            print(f"[materialize] phase2 gather: {_time.time() - _t1:.2f}s",
+                  flush=True)
+    elif shuffle == "storage":
+        # ---- two-phase filesystem shuffle ----
+        # For partitions larger than a reducer's plasma/disk budget or
+        # when the scratch tier is the durable medium: phase 1 appends
+        # hive-partitioned zstd stage files (triple text compresses
+        # 4-6×, and the gather read is bandwidth-bound — decompression
+        # cost scales with cores, bytes moved do not); phase 2 is one
+        # independent task per partition.
+        staged = ds.map_batches(assign_part, batch_format="pyarrow")
+        if stage_blocks is not None:
+            staged = staged.repartition(stage_blocks)
+        staged.write_parquet(
+            stage_dir, partition_cols=["part_id"], compression="zstd"
+        )
+        _t1 = _time.time()
+        if _timing:
+            print(f"[materialize] phase1 scatter: {_t1 - _t0:.2f}s",
+                  flush=True)
+        finish = ray.remote(finish_part)
+        manifests = list(
+            ray.get(
+                [finish.remote(out_dir, stage_dir, p, job, dedup)
+                 for p in todo]
+            )
+        )
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        if _timing:
+            print(f"[materialize] phase2 gather: {_time.time() - _t1:.2f}s",
+                  flush=True)
+    else:
+        raise ValueError(f"unknown shuffle mode {shuffle!r}")
 
     for part_id in sorted(done):
         mf = os.path.join(_part_dir(out_dir, part_id), "manifest.json")

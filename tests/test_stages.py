@@ -267,6 +267,31 @@ class TestMaterialize:
             materialize_triples(self._triples_ds(100), out, num_parts=8,
                                 job="j1")
 
+    def test_shuffle_modes_equivalent(self, ray_session, tmp_path):
+        """The object-store (actors) and filesystem (storage) shuffles
+        must publish byte-identical partitions: same manifests, same
+        content hashes, same read-back."""
+        from cow_ray.stages.materialize import (
+            materialize_triples,
+            read_triple_store,
+        )
+
+        ds = self._triples_ds(400)
+        outs = {}
+        for mode in ("actors", "storage"):
+            out = str(tmp_path / f"store_{mode}")
+            m = materialize_triples(ds, out, num_parts=4, job="j1",
+                                    dedup=True, shuffle=mode)
+            outs[mode] = sorted(
+                (x["part_id"], x["num_triples"], x["content_sha1"],
+                 x["errors"], x["null_skips"])
+                for x in m
+            )
+            assert read_triple_store(out).count() == sum(
+                x["num_triples"] for x in m
+            )
+        assert outs["actors"] == outs["storage"]
+
     def test_per_partition_error_and_skip_counters(self, ray_session,
                                                    tmp_path):
         """Manifests must carry subject-attributed errors/null_skips,
