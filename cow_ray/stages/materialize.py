@@ -226,14 +226,32 @@ def finish_part(
     return _publish_part(out_dir, part_id, table, job, errors, null_skips)
 
 
+def _ipc_compress(table: pa.Table) -> pa.Buffer:
+    """Arrow table → zstd-compressed IPC stream buffer.  Compression
+    happens IN THE MAP TASK (CPU, which scales with cores) so the
+    shuffle moves ~5× fewer bytes (triple text compresses well) —
+    moving raw string batches through the object store measured 3-5×
+    slower on a DRAM-saturated box than shipping compressed buffers."""
+    sink = pa.BufferOutputStream()
+    opts = pa.ipc.IpcWriteOptions(compression="zstd")
+    with pa.ipc.new_stream(sink, table.schema, options=opts) as w:
+        w.write_table(table)
+    return sink.getvalue()
+
+
+def _ipc_decompress(buf: pa.Buffer) -> pa.Table:
+    with pa.ipc.open_stream(buf) as r:
+        return r.read_all()
+
+
 class PartReducer:
     """Object-store shuffle reducer: one actor owns a contiguous range
-    of output partitions.  ``append`` only *pins* the incoming Arrow
-    slice (zero-copy out of plasma — the bytes stay where the map task
-    put them; at cluster scale Ray spills plasma to disk, so the
-    reducer never holds the partition in its heap before finalize).
-    ``finalize`` runs the shared dedup→sort→publish kernel per owned
-    partition.
+    of output partitions.  ``append`` only *pins* the incoming
+    zstd-compressed IPC slice (the buffer stays in plasma where the map
+    task put it; at cluster scale Ray spills plasma to local disk, so
+    the reducer never holds the partition in heap before finalize).
+    ``finalize`` decompresses its slices and runs the shared
+    dedup→sort→publish kernel per owned partition.
 
     This replaces the storage shuffle's write+read round trip of every
     staged byte through the scratch filesystem — the round-1 scaling
@@ -244,10 +262,10 @@ class PartReducer:
         self.out_dir = out_dir
         self.job = job
         self.dedup = dedup
-        self.chunks: list[pa.Table] = []  # mixed-part slices, part_id col
+        self.chunks: list[pa.Buffer] = []  # zstd IPC slices, part_id col
 
-    def append(self, table: pa.Table) -> None:
-        self.chunks.append(table)
+    def append(self, buf: pa.Buffer) -> None:
+        self.chunks.append(buf)
 
     def finalize(self, owned: list[int]) -> list[dict]:
         import polars as pl
@@ -256,7 +274,9 @@ class PartReducer:
 
         by_part: dict = {}
         if self.chunks:
-            df = pl.from_arrow(pa.concat_tables(self.chunks))
+            df = pl.from_arrow(
+                pa.concat_tables(_ipc_decompress(b) for b in self.chunks)
+            )
             self.chunks = []
             by_part = {
                 int(k[0] if isinstance(k, tuple) else k): sub.drop("part_id")
@@ -291,11 +311,11 @@ def materialize_triples(
     """Write the triple Dataset as a sorted partitioned store.  Returns
     the manifest list (one small dict per partition).
 
-    ``shuffle``: ``"actors"`` (default; object-store shuffle via
-    PartReducer — see its docstring) or ``"storage"`` (two-phase
-    filesystem shuffle through ``out_dir/_stage`` — for partitions
-    larger than the reducers' plasma budget).  ``None`` reads
-    ``$GRAFT_SHUFFLE`` then defaults to actors."""
+    ``shuffle``: ``"storage"`` (default; two-phase zstd-compressed
+    filesystem shuffle through ``out_dir/_stage``) or ``"actors"``
+    (object-store shuffle via PartReducer — see its docstring; the
+    right shape when scratch storage is slow/shared).  ``None`` reads
+    ``$GRAFT_SHUFFLE`` then defaults to storage."""
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
@@ -371,7 +391,14 @@ def materialize_triples(
     _t0 = _time.time()
     todo = [p for p in range(num_parts) if p not in done]
     if shuffle is None:
-        shuffle = os.environ.get("GRAFT_SHUFFLE", "actors")
+        # storage is the measured default on this box: staged bytes are
+        # zstd-compressed (5×) and /dev/shm scratch is itself
+        # memory-speed, so the round trip beats raw-buffer plasma
+        # ingestion (actors mode measured 6-15s gather vs 1.4s at 16
+        # cpus on the 2M-page flagship — DRAM bandwidth, not file IO,
+        # is the scarce resource).  actors mode remains the right shape
+        # when scratch is a slow shared filesystem.
+        shuffle = os.environ.get("GRAFT_SHUFFLE", "storage")
 
     if shuffle == "actors":
         # ---- object-store shuffle (default) ----
@@ -404,7 +431,7 @@ def materialize_triples(
                 )
                 refs = [
                     reducers[int(k)].append.remote(
-                        batch.filter(pa.array(aidx == k))
+                        _ipc_compress(batch.filter(pa.array(aidx == k)))
                     )
                     for k in np.unique(aidx)
                 ]
