@@ -181,16 +181,24 @@ def bench_once(headline_only: bool = False) -> dict:
     ).count()
     run_flagship(ensure_pages(2000), num_parts=4)
 
-    # best-of-N: single-box runs vary ±20% with ambient writeback; the
-    # min is the reproducible compute+shuffle cost.  --scaling uses 3
-    # reps and pins num_parts so BOTH levels run the identical job.
+    # repeated runs: single-box walls vary ±15% with ambient writeback
+    # and frequency scaling.  The plain bench reports the min (the
+    # reproducible compute+shuffle cost); --scaling reports the MEDIAN
+    # of 3 at each level — a ratio of minimums is biased by whichever
+    # level catches one lucky run, a ratio of medians estimates
+    # sustained throughput.  --scaling also pins num_parts so both
+    # levels run the identical job.
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    stat = os.environ.get("GRAFT_BENCH_STAT", "min")
     num_parts = int(os.environ.get("GRAFT_NUM_PARTS", "0")) or max(
         8, 2 * NUM_CPUS
     )
-    runs = [run_flagship(pages_dir, num_parts=num_parts)
-            for _ in range(reps)]
-    head = min(runs, key=lambda r: r["sec"])
+    runs = sorted(
+        (run_flagship(pages_dir, num_parts=num_parts) for _ in range(reps)),
+        key=lambda r: r["sec"],
+    )
+    head = runs[len(runs) // 2] if stat == "median" else runs[0]
+    all_secs = [round(r["sec"], 3) for r in runs]
     queries = {} if headline_only else run_queries(SF_DIR)
 
     result = {
@@ -203,6 +211,7 @@ def bench_once(headline_only: bool = False) -> dict:
         "n_pages": n_pages,
         "triples": head["triples"],
         "docs_per_sec": round(n_pages / head["sec"], 1),
+        "runs_sec": all_secs,
     }
     ray.shutdown()
     return result
@@ -223,7 +232,7 @@ def scaling() -> dict:
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_HEADLINE_ONLY="1",
                    GRAFT_BENCH_PAGES=n_pages, GRAFT_BENCH_REPS="3",
-                   GRAFT_NUM_PARTS=str(2 * hi))
+                   GRAFT_BENCH_STAT="median", GRAFT_NUM_PARTS=str(2 * hi))
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True,
                            cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -238,6 +247,8 @@ def scaling() -> dict:
         "cpus_hi": hi,
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
+        f"runs_{lo}": out[lo].get("runs_sec"),
+        f"runs_{hi}": out[hi].get("runs_sec"),
         f"docs_per_sec_{lo}": out[lo]["docs_per_sec"],
         f"docs_per_sec_{hi}": out[hi]["docs_per_sec"],
         "n_pages": out[hi]["n_pages"],
