@@ -96,13 +96,41 @@ class MinHasher:
         v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
         return v.min(axis=0)
 
+    def signatures(self, texts: list) -> np.ndarray:
+        """Batch-vectorized signatures, bit-identical to per-doc
+        :meth:`signature`: all shingles flattened into one array, the
+        universal hash computed in permutation chunks (bounding the
+        temporary at ~64 MB), per-doc minima via segmented
+        ``np.minimum.reduceat`` — one numpy dispatch per chunk instead
+        of one per document."""
+        shingles = [_shingle_hashes(t or "", self.k) for t in texts]
+        flat = np.concatenate(shingles)
+        lens = np.fromiter((len(s) for s in shingles), dtype=np.int64,
+                           count=len(shingles))
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        out = np.empty((self.num_perm, len(texts)), dtype=np.uint64)
+        chunk = max(1, int(8_000_000 // max(1, len(flat))))
+        for c in range(0, self.num_perm, chunk):
+            a = self.a[c:c + chunk]
+            b = self.b[c:c + chunk]
+            # (chunk, n_shingles) layout: the segmented min then runs
+            # along CONTIGUOUS rows (reduceat's fast path; the
+            # (n_shingles, chunk) orientation measured 10× slower).
+            # Plain fused `%` beats a shift-add Mersenne reduction
+            # here: on a DRAM-bound box one divide pass is cheaper
+            # than six "cheap" passes over the same 64 MB temporary.
+            v = (a[:, None] * flat[None, :] + b[:, None]) % _MERSENNE
+            out[c:c + chunk] = np.minimum.reduceat(v, starts, axis=1)
+        return np.ascontiguousarray(out.T)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         if not texts:
             return batch.append_column(
                 "minhash", pa.array([], type=pa.list_(pa.uint64()))
             )
-        flat = np.concatenate([self.signature(t or "") for t in texts])
+        flat = self.signatures(texts).ravel()
         offsets = pa.array(
             np.arange(len(texts) + 1, dtype=np.int32) * self.num_perm
         )

@@ -416,8 +416,11 @@ SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
 def q_dedup_minhash_docs(sf_dir: str):
     from ..ops.dedup import minhash_lsh_candidates
 
+    # the sf documents table is ONE parquet row group = one Ray block;
+    # without a split the signature stage runs on a single core (a real
+    # corpus arrives in many blocks and needs no repartition)
     return minhash_lsh_candidates(
-        _docs(sf_dir), num_perm=64, num_bands=16
+        _docs(sf_dir).repartition(16), num_perm=64, num_bands=16
     )
 
 
@@ -426,6 +429,7 @@ def q_dedup_simhash_docs(sf_dir: str):
 
     return (
         _docs(sf_dir)
+        .repartition(8)  # single-row-group input: split for the pool
         .map_batches(SimHasher(), batch_format="pyarrow", concurrency=2)
         .select_columns(["doc_id", "simhash"])
     )
@@ -508,35 +512,60 @@ def q_q1_pricing_summary(sf_dir: str):
                         "l_extendedprice", "l_discount"])
 
     def revenue(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "disc_price",
-            pc.multiply(batch["l_extendedprice"],
-                        pc.subtract(pa.scalar(1.0), batch["l_discount"])),
-        )
+        # exact integer money units (price is 2-decimal, discount
+        # 2-decimal → the product is exact in 10^-4 units): integer
+        # sums are accumulation-order-free, so the hash is stable
+        # across block orders — a float64 sum of the products was
+        # observed flaky on the equivalent join query
+        e = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        base_c = np.rint(e * 100.0).astype(np.int64)
+        disc4 = base_c * np.rint((1.0 - d) * 100.0).astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "l_quantity": batch["l_quantity"],
+            "base_c": pa.array(base_c),
+            "disc4": pa.array(disc4),
+        })
 
     out = (
         ds.map_batches(revenue, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("base_c", alias_name="base_c"),
+            Sum("disc4", alias_name="disc4"),
             Mean("l_quantity", alias_name="avg_qty"),
             Count(alias_name="count_order"),
         )
     )
 
-    def final_round(batch: pa.Table) -> pa.Table:
-        return _round2(_round2(batch, "sum_base"), "sum_disc_price")
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": batch["sum_qty"],
+            "sum_base": pc.divide(pc.cast(batch["base_c"], pa.float64()),
+                                  pa.scalar(100.0)),
+            "sum_disc_price": pc.divide(pc.cast(batch["disc4"], pa.float64()),
+                                        pa.scalar(10000.0)),
+            "avg_qty": batch["avg_qty"],
+            "count_order": batch["count_order"],
+        })
 
-    return out.map_batches(final_round, batch_format="pyarrow")
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
+# money sums in exact integer units on both engines (see q_q1 revenue)
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+           AS sum_base,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+           AS sum_disc_price,
        sum(l_quantity) / count(*) AS avg_qty,
        CAST(count(*) AS BIGINT) AS count_order
   FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -753,16 +782,25 @@ def q_lineitem_orders_join(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
 
     def month_revenue(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(batch["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        # exact integer arithmetic: price and discount are 2-decimal
+        # data, so price×100 and (1-disc)×100 are integers and their
+        # per-item product is the exact revenue in 10^-4 units.  A
+        # float64 sum would be accumulation-ORDER-dependent (the join
+        # partitioning varies run to run), and a monthly total can sit
+        # within float noise of a rounding boundary — observed as a
+        # flaky hash mismatch vs DuckDB.  Integer sums are order-free.
+        e = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev4 = (np.rint(e * 100.0).astype(np.int64)
+                * np.rint((1.0 - d) * 100.0).astype(np.int64))
         month = pc.floor_temporal(batch["o_orderdate"], unit="month")
-        return pa.table({"month": month, "revenue": rev})
+        return pa.table({"month": month, "revenue4": pa.array(rev4)})
 
     def rollup(joined):
         return (
             joined.map_batches(month_revenue, batch_format="pyarrow")
             .groupby("month")
-            .aggregate(Sum("revenue", alias_name="revenue"),
+            .aggregate(Sum("revenue4", alias_name="revenue4"),
                        Count(alias_name="n_items"))
         )
 
@@ -778,15 +816,28 @@ def q_lineitem_orders_join(sf_dir: str):
                          on=("l_orderkey",), right_on=("o_orderkey",))
         out = rollup(joined)
 
-    def final_round(batch: pa.Table) -> pa.Table:
-        return _round2(batch, "revenue")
+    def finalize(batch: pa.Table) -> pa.Table:
+        # one identical IEEE division on both engines — no rounding
+        # step to disagree on
+        rev = pc.divide(pc.cast(batch["revenue4"], pa.float64()),
+                        pa.scalar(10000.0))
+        return pa.table({
+            "month": batch["month"],
+            "revenue": rev,
+            "n_items": batch["n_items"],
+        })
 
-    return out.map_batches(final_round, batch_format="pyarrow")
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
+# revenue computed in exact 10^-4 integer units on both engines (price
+# and discount are 2-decimal data) — see month_revenue above for why a
+# float sum is not hash-stable across join partitionings
 SQL_LINEITEM_ORDERS_JOIN = """
 SELECT date_trunc('month', o.o_orderdate) AS month,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) / 10000.0
+           AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
  GROUP BY 1
