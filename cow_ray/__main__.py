@@ -136,7 +136,8 @@ def cmd_convert(args) -> int:
 
 def _ext(fmt: str, gzipped: bool = False) -> str:
     e = {"nquads": ".nq", "ntriples": ".nt", "turtle": ".ttl",
-         "n3": ".n3", "trig": ".trig", "xml": ".xml", "trix": ".trix"}[fmt]
+         "n3": ".n3", "trig": ".trig", "xml": ".xml",
+         "pretty-xml": ".xml", "trix": ".trix"}[fmt]
     return e + (".gz" if gzipped else "")
 
 
@@ -158,7 +159,9 @@ def _export(store: str, fmt: str, out: str, gzipped: bool = False) -> None:
         # extension (csvw.py:39-41) likewise emits rdflib's turtle-style
         # serialization for plain triple data
         n = export_turtle(ds, out)
-    elif fmt == "xml":
+    elif fmt in ("xml", "pretty-xml"):
+        # the reference's `pretty-xml` is rdflib's cosmetic variant of
+        # the same RDF/XML graph; both map to the one serializer here
         n = export_rdfxml(ds, out)
     elif fmt == "trix":
         n = export_trix(ds, out)
@@ -209,7 +212,7 @@ def main(argv=None) -> int:
     c.add_argument("--out", required=True)
     c.add_argument("--format", default="parquet",
                    choices=["parquet", "nquads", "ntriples", "turtle",
-                            "n3", "trig", "xml", "trix"])
+                            "n3", "trig", "xml", "pretty-xml", "trix"])
     c.add_argument("--gzip", action="store_true")
     c.add_argument("--num-parts", type=int, default=16)
     c.add_argument("--no-dedup", action="store_true")
@@ -223,7 +226,7 @@ def main(argv=None) -> int:
     e.add_argument("store")
     e.add_argument("--format", default="nquads",
                    choices=["nquads", "ntriples", "turtle", "n3",
-                            "trig", "xml", "trix"])
+                            "trig", "xml", "pretty-xml", "trix"])
     e.add_argument("--out")
     e.add_argument("--gzip", action="store_true")
     e.add_argument("--parallelism", type=int, default=None)

@@ -94,6 +94,60 @@ def md5_fingerprint(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, pa.array(fps, type=pa.string()))
 
 
+def token_doc_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Map-side combiner for token document frequency: lowercase →
+    regex-split → per-document distinct tokens → per-batch partial
+    counts, all with Arrow kernels (split_pattern_regex + a two-level
+    hash group_by; documents never span batches, so batch-local
+    per-doc distinct is exact).  The groupby exchange then carries one
+    row per (token, batch) — vocabulary-sized, not corpus-sized.
+
+    Tokenization contract (mirrored by the DuckDB oracle):
+    ``lower(text)`` split on ``[^a-z0-9']+``, empty fragments
+    dropped."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"token": pa.array([], type=pa.string()),
+                         "df": pa.array([], type=pa.int64())})
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(batch[text_col], "")), pattern="[^a-z0-9']+"
+    )
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    doc_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), lens))
+    pairs = pa.table({"d": doc_idx, "token": flat}).filter(
+        pc.not_equal(flat, "")
+    )
+    distinct = (
+        pairs.group_by(["d", "token"], use_threads=False)
+        .aggregate([([], "count_all")])
+        .select(["token"])
+    )
+    partial = (
+        distinct.group_by(["token"], use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    return partial.rename_columns(["token", "df"])
+
+
+def token_doc_freq(ds, text_col: str = "text", limit: int = 50):
+    """Corpus-wide token document frequency, top ``limit`` by
+    (df desc, token asc) — the vocabulary-statistics building block
+    (IDF tables, stopword discovery).  One vocabulary-keyed groupby
+    after the map-side partial; the sort input is vocabulary-sized."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(
+            lambda b: token_doc_partial(b, text_col), batch_format="pyarrow"
+        )
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .sort(["df", "token"], descending=[True, False])
+        .limit(limit)
+    )
+
+
 def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
                         window: int = 16, out_col: str = "roll_fp") -> pa.Table:
     """Rabin-Karp-style rolling-hash document fingerprint: min of the

@@ -400,6 +400,55 @@ def q_doc_rolling_fp(sf_dir: str):
 # ------------------------------------------------------------- dedup
 
 
+def q_sample_docs(sf_dir: str):
+    from ..ops.sample import hash_sample
+
+    return hash_sample(_docs(sf_dir), "doc_id").select_columns(
+        ["doc_id", "source", "lang"]
+    )
+
+
+SQL_SAMPLE_DOCS = """
+SELECT doc_id, source, lang FROM documents
+ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+"""
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    from ..ops.sample import group_top_k
+
+    return group_top_k(
+        _read(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"]),
+        ["lang"], "n_chars", k=3, tie_col="doc_id",
+    )
+
+
+SQL_TOP_DOCS_PER_LANG = """
+SELECT lang, doc_id, n_chars FROM documents
+ QUALIFY row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) <= 3
+"""
+
+
+def q_token_doc_freq(sf_dir: str):
+    from ..ops.textstats import token_doc_freq
+
+    # single-row-group input: split so the tokenize/combine stage
+    # parallelizes (real corpora arrive in many blocks)
+    return token_doc_freq(_docs(sf_dir).repartition(8), limit=50)
+
+
+SQL_TOKEN_DOC_FREQ = """
+SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+  SELECT DISTINCT d.doc_id, t.token
+    FROM documents d,
+         unnest(string_split_regex(lower(d.text), '[^a-z0-9'']+'))
+         AS t(token)
+   WHERE t.token <> ''
+) GROUP BY token ORDER BY df DESC, token LIMIT 50
+"""
+
+
 def q_dedup_exact_docs(sf_dir: str):
     from ..ops.dedup import dedup_exact
 
@@ -573,10 +622,22 @@ SELECT l_returnflag, l_linestatus,
 
 
 def q_top_parts_by_qty(sf_dir: str):
+    """Top-k by grouped sum with a map-side combiner: each batch
+    pre-sums per key (Arrow hash aggregation), so the groupby exchange
+    carries ≈ distinct-keys×blocks rows instead of every lineitem —
+    sums are associative, partial-then-final is exact."""
     from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.group_by(["l_partkey"], use_threads=False)
+            .aggregate([("l_quantity", "sum")])
+        )
+        return agg.rename_columns(["l_partkey", "l_quantity"])
 
     out = (
         _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
         .groupby("l_partkey")
         .aggregate(Sum("l_quantity", alias_name="total_qty"))
         .sort(["total_qty", "l_partkey"], descending=[True, False])
@@ -597,7 +658,7 @@ def q_orders_by_nation(sf_dir: str):
     is built on the driver and shipped once via ray.put; the orders fact
     table never shuffles."""
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_nationkey"])
@@ -635,24 +696,49 @@ def q_orders_by_nation(sf_dir: str):
                           pa.array(idx, mask=miss, type=pa.int64()))
             return batch.append_column("nation", out)
 
+    attach = AttachNation(ref)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # combiner fused behind the broadcast lookup: 25 nations ×
+        # blocks rows cross the exchange, not every order.  Money in
+        # exact integer cents (2-decimal data) — order-free sums.
+        batch = attach(batch)
+        cents = pa.array(
+            np.rint(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+        )
+        b = pa.table({"nation": batch["nation"], "cents": cents})
+        agg = (
+            b.group_by(["nation"], use_threads=False)
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        )
+        return agg.rename_columns(["nation", "n", "cents"])
+
     out = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(AttachNation(ref), batch_format="pyarrow",
-                     concurrency=2)
+        .map_batches(partial, batch_format="pyarrow", concurrency=2)
         .groupby("nation")
-        .aggregate(Count(alias_name="n_orders"),
-                   Sum("o_totalprice", alias_name="total_price"))
+        .aggregate(Sum("n", alias_name="n_orders"),
+                   Sum("cents", alias_name="cents"))
     )
 
-    def final_round(batch: pa.Table) -> pa.Table:
-        return _round2(batch, "total_price")
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": batch["nation"],
+            "n_orders": batch["n_orders"],
+            "total_price": pc.divide(
+                pc.cast(batch["cents"], pa.float64()), pa.scalar(100.0)
+            ),
+        })
 
-    return out.map_batches(final_round, batch_format="pyarrow")
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 SQL_ORDERS_BY_NATION = """
 SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o.o_totalprice), 2) AS total_price
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0
+           AS total_price
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -661,32 +747,56 @@ SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
 
 
 def q_events_hourly(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    """Tumbling-window rollup with a map-side combiner: each batch
+    pre-aggregates per (user, hour) — counts and integer-cent sums are
+    associative and order-free — so the exchange carries ≈ windows ×
+    blocks rows, not every event."""
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "hour", pc.floor_temporal(batch["ts"], unit="hour")
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pa.array(
+            np.rint(
+                batch["value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
         )
+        b = pa.table({
+            "user_id": batch["user_id"],
+            "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+            "cents": cents,
+        })
+        agg = (
+            b.group_by(["user_id", "hour"], use_threads=False)
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        )
+        return agg.rename_columns(["user_id", "hour", "n", "cents"])
 
     out = (
-        ds.map_batches(bucket, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n_events"),
-                   Sum("value", alias_name="total_value"))
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Sum("cents", alias_name="cents"))
     )
 
-    def final_round(batch: pa.Table) -> pa.Table:
-        return _round2(batch, "total_value")
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "hour": batch["hour"],
+            "n_events": batch["n_events"],
+            "total_value": pc.divide(
+                pc.cast(batch["cents"], pa.float64()), pa.scalar(100.0)
+            ),
+        })
 
-    return out.map_batches(final_round, batch_format="pyarrow")
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
+# value sums in exact integer cents on both engines (order-free)
 SQL_EVENTS_HOURLY = """
 SELECT user_id, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS total_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
   FROM events GROUP BY 1, 2
 """
 
@@ -936,6 +1046,9 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "langid_docs": q_langid_docs,
     "doc_rolling_fp": q_doc_rolling_fp,
+    "sample_docs": q_sample_docs,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    "token_doc_freq": q_token_doc_freq,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_minhash_docs": q_dedup_minhash_docs,
     "dedup_simhash_docs": q_dedup_simhash_docs,
@@ -962,6 +1075,9 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_hist": SQL_LANG_HIST,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "sample_docs": SQL_SAMPLE_DOCS,
+    "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
+    "token_doc_freq": SQL_TOKEN_DOC_FREQ,
     "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
     "emb_near_dup": SQL_EMB_NEAR_DUP,
     "ann_topk": SQL_ANN_TOPK,

@@ -270,6 +270,73 @@ class TestSimilarity:
                 emb_ds, threshold=0.45, mode="broadcast")
 
 
+class TestSampleAndSelect:
+    def test_hash_sample_deterministic_and_content_addressed(self, docs_ds):
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from cow_ray.ops.sample import hash_sample
+
+        got = sorted(r["doc_id"] for r in hash_sample(
+            docs_ds, "doc_id").take_all())
+        # per-row recompute: membership depends only on the key
+        want = sorted(
+            int(v) for v in pq.read_table(DOCS, columns=["doc_id"])
+            ["doc_id"].to_pylist()
+            if hashlib.md5(str(v).encode()).hexdigest()[0] in ("0", "1")
+        )
+        assert got == want
+        assert 0 < len(got) < 500  # ~1/8 rate, non-degenerate
+        # repartitioning must not change the sample (content-addressed)
+        got2 = sorted(r["doc_id"] for r in hash_sample(
+            docs_ds.repartition(7), "doc_id").take_all())
+        assert got2 == want
+
+    def test_group_top_k_matches_pandas(self, docs_ds):
+        import pandas as pd
+
+        from cow_ray.ops.sample import group_top_k
+
+        got = group_top_k(
+            docs_ds.select_columns(["lang", "doc_id", "n_chars"])
+            .repartition(5),
+            ["lang"], "n_chars", k=2, tie_col="doc_id",
+        ).to_pandas()
+        df = pd.read_parquet(DOCS, columns=["lang", "doc_id", "n_chars"])
+        want = (
+            df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .groupby("lang", sort=False).head(2)
+        )
+        key = lambda d: sorted(map(tuple, d[["lang", "doc_id"]].values))
+        assert key(got) == key(want)
+
+    def test_token_doc_freq_matches_python(self, ray_session):
+        import re
+
+        import ray.data
+
+        from cow_ray.ops.textstats import token_doc_freq
+
+        rows = [
+            {"doc_id": 0, "text": "Spark and RAY and arrow"},
+            {"doc_id": 1, "text": "ray ray ray arrow!"},
+            {"doc_id": 2, "text": "it's arrow-time, 42 Arrow"},
+            {"doc_id": 3, "text": ""},
+        ]
+        ds = ray.data.from_items(rows).repartition(3)
+        got = {(r["token"], r["df"])
+               for r in token_doc_freq(ds, limit=100).take_all()}
+        want: dict = {}
+        for r in rows:
+            toks = set(t for t in re.split(r"[^a-z0-9']+", r["text"].lower())
+                       if t)
+            for t in toks:
+                want[t] = want.get(t, 0) + 1
+        assert got == set(want.items())
+        assert ("arrow", 3) in got and ("it's", 1) in got
+
+
 class TestMultimodal:
     def test_decode_stage_plumbing(self, ray_session):
         import ray.data
