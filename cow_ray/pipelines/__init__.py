@@ -1,1 +1,2 @@
 from .convert import convert_pages, ConvertConfig  # noqa: F401
+from .curate import curate_corpus  # noqa: F401

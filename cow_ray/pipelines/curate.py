@@ -1,0 +1,146 @@
+"""End-to-end corpus curation: the composed training-data pipeline
+(filter → exact dedup → optional near-dup removal) over a documents
+table — the shape a 100-TB pretraining-corpus job runs per shard.
+
+Every stage is a streaming ``map_batches`` except the two keyed
+exchanges, both bounded:
+
+* exact dedup groups by content fingerprint AFTER a batch-local
+  keep-min prune, so the shuffle carries one row per distinct
+  fingerprint per block;
+* near-dup removal reuses :mod:`cow_ray.ops.dedup` (MinHash → banded
+  LSH bucket groupby → exact-Jaccard verification) and then drops the
+  higher id of every verified pair (greedy keep-lowest — the standard
+  cheap policy; full transitive clustering would need a connected-
+  components pass).
+
+The filter+exact-dedup subset is SQL-expressible and hash-verified
+against DuckDB by the ``curate_docs`` query; the near-dup variant is
+rows-only (LSH banding is not expressible as hash-matchable SQL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..ops.textstats import PUNCT_RE
+
+# verify_candidates broadcasts the surviving texts; refuse silently
+# unscalable use (same stance as the broadcast-join guard)
+NEAR_DUP_MAX_DOCS = 200_000
+
+
+def curate_corpus(
+    ds,
+    *,
+    langs: tuple | None = None,
+    min_chars: int = 0,
+    max_punct_ppm: int | None = None,
+    dedup_exact: bool = True,
+    near_dup: bool = False,
+    near_dup_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Filter → dedup a documents Dataset; returns the surviving rows
+    (original columns).  All gates are vectorized Arrow kernels with
+    the same semantics as :func:`cow_ray.ops.textstats.quality_scores`
+    (floor-ppm discipline, so the DuckDB oracle reproduces membership
+    bit-identically)."""
+    import pandas as pd
+
+    def gate(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch[text_col], "")
+        keep = pc.greater_equal(pc.utf8_length(t), min_chars)
+        if langs is not None:
+            keep = pc.and_(
+                keep, pc.is_in(batch["lang"], value_set=pa.array(list(langs)))
+            )
+        if max_punct_ppm is not None:
+            n_punct = pc.cast(pc.count_substring_regex(t, PUNCT_RE),
+                              pa.float64())
+            denom = pc.max_element_wise(
+                pc.cast(pc.utf8_length(t), pa.float64()), 1.0
+            )
+            ppm = pc.cast(
+                pc.floor(pc.multiply(pc.divide(n_punct, denom), 1e6)),
+                pa.int64(),
+            )
+            keep = pc.and_(keep, pc.less_equal(ppm, max_punct_ppm))
+        return batch.filter(keep)
+
+    out = ds.map_batches(gate, batch_format="pyarrow")
+
+    if dedup_exact:
+        def fingerprint(batch: pa.Table) -> pa.Table:
+            fps = [
+                hashlib.md5((v or "").encode("utf-8")).hexdigest()
+                for v in batch[text_col].to_pylist()
+            ]
+            return batch.append_column("__fp", pa.array(fps,
+                                                        type=pa.string()))
+
+        def local_keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values(id_col).drop_duplicates("__fp",
+                                                          keep="first")
+
+        def global_keep(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values(id_col).head(1)
+
+        out = (
+            out.map_batches(fingerprint, batch_format="pyarrow")
+            .map_batches(local_keep, batch_format="pandas")
+            .groupby("__fp")
+            .map_groups(global_keep, batch_format="pandas")
+            .drop_columns(["__fp"])
+        )
+
+    if near_dup:
+        import ray
+
+        from ..ops.dedup import minhash_lsh_candidates, verify_candidates
+
+        survivors = out.materialize()  # consumed twice below
+        n = survivors.count()
+        if n > NEAR_DUP_MAX_DOCS:
+            raise ValueError(
+                f"{n} docs — near-dup verification broadcasts the "
+                "surviving texts; run per-shard or raise "
+                "NEAR_DUP_MAX_DOCS deliberately"
+            )
+        texts = {}
+        for b in survivors.select_columns([id_col, text_col]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
+        cand = minhash_lsh_candidates(survivors, id_col=id_col,
+                                      text_col=text_col)
+        verified = verify_candidates(cand, ray.put(texts),
+                                     threshold=near_dup_threshold)
+        drop = {r["id_b"] for r in verified.select_columns(["id_b"])
+                .take_all()}
+        drop_ref = ray.put(sorted(drop))
+
+        class DropNearDups:
+            def __init__(self, handle):
+                import numpy as np
+
+                self.drop = np.asarray(ray.get(handle))
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                import numpy as np
+
+                ids = batch[id_col].to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(self.drop, ids)
+                idx = np.clip(idx, 0, max(len(self.drop) - 1, 0))
+                hit = (self.drop[idx] == ids) if len(self.drop) else \
+                    np.zeros(len(ids), dtype=bool)
+                return batch.filter(pa.array(~hit))
+
+        out = survivors.map_batches(DropNearDups(drop_ref),
+                                    batch_format="pyarrow")
+
+    return out

@@ -449,6 +449,44 @@ SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
 """
 
 
+def q_curate_docs(sf_dir: str):
+    """Composed curation pipeline (SQL-expressible subset): language +
+    length + punctuation-ppm gates, then exact dedup keeping the
+    lowest doc_id per content fingerprint."""
+    from .curate import curate_corpus
+
+    return curate_corpus(
+        _docs(sf_dir), langs=("en", "de", "fr"), min_chars=100,
+        max_punct_ppm=100_000,
+    ).select_columns(["doc_id", "source", "lang", "n_chars"])
+
+
+SQL_CURATE_DOCS = """
+SELECT doc_id, source, lang, n_chars FROM (
+  SELECT d.doc_id, d.source, d.lang, d.n_chars,
+         row_number() OVER (PARTITION BY md5(d.text)
+                            ORDER BY d.doc_id) AS rn
+    FROM documents d
+   WHERE d.lang IN ('en', 'de', 'fr')
+     AND length(d.text) >= 100
+     AND floor(1e6 * length(regexp_extract_all(d.text, '[.,;:!?]'))
+               / greatest(CAST(length(d.text) AS DOUBLE), 1.0)) <= 100000
+) WHERE rn = 1
+"""
+
+
+def q_curate_docs_neardup(sf_dir: str):
+    """Full curation incl. MinHash-LSH near-dup removal (greedy
+    keep-lowest-id) — rows-only: LSH banding is not expressible as
+    hash-matchable SQL."""
+    from .curate import curate_corpus
+
+    return curate_corpus(
+        _docs(sf_dir), langs=("en", "de", "fr"), min_chars=100,
+        max_punct_ppm=100_000, near_dup=True, near_dup_threshold=0.5,
+    ).select_columns(["doc_id", "source", "lang"])
+
+
 def q_dedup_exact_docs(sf_dir: str):
     from ..ops.dedup import dedup_exact
 
@@ -1049,6 +1087,8 @@ QUERIES = {
     "sample_docs": q_sample_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
     "token_doc_freq": q_token_doc_freq,
+    "curate_docs": q_curate_docs,
+    "curate_docs_neardup": q_curate_docs_neardup,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_minhash_docs": q_dedup_minhash_docs,
     "dedup_simhash_docs": q_dedup_simhash_docs,
@@ -1078,6 +1118,7 @@ ORACLES = {
     "sample_docs": SQL_SAMPLE_DOCS,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "token_doc_freq": SQL_TOKEN_DOC_FREQ,
+    "curate_docs": SQL_CURATE_DOCS,
     "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
     "emb_near_dup": SQL_EMB_NEAR_DUP,
     "ann_topk": SQL_ANN_TOPK,

@@ -337,6 +337,50 @@ class TestSampleAndSelect:
         assert ("arrow", 3) in got and ("it's", 1) in got
 
 
+class TestCurate:
+    def test_curate_pipeline_stages(self, ray_session):
+        import ray.data
+
+        from cow_ray.pipelines.curate import curate_corpus
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the quiet green forest tonight ok")
+        rows = [
+            {"doc_id": 0, "lang": "en", "text": base},
+            {"doc_id": 1, "lang": "en", "text": base},          # exact dup
+            {"doc_id": 2, "lang": "en", "text": base + " yes"},  # near dup
+            {"doc_id": 3, "lang": "zh", "text": base},           # lang gate
+            {"doc_id": 4, "lang": "en", "text": "too short"},    # len gate
+            {"doc_id": 5, "lang": "en",
+             "text": "a completely different document about arrow and "
+                     "ray data pipelines streaming through object stores"},
+        ]
+        ds = ray.data.from_items(rows).repartition(3)
+        # filter + exact dedup only
+        ids = sorted(r["doc_id"] for r in curate_corpus(
+            ds, langs=("en",), min_chars=50).take_all())
+        assert ids == [0, 2, 5]  # 1 exact-duped, 3 lang, 4 length
+        # + near-dup removal: 2 is a verified near-dup of 0 → dropped
+        ids = sorted(r["doc_id"] for r in curate_corpus(
+            ds, langs=("en",), min_chars=50, near_dup=True,
+            near_dup_threshold=0.5).take_all())
+        assert ids == [0, 5]
+
+    def test_curate_near_dup_refuses_unbroadcastable(self, ray_session,
+                                                     monkeypatch):
+        import ray.data
+
+        from cow_ray.pipelines import curate
+
+        ds = ray.data.from_items(
+            [{"doc_id": i, "lang": "en", "text": f"doc number {i} text"}
+             for i in range(20)]
+        )
+        monkeypatch.setattr(curate, "NEAR_DUP_MAX_DOCS", 5)
+        with pytest.raises(ValueError, match="broadcasts"):
+            curate.curate_corpus(ds, near_dup=True)
+
+
 class TestMultimodal:
     def test_decode_stage_plumbing(self, ray_session):
         import ray.data
