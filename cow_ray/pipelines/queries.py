@@ -994,6 +994,46 @@ SELECT date_trunc('month', o.o_orderdate) AS month,
 
 
 
+def q_events_asof_orders(sf_dir: str):
+    """As-of join: each event matched to the user's most recent order
+    at-or-before the event timestamp (backward as-of; right side ties
+    on orderdate resolved to max orderkey — mirrored in the oracle's
+    pre-dedup).  Composition: union → keyed groupby → per-group
+    vectorized searchsorted merge (ops/asof.py)."""
+    from ..ops.asof import asof_join
+
+    left = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    right = _read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    out = asof_join(
+        left, right,
+        key_left="user_id", ts_left="ts",
+        key_right="o_custkey", ts_right="o_orderdate",
+        right_payload=["o_orderkey"],
+    )
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "ts": b["ts"],
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+        })
+
+    return out.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF_ORDERS = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey
+  FROM events e ASOF LEFT JOIN o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 def q_events_sessionize(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): the stream-shaped
     op the reference cannot express.  Partition by user, sort by ts
@@ -1101,6 +1141,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_first": q_events_first,
     "lineitem_orders_join": q_lineitem_orders_join,
+    "events_asof_orders": q_events_asof_orders,
     "events_sessionize": q_events_sessionize,
     "approx_distinct_docs": q_approx_distinct_docs,
     "multimodal_decode": q_multimodal_decode,
@@ -1128,5 +1169,6 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_first": SQL_EVENTS_FIRST,
     "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
+    "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
 }

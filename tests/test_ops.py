@@ -337,6 +337,36 @@ class TestSampleAndSelect:
         assert ("arrow", 3) in got and ("it's", 1) in got
 
 
+class TestAsofJoin:
+    def test_backward_asof_with_ties_and_misses(self, ray_session):
+        import datetime as dt
+
+        import ray.data
+
+        from cow_ray.ops.asof import asof_join
+
+        T = lambda d: dt.datetime(2024, 1, d)
+        left = ray.data.from_items([
+            {"eid": 1, "k": 1, "ts": T(10)},
+            {"eid": 2, "k": 1, "ts": T(2)},   # before any right row
+            {"eid": 3, "k": 2, "ts": T(20)},  # key with no right rows
+            {"eid": 4, "k": 1, "ts": T(5)},   # exactly ON a right ts
+        ]).repartition(2)
+        right = ray.data.from_items([
+            {"k": 1, "rts": T(5), "payload": 100},
+            {"k": 1, "rts": T(5), "payload": 300},  # tie → max payload
+            {"k": 1, "rts": T(7), "payload": 200},
+        ]).repartition(2)
+        out = {r["eid"]: r["payload"] for r in asof_join(
+            left, right, key_left="k", ts_left="ts",
+            key_right="k", ts_right="rts", right_payload=["payload"],
+        ).take_all()}
+        assert out[1] == 200          # latest ≤ Jan 10 is Jan 7
+        assert out[2] is None or (out[2] != out[2])  # miss → null/NaN
+        assert out[3] is None or (out[3] != out[3])  # no right rows
+        assert out[4] == 300          # equal ts qualifies; tie → max
+
+
 class TestCurate:
     def test_curate_pipeline_stages(self, ray_session):
         import ray.data
