@@ -134,6 +134,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "dedup_exact_docs", "dedup_minhash_docs", "dedup_simhash_docs",
         "doc_fingerprint", "ann_topk", "emb_near_dup",
         "q1_pricing_summary", "top_parts_by_qty", "orders_by_nation",
+        "lineitem_qty_bands", "events_sliding",
         "events_hourly", "events_first", "events_asof_orders",
         "events_sessionize",
         "lineitem_orders_join",

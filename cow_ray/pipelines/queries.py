@@ -994,6 +994,48 @@ SELECT date_trunc('month', o.o_orderdate) AS month,
 
 
 
+QTY_BANDS = [("b01_10", 1, 10), ("b11_20", 11, 20), ("b21_30", 21, 30),
+             ("b31_40", 31, 40), ("b41_50", 41, 50)]
+
+
+def q_lineitem_qty_bands(sf_dir: str):
+    """Range (interval) join: lineitems matched to quantity bands via
+    a broadcast interval table + per-batch binary search (the fact
+    table never shuffles), then a banded rollup with a map-side
+    combiner."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.interval import interval_join
+
+    ds = interval_join(
+        _read(sf_dir, "lineitem", columns=["l_quantity"]),
+        QTY_BANDS, "l_quantity",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.group_by(["band"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["band", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Sum("n", alias_name="n_items"))
+    )
+
+
+SQL_LINEITEM_QTY_BANDS = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('b01_10', 1, 10), ('b11_20', 11, 20), ('b21_30', 21, 30),
+  ('b31_40', 31, 40), ('b41_50', 41, 50))
+SELECT b.band, CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem l JOIN bands b ON l.l_quantity BETWEEN b.lo AND b.hi
+ GROUP BY b.band
+"""
+
+
 def q_events_asof_orders(sf_dir: str):
     """As-of join: each event matched to the user's most recent order
     at-or-before the event timestamp (backward as-of; right side ties
@@ -1031,6 +1073,48 @@ WITH o AS (
 SELECT e.event_id, e.user_id, e.ts, o.o_orderkey
   FROM events e ASOF LEFT JOIN o
     ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding (trailing) 2-hour window per event: count + value sum of
+    the user's events in ``[ts − 2h, ts]``.  Per-key two-pointer over
+    the sorted group (searchsorted bounds + prefix sums — O(n log n)
+    per key, no per-row rescan); value summed in exact integer cents
+    (order-free).  Same partitioning contract as sessionize: one key's
+    history fits a worker."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "value"])
+    W = pd.Timedelta(hours=2)
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        # RANGE window semantics: peers of the current ts included
+        lo = np.searchsorted(ts, ts - W.to_timedelta64(), side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "ts": g["ts"].to_numpy(),
+            "w_events": (hi - lo).astype(np.int64),
+            "w_value": (cum[hi] - cum[lo]) / 100.0,
+        })
+
+    return ds.groupby("user_id").map_groups(window, batch_format="pandas")
+
+
+SQL_EVENTS_SLIDING = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS w_events,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS w_value
+  FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)
 """
 
 
@@ -1141,7 +1225,9 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_first": q_events_first,
     "lineitem_orders_join": q_lineitem_orders_join,
+    "lineitem_qty_bands": q_lineitem_qty_bands,
     "events_asof_orders": q_events_asof_orders,
+    "events_sliding": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "approx_distinct_docs": q_approx_distinct_docs,
     "multimodal_decode": q_multimodal_decode,
@@ -1169,6 +1255,8 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_first": SQL_EVENTS_FIRST,
     "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
+    "lineitem_qty_bands": SQL_LINEITEM_QTY_BANDS,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
+    "events_sliding": SQL_EVENTS_SLIDING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
 }

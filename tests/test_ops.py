@@ -367,6 +367,28 @@ class TestAsofJoin:
         assert out[4] == 300          # equal ts qualifies; tie → max
 
 
+class TestIntervalJoin:
+    def test_bands_and_unmatched(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.interval import interval_join
+
+        ds = ray.data.from_items(
+            [{"id": i, "v": v} for i, v in
+             enumerate([0, 1, 5, 10, 11, 25, 99])]
+        )
+        ivs = [("low", 1, 10), ("mid", 11, 30)]
+        got = {r["id"]: r["band"] for r in interval_join(
+            ds, ivs, "v").take_all()}
+        assert got == {1: "low", 2: "low", 3: "low", 4: "mid", 5: "mid"}
+        # outer variant keeps unmatched rows with null band
+        rows = interval_join(ds, ivs, "v", drop_unmatched=False).take_all()
+        assert len(rows) == 7
+        assert {r["id"] for r in rows if r["band"] is None} == {0, 6}
+        with pytest.raises(ValueError, match="non-overlapping"):
+            interval_join(ds, [("a", 1, 10), ("b", 5, 20)], "v")
+
+
 class TestCurate:
     def test_curate_pipeline_stages(self, ray_session):
         import ray.data
