@@ -201,7 +201,8 @@ def bench_once(headline_only: bool = False) -> dict:
         (run_flagship(pages_dir, num_parts=num_parts) for _ in range(reps)),
         key=lambda r: r["sec"],
     )
-    head = runs[len(runs) // 2] if stat == "median" else runs[0]
+    # lower-median for even rep counts (len//2 would pick the MAX of 2)
+    head = runs[(len(runs) - 1) // 2] if stat == "median" else runs[0]
     all_secs = [round(r["sec"], 3) for r in runs]
     queries = {} if headline_only else run_queries(SF_DIR)
 

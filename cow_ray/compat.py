@@ -114,9 +114,14 @@ class COW:
         from .__main__ import _export, _ext
 
         fmt = output_format if output_format in (
-            "nquads", "ntriples", "turtle", "n3", "trig", "xml", "trix"
+            "nquads", "ntriples", "turtle", "n3", "trig", "xml",
+            "pretty-xml", "trix"
         ) else "nquads"
-        out = source_file + _ext(fmt, gzipped and fmt in ("nquads", "ntriples"))
-        _export(store, fmt, out,
-                gzipped=gzipped and fmt in ("nquads", "ntriples"))
+        gz = gzipped and fmt in ("nquads", "ntriples")
+        if gzipped and not gz:
+            # reference parity: only the N-Quads/N-Triples writers gzip
+            print(f"Note: gzipped output is not supported for {fmt}; "
+                  "writing uncompressed")
+        out = source_file + _ext(fmt, gz)
+        _export(store, fmt, out, gzipped=gz)
         print(f"Serialized to {out}")

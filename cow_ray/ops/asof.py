@@ -53,7 +53,12 @@ def asof_join(
     ltypes = dict(zip(left_schema.names, left_schema.types))
     rtypes = dict(zip(right_schema.names, right_schema.types))
     left_cols = list(left_schema.names)
-    out_cols = left_cols + right_payload
+    clash = set(left_cols) & set(right_payload)
+    if clash:
+        raise ValueError(
+            f"right_payload columns {sorted(clash)} collide with left "
+            "columns — rename one side before joining"
+        )
 
     # tag with properly-TYPED null columns (an object-dtype None column
     # would force schema coercion at the union and defeat Arrow nulls)

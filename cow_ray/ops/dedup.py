@@ -175,7 +175,18 @@ class BandEmitter:
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
         num_perm = len(flat) // n
         rows_per_band = num_perm // self.num_bands
-        m = flat.reshape(n, self.num_bands, rows_per_band)
+        if rows_per_band == 0:
+            raise ValueError(
+                f"num_bands={self.num_bands} exceeds signature length "
+                f"{num_perm}"
+            )
+        used = self.num_bands * rows_per_band
+        # non-divisible num_perm: use the first bands×rows values (the
+        # original per-row slicing semantics) instead of reshape-crashing
+        m = (
+            flat.reshape(n, num_perm)[:, :used]
+            .reshape(n, self.num_bands, rows_per_band)
+        )
         # iterative xor-mix fold across the band rows (rows_per_band
         # vectorized passes, typically 4) — order-sensitive, like md5
         h = np.full((n, self.num_bands), np.uint64(rows_per_band),

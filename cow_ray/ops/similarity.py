@@ -314,15 +314,18 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95,
     import ray
 
     sub = ds if max_rows is None else ds.limit(max_rows)
+    n_rows = None
     if mode == "auto":
-        mode = ("broadcast" if sub.count() <= BROADCAST_NEAR_DUP_MAX_ROWS
+        n_rows = sub.count()  # one execution, reused by the guard below
+        mode = ("broadcast" if n_rows <= BROADCAST_NEAR_DUP_MAX_ROWS
                 else "lsh")
     if mode == "lsh":
         return lsh_near_dup_pairs(sub, threshold, id_col=id_col,
                                   vec_col=vec_col, **lsh_kwargs)
     if mode != "broadcast":
         raise ValueError(f"unknown mode {mode!r}")
-    n_rows = sub.count()
+    if n_rows is None:
+        n_rows = sub.count()
     if n_rows > BROADCAST_NEAR_DUP_MAX_ROWS:
         raise ValueError(
             f"corpus has {n_rows} rows — too large to broadcast; use "

@@ -236,4 +236,19 @@ def convert_pages(
 
         with open(_os.path.join(out_dir, "_metrics.json"), "w") as f:
             _json.dump(counts, f)
-    return triples, manifests
+
+    # the returned Dataset must contain ONLY real triples — the
+    # sideband error/skip markers are a store-internal protocol
+    # (counted + stripped by finish_part); a caller consuming the
+    # Dataset directly must never see them
+    from ..triples import MARKER_KIND
+
+    def strip_markers(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(
+                pc.fill_null(pc.equal(batch["obj_kind"], MARKER_KIND), False)
+            )
+        )
+
+    return triples.map_batches(strip_markers, batch_format="pyarrow"), \
+        manifests

@@ -126,13 +126,15 @@ def curate_corpus(
 
         class DropNearDups:
             def __init__(self, handle):
-                import numpy as np
-
-                self.drop = np.asarray(ray.get(handle))
+                # resolved lazily in the worker (see queries.AttachNation)
+                self._handle = handle
+                self.drop = None
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 import numpy as np
 
+                if self.drop is None:
+                    self.drop = np.asarray(ray.get(self._handle))
                 ids = batch[id_col].to_numpy(zero_copy_only=False)
                 idx = np.searchsorted(self.drop, ids)
                 idx = np.clip(idx, 0, max(len(self.drop) - 1, 0))

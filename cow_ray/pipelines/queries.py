@@ -715,17 +715,27 @@ def q_orders_by_nation(sf_dir: str):
 
     class AttachNation:
         def __init__(self, handle):
-            keys, names = ray.get(handle)
-            # sort ONCE per worker so each batch is an O(B log N)
-            # binary search — pc.index_in would rebuild an O(N) hash
-            # table on the broadcast side per batch
-            knp = keys.to_numpy(zero_copy_only=False)
-            order = np.argsort(knp, kind="stable")
-            self.keys = knp[order]
-            self.names = pc.take(names, pa.array(order))
+            # resolve LAZILY (first batch, inside the worker): an eager
+            # ray.get here runs on the DRIVER and embeds the whole
+            # lookup in the pickled closure, defeating the plasma
+            # broadcast (same discipline as similarity.Pairs)
+            self._handle = handle
+            self.keys = self.names = None
+
+        def _ensure(self):
+            if self.keys is None:
+                keys, names = ray.get(self._handle)
+                # sort ONCE per worker so each batch is an O(B log N)
+                # binary search — pc.index_in would rebuild an O(N)
+                # hash table on the broadcast side per batch
+                knp = keys.to_numpy(zero_copy_only=False)
+                order = np.argsort(knp, kind="stable")
+                self.keys = knp[order]
+                self.names = pc.take(names, pa.array(order))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             # vectorized lookup — no pandas round-trip, no Python loop
+            self._ensure()
             probe = batch["o_custkey"].to_numpy(zero_copy_only=False)
             idx = np.searchsorted(self.keys, probe)
             idx = np.clip(idx, 0, len(self.keys) - 1)
@@ -902,9 +912,12 @@ def _broadcast_attach_orderdate(li, orders):
 
     class Attach:
         def __init__(self, h):
-            self.keys, self.dates = ray.get(h)
+            self._handle = h  # resolved lazily in the worker (see
+            self.keys = self.dates = None  # AttachNation)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.keys is None:
+                self.keys, self.dates = ray.get(self._handle)
             probe = batch["l_orderkey"].to_numpy(zero_copy_only=False)
             idx = np.clip(np.searchsorted(self.keys, probe), 0,
                           len(self.keys) - 1)

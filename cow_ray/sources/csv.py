@@ -292,4 +292,17 @@ def convert_csv(
         triples, out_dir, num_parts=cfg.num_parts, job=jh, nanopub=np_,
         resume=cfg.resume, dedup=cfg.dedup, input_desc=csv_path,
     )
-    return triples, manifests
+    # returned Dataset: real triples only (markers are store-internal)
+    import pyarrow.compute as pc
+
+    from ..triples import MARKER_KIND
+
+    def strip_markers(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(
+                pc.fill_null(pc.equal(batch["obj_kind"], MARKER_KIND), False)
+            )
+        )
+
+    return triples.map_batches(strip_markers, batch_format="pyarrow"), \
+        manifests

@@ -401,7 +401,7 @@ def materialize_triples(
         shuffle = os.environ.get("GRAFT_SHUFFLE", "storage")
 
     if shuffle == "actors":
-        # ---- object-store shuffle (default) ----
+        # ---- object-store shuffle (opt-in; storage is the default) ----
         # Map tasks push per-reducer slices straight into plasma-backed
         # reducer actors; no staged byte is ever written to / read back
         # from scratch storage.  The per-batch ray.get on the appends
@@ -534,11 +534,17 @@ def read_triple_store(out_dir: str):
     only)."""
     import ray.data
 
-    # canonical layout only — never match a part-*.tmp-<pid> leftover
+    # canonical layout only — never match a part-*.tmp-<pid> leftover.
+    # NB: {part_id:05d} widens beyond 5 digits for num_parts >= 100000
+    # (DESIGN.md sizes num_parts in the millions at petabyte scale), so
+    # filter by exact name shape rather than a fixed-width glob.
+    import re as _re
+
+    name_ok = _re.compile(r"^part-[0-9]+$")
     paths = sorted(
-        _glob.glob(
-            os.path.join(out_dir, "part-[0-9][0-9][0-9][0-9][0-9]",
-                         "triples.parquet")
-        )
+        p
+        for p in _glob.glob(os.path.join(out_dir, "part-*",
+                                         "triples.parquet"))
+        if name_ok.match(os.path.basename(os.path.dirname(p)))
     )
     return ray.data.read_parquet(paths)

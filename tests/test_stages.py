@@ -320,8 +320,15 @@ class TestMaterialize:
             ],
         }
         out = str(tmp_path / "store")
-        _, manifests = convert_pages(
+        returned, manifests = convert_pages(
             src, rules, out, config=ConvertConfig(num_parts=4))
+        # the RETURNED Dataset is marker-free (markers are a
+        # store-internal protocol)
+        ret_kinds = set(
+            k for b in returned.iter_batches(batch_format="pyarrow")
+            for k in b["obj_kind"].to_pylist()
+        )
+        assert "__marker__" not in ret_kinds
         doc = parse_rules(rules)
         _, want_errors, want_skips = process_table(
             [dict(r) for r in rows], doc, 0)
