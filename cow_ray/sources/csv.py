@@ -33,9 +33,58 @@ import os
 import pyarrow as pa
 
 
+# single-byte candidates for the coherence scorer, most-specific
+# first; latin-1 is the lossless fallback (every byte decodes)
+_SB_CANDIDATES = ("cp1252", "cp1251", "iso-8859-7", "latin-1")
+
+
+_SB_SCRIPT_BLOCK = {  # expected non-ASCII letter block per encoding
+    "cp1251": (0x0400, 0x04FF),      # Cyrillic
+    "iso-8859-7": (0x0370, 0x03FF),  # Greek
+}
+
+
+def _coherence(enc: str, text: str) -> float:
+    """Score a decoded sample the way chardet's statistics do in
+    miniature.  Control characters (what a wrong single-byte guess
+    makes of the 0x80-0x9F range) count strongly against.  Latin
+    candidates expect accented letters to be SPARSE among ASCII
+    letters (café, naïve); non-Latin-script candidates expect their
+    block to DOMINATE the letters — that asymmetry is what separates
+    cp1251-Russian from the same bytes misread as cp1252 accents."""
+    ascii_a = hi_a = in_block = bad = 0
+    lo, hi = _SB_SCRIPT_BLOCK.get(enc, (0, -1))
+    for ch in text:
+        o = ord(ch)
+        if o < 128:
+            if o < 32 and ch not in "\t\r\n":
+                bad += 5
+            elif ch.isalpha():
+                ascii_a += 1
+            continue
+        if 0x80 <= o <= 0x9F:
+            bad += 5
+            continue
+        if ch.isalpha():
+            hi_a += 1
+            if lo <= o <= hi:
+                in_block += 1
+    if enc in ("cp1252", "latin-1"):
+        shape = hi_a if hi_a <= max(1, ascii_a) else -hi_a
+        return ascii_a + shape - bad
+    stray = hi_a - in_block
+    if in_block >= ascii_a:  # the script dominates: plausible
+        return ascii_a + 2 * in_block - 5 * stray - bad
+    return -(stray + (ascii_a - in_block)) - bad
+
+
 def detect_encoding(path: str, sample_bytes: int = 1 << 20) -> str:
-    """BOM + utf-8 probe heuristic (stands in for chardet,
-    ``csvw.py:64-74``)."""
+    """BOM + strict-utf-8 probe, then a letter-coherence scorer over
+    common single-byte encodings (a small, deterministic stand-in for
+    chardet, which is absent from this environment; reference
+    ``csvw.py:64-74``).  A wrong single-byte guess maps the 0x80-0x9F
+    range to control characters — the scorer penalizes exactly that,
+    which is chardet's core signal for cp125x vs latin-1 families."""
     with open(path, "rb") as f:
         head = f.read(sample_bytes)
     if head.startswith(b"\xef\xbb\xbf"):
@@ -46,7 +95,17 @@ def detect_encoding(path: str, sample_bytes: int = 1 << 20) -> str:
         head.decode("utf-8")
         return "utf-8"
     except UnicodeDecodeError:
-        return "latin-1"
+        pass
+    best, best_score = "latin-1", float("-inf")
+    for enc in _SB_CANDIDATES:
+        try:
+            text = head.decode(enc)
+        except UnicodeDecodeError:
+            continue
+        score = _coherence(enc, text)
+        if score > best_score:
+            best, best_score = enc, score
+    return best
 
 
 def sniff_delimiter(path: str, encoding: str | None = None) -> str:

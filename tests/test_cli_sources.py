@@ -377,6 +377,35 @@ class TestCsvChunkingProperty:
                     assert [got[i][h] for h in header] == wrow, (trial, chunk, i)
 
 
+class TestEncodingDetection:
+    def _csv_bytes(self, tmp_path, name, data: bytes):
+        p = tmp_path / name
+        p.write_bytes(data)
+        return str(p)
+
+    def test_detects_families(self, ray_session, tmp_path):
+        from cow_ray.sources.csv import detect_encoding, read_csv_with_row_ids
+
+        ru = "город,страна\nМосква,Россия\nКиев,Украина\n"
+        fr = "prix,devise\n12,€uro\ncafé,naïve\n"
+        ascii_ = "a,b\n1,2\n"
+        cases = [
+            ("ru.csv", ru.encode("cp1251"), "cp1251"),
+            ("fr.csv", fr.encode("cp1252"), "cp1252"),
+            ("plain.csv", ascii_.encode("ascii"), "utf-8"),
+            ("u8.csv", ru.encode("utf-8"), "utf-8"),
+            ("bom.csv", b"\xef\xbb\xbf" + ascii_.encode(), "utf-8-sig"),
+        ]
+        for name, data, want in cases:
+            p = self._csv_bytes(tmp_path, name, data)
+            assert detect_encoding(p) == want, name
+        # and the reader round-trips the detected cp1251 content
+        p = self._csv_bytes(tmp_path, "ru2.csv", ru.encode("cp1251"))
+        rows = sorted(read_csv_with_row_ids(p).take_all(),
+                      key=lambda r: r["_row"])
+        assert rows[0]["город"] == "Москва"
+
+
 class TestCsvSinglePassPlanning:
     def test_planner_counts_match_parse(self, tmp_path):
         """The single-scan row counts must equal what the chunk parser
