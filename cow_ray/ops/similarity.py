@@ -294,6 +294,90 @@ def lsh_near_dup_pairs(ds, threshold: float = 0.95, *,
     )
 
 
+# ---------- IVF (inverted-file / coarse k-means) ----------
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                    seed: int = 13) -> np.ndarray:
+    """Spherical k-means on a driver-side SAMPLE (the standard IVF
+    recipe: training data is a small sample, assignment is the
+    distributed pass).  Deterministic: seeded init, fixed iteration
+    count.  Returns L2-normalized (n_centroids, dim) centroids."""
+    x = _norm_rows(np.asarray(sample, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)),
+                        replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _norm_rows(cent)
+    return cent
+
+
+def ivf_topk(ds, queries: np.ndarray, query_ids, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4, train_sample: int = 2048,
+             seed: int = 13, id_col: str = "vec_id",
+             vec_col: str = "embedding"):
+    """IVF ANN: corpus rows are assigned to their nearest coarse
+    centroid (one batched GEMM per block — the distributed pass);
+    each query probes only its ``nprobe`` nearest centroids'
+    inverted lists, so the fine GEMM touches ~``nprobe/n_centroids``
+    of the corpus.  Centroids train on a driver-side sample
+    (``ds.limit(train_sample)`` — IVF's standard contract).  Recall<1
+    by construction; compare to brute force in tests."""
+    import ray
+
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent = train_centroids(sample, n_centroids, seed=seed)
+    cent_ref = ray.put(cent)
+
+    q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    # per-query probe lists → map centroid -> query indices
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    by_cent: dict[int, list[int]] = {}
+    for qi, cs in enumerate(probes):
+        for c in cs:
+            by_cent.setdefault(int(c), []).append(qi)
+
+    class AssignCentroid:
+        def __init__(self, handle):
+            self._handle = handle  # lazy: resolve in the worker
+            self.cent = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.cent is None:
+                self.cent = ray.get(self._handle)
+            m = _norm_rows(_as_matrix(batch[vec_col]))
+            a = ((m @ self.cent.T).argmax(axis=1).astype(np.int64)
+                 if m.size else np.array([], dtype=np.int64))
+            return batch.append_column("centroid", pa.array(a))
+
+    def per_list(group: pa.Table) -> pa.Table:
+        c = group["centroid"][0].as_py()
+        sel = by_cent.get(int(c))
+        if not sel:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "score": pa.array([], type=pa.float64())}
+            )
+        bf = BruteForceTopK(q[sel], qids[sel], k, id_col, vec_col)
+        return bf(group)
+
+    cand = (
+        ds.map_batches(AssignCentroid(cent_ref), batch_format="pyarrow")
+        .groupby("centroid")
+        .map_groups(per_list, batch_format="pyarrow")
+    )
+    return cand.groupby("query_id").map_groups(_merge_topk(k),
+                                               batch_format="pyarrow")
+
+
 def cosine_near_dup_pairs(ds, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           max_rows: int | None = None, mode: str = "auto",

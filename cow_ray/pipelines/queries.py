@@ -588,6 +588,21 @@ def q_ann_lsh_topk(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN (coarse k-means inverted lists, nprobe probing) —
+    rows-only: the centroid training/probing is not expressible as
+    hash-matchable SQL; recall vs brute force is pinned in tests."""
+    from ..ops.similarity import ivf_topk
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qt = tbl.filter(pc.less(tbl["vec_id"], 10))
+    q = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = np.array(qt["vec_id"].to_pylist())
+    out = ivf_topk(_read(sf_dir, "embeddings"), q, qids, k=5,
+                   n_centroids=16, nprobe=4)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 # ----------------------------------------------------------- relational
 
 
@@ -1232,6 +1247,7 @@ QUERIES = {
     "emb_near_dup": q_emb_near_dup,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "q1_pricing_summary": q_q1_pricing_summary,
     "top_parts_by_qty": q_top_parts_by_qty,
     "orders_by_nation": q_orders_by_nation,

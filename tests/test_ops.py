@@ -215,6 +215,29 @@ class TestSimilarity:
         recall = len(bf_set & ap_set) / len(bf_set)
         assert recall >= 0.25  # 4 planes → 16 buckets over 500 vecs
 
+    def test_ivf_topk_recall(self, emb_ds):
+        import pyarrow.parquet as pq
+
+        from cow_ray.ops.similarity import brute_force_topk, ivf_topk
+
+        tbl = pq.read_table(EMB)
+        ids = np.array(tbl["vec_id"].to_pylist())
+        m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+        q_ids = ids[:10]
+        q = m[:10]
+        bf = brute_force_topk(emb_ds, q, q_ids, k=5).take_all()
+        approx = ivf_topk(emb_ds, q, q_ids, k=5, n_centroids=16,
+                          nprobe=4).take_all()
+        bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
+        ap_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(bf_set & ap_set) / len(bf_set)
+        # nprobe=4 of 16 lists over 500 vecs: high-but-approximate
+        assert recall >= 0.5
+        # deterministic across runs (seeded centroids)
+        again = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(
+            emb_ds, q, q_ids, k=5, n_centroids=16, nprobe=4).take_all()}
+        assert again == ap_set
+
     def test_cosine_near_dup_pairs(self, ray_session):
         import ray.data
 
