@@ -400,6 +400,57 @@ def q_doc_rolling_fp(sf_dir: str):
 # ------------------------------------------------------------- dedup
 
 
+def q_scrub_docs(sf_dir: str):
+    """PII scrubbing (email/IP/phone → placeholder tokens) — identical
+    RE2 patterns on both engines, so the redacted text hash-matches
+    DuckDB's regexp_replace(..., 'g')."""
+    from ..ops.scrub import scrub_pii
+
+    return (
+        _docs(sf_dir)
+        .map_batches(scrub_pii, batch_format="pyarrow")
+        .select_columns(["doc_id", "clean_text"])
+    )
+
+
+SQL_SCRUB_DOCS = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+           '<IP>', 'g'),
+         '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+  FROM documents
+"""
+
+
+def q_chunk_docs(sf_dir: str):
+    """Document chunking (512-char windows, 64 overlap) — the
+    sequence-packing precursor; one row per chunk via a flat-map-shaped
+    batch transform."""
+    from ..ops.scrub import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), chunk_chars=512, overlap=64)
+
+
+SQL_CHUNK_DOCS = """
+SELECT d.doc_id, s.g AS chunk_id,
+       substr(d.text, CAST(s.g * 448 + 1 AS BIGINT), 512) AS chunk_text,
+       CAST(length(substr(d.text, CAST(s.g * 448 + 1 AS BIGINT), 512))
+            AS BIGINT) AS n_chunk_chars
+  FROM documents d,
+       LATERAL (
+         SELECT unnest(generate_series(
+           0,
+           CAST(ceil(CAST(greatest(length(d.text) - 64, 1) AS DOUBLE)
+                     / 448) AS BIGINT) - 1)) AS g
+       ) s
+"""
+
+
 def q_sample_docs(sf_dir: str):
     from ..ops.sample import hash_sample
 
@@ -1236,6 +1287,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "langid_docs": q_langid_docs,
     "doc_rolling_fp": q_doc_rolling_fp,
+    "scrub_docs": q_scrub_docs,
+    "chunk_docs": q_chunk_docs,
     "sample_docs": q_sample_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
     "token_doc_freq": q_token_doc_freq,
@@ -1271,6 +1324,8 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_hist": SQL_LANG_HIST,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "scrub_docs": SQL_SCRUB_DOCS,
+    "chunk_docs": SQL_CHUNK_DOCS,
     "sample_docs": SQL_SAMPLE_DOCS,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "token_doc_freq": SQL_TOKEN_DOC_FREQ,

@@ -390,6 +390,55 @@ class TestAsofJoin:
         assert out[4] == 300          # equal ts qualifies; tie → max
 
 
+class TestScrubAndChunk:
+    def test_scrub_redacts_pii(self):
+        import pyarrow as pa_
+
+        from cow_ray.ops.scrub import scrub_pii
+
+        t = pa_.table({"text": [
+            "mail me at jane.doe+x@example.co.uk today",
+            "server 192.168.0.1 answered",
+            "call +1 (555) 123-4567 now",
+            "clean text stays clean",
+            None,
+        ]})
+        out = scrub_pii(t)["clean_text"].to_pylist()
+        assert out[0] == "mail me at <EMAIL> today"
+        assert out[1] == "server <IP> answered"
+        assert out[2] == "call <PHONE> now"
+        assert out[3] == "clean text stays clean"
+        assert out[4] == ""
+
+    def test_chunking_edges(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.scrub import chunk_documents
+
+        rows = [
+            {"doc_id": 0, "text": "x" * 1000},
+            {"doc_id": 1, "text": "short"},
+            {"doc_id": 2, "text": ""},
+        ]
+        ds = ray.data.from_items(rows)
+        out = chunk_documents(ds, chunk_chars=512, overlap=64).take_all()
+        by_doc: dict = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc0: starts 0, 448, 896 → 3 chunks; overlap reconstruction
+        c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in c0] == [0, 1, 2]
+        assert c0[0]["n_chunk_chars"] == 512
+        assert c0[2]["n_chunk_chars"] == 1000 - 896
+        # every original char covered
+        assert "".join(r["chunk_text"][64 if r["chunk_id"] else 0:]
+                       for r in c0) == "x" * 1000
+        assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "short"
+        assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == ""
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(ds, chunk_chars=64, overlap=64)
+
+
 class TestIntervalJoin:
     def test_bands_and_unmatched(self, ray_session):
         import ray.data
