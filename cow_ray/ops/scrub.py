@@ -63,14 +63,12 @@ def chunk_documents(ds, *, chunk_chars: int = 512, overlap: int = 64,
                 ids_out.append(i)
                 chunk_ids.append(ci)
                 texts.append(text[s:s + chunk_chars])
+        chunk_arr = pa.array(texts, type=pa.string())
         return pa.table({
             id_col: pa.array(ids_out, type=batch[id_col].type),
             "chunk_id": pa.array(chunk_ids, type=pa.int64()),
-            "chunk_text": pa.array(texts, type=pa.string()),
-            "n_chunk_chars": pc.cast(
-                pc.utf8_length(pa.array(texts, type=pa.string())),
-                pa.int64(),
-            ),
+            "chunk_text": chunk_arr,
+            "n_chunk_chars": pc.cast(pc.utf8_length(chunk_arr), pa.int64()),
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")

@@ -331,6 +331,13 @@ def ivf_topk(ds, queries: np.ndarray, query_ids, k: int = 5,
     import ray
 
     sample_rows = ds.limit(train_sample).take_all()
+    if not sample_rows:
+        import ray.data
+
+        return ray.data.from_arrow(pa.schema(
+            [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+             ("score", pa.float64()), ("rank", pa.int64())]
+        ).empty_table())
     sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
     cent = train_centroids(sample, n_centroids, seed=seed)
     cent_ref = ray.put(cent)

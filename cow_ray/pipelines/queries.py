@@ -417,7 +417,7 @@ SQL_SCRUB_DOCS = r"""
 SELECT doc_id,
        regexp_replace(
          regexp_replace(
-           regexp_replace(text,
+           regexp_replace(COALESCE(text, ''),
              '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
              '<EMAIL>', 'g'),
            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
@@ -436,12 +436,16 @@ def q_chunk_docs(sf_dir: str):
     return chunk_documents(_docs(sf_dir), chunk_chars=512, overlap=64)
 
 
+# COALESCE mirrors the kernel's null→'' coercion (a NULL text row
+# would otherwise propagate NULL through substr/length and break the
+# hash compare)
 SQL_CHUNK_DOCS = """
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
 SELECT d.doc_id, s.g AS chunk_id,
        substr(d.text, CAST(s.g * 448 + 1 AS BIGINT), 512) AS chunk_text,
        CAST(length(substr(d.text, CAST(s.g * 448 + 1 AS BIGINT), 512))
             AS BIGINT) AS n_chunk_chars
-  FROM documents d,
+  FROM d,
        LATERAL (
          SELECT unnest(generate_series(
            0,
@@ -596,14 +600,20 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 # ---------------------------------------------------------- similarity
 
 
+def _ann_queries(sf_dir: str):
+    """Shared query-vector loader for the three ANN variants: the
+    first 10 vectors double as queries."""
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qt = tbl.filter(pc.less(tbl["vec_id"], 10))
+    q = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = np.array(qt["vec_id"].to_pylist())
+    return q, qids
+
+
 def q_ann_topk(sf_dir: str):
     from ..ops.similarity import brute_force_topk
 
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    mask = pc.less(tbl["vec_id"], 10)
-    qt = tbl.filter(mask)
-    q = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
-    qids = np.array(qt["vec_id"].to_pylist())
+    q, qids = _ann_queries(sf_dir)
     out = brute_force_topk(_read(sf_dir, "embeddings"), q, qids, k=5)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
@@ -629,13 +639,9 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
 def q_ann_lsh_topk(sf_dir: str):
     from ..ops.similarity import lsh_topk
 
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    qt = tbl.filter(pc.less(tbl["vec_id"], 10))
-    q = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
-    qids = np.array(qt["vec_id"].to_pylist())
-    dim = len(qt["embedding"][0])
-    out = lsh_topk(_read(sf_dir, "embeddings"), q, qids, dim=dim, k=5,
-                   planes=4)
+    q, qids = _ann_queries(sf_dir)
+    out = lsh_topk(_read(sf_dir, "embeddings"), q, qids, dim=q.shape[1],
+                   k=5, planes=4)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
@@ -645,10 +651,7 @@ def q_ann_ivf_topk(sf_dir: str):
     hash-matchable SQL; recall vs brute force is pinned in tests."""
     from ..ops.similarity import ivf_topk
 
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    qt = tbl.filter(pc.less(tbl["vec_id"], 10))
-    q = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
-    qids = np.array(qt["vec_id"].to_pylist())
+    q, qids = _ann_queries(sf_dir)
     out = ivf_topk(_read(sf_dir, "embeddings"), q, qids, k=5,
                    n_centroids=16, nprobe=4)
     return out.select_columns(["query_id", "neighbor_id", "rank"])

@@ -42,6 +42,19 @@ _SB_SCRIPT_BLOCK = {  # expected non-ASCII letter block per encoding
     "cp1251": (0x0400, 0x04FF),      # Cyrillic
     "iso-8859-7": (0x0370, 0x03FF),  # Greek
 }
+# highest-frequency letters of each family's languages — real text in
+# the right decoding hits these densely; mojibake from a wrong
+# single-byte guess maps to essentially random letters and does not
+# (the miniature version of chardet's language models, which is what
+# breaks the cp1251-vs-iso-8859-7 symmetry: both decode every high
+# byte to *some* in-block letter)
+_SB_COMMON = {
+    "cp1251": set("оеаинтсрвлкм"),
+    "iso-8859-7": set("αοειτνσρηυκπ"),
+    "cp1252": set("éèêàâçùûüöäëñïíóúã"),
+    "latin-1": set("éèêàâçùûüöäëñïíóúã"),
+}
+_SB_SCORE_CHARS = 1 << 16  # letter statistics converge long before 1 MiB
 
 
 def _coherence(enc: str, text: str) -> float:
@@ -50,11 +63,13 @@ def _coherence(enc: str, text: str) -> float:
     makes of the 0x80-0x9F range) count strongly against.  Latin
     candidates expect accented letters to be SPARSE among ASCII
     letters (café, naïve); non-Latin-script candidates expect their
-    block to DOMINATE the letters — that asymmetry is what separates
-    cp1251-Russian from the same bytes misread as cp1252 accents."""
-    ascii_a = hi_a = in_block = bad = 0
+    block to dominate the NON-ASCII letters (ASCII headers/ids mixed
+    with Cyrillic values are normal); common-letter frequency breaks
+    the remaining ties."""
+    ascii_a = hi_a = in_block = common = bad = 0
     lo, hi = _SB_SCRIPT_BLOCK.get(enc, (0, -1))
-    for ch in text:
+    common_set = _SB_COMMON.get(enc, ())
+    for ch in text[:_SB_SCORE_CHARS]:
         o = ord(ch)
         if o < 128:
             if o < 32 and ch not in "\t\r\n":
@@ -67,15 +82,17 @@ def _coherence(enc: str, text: str) -> float:
             continue
         if ch.isalpha():
             hi_a += 1
+            if ch.lower() in common_set:
+                common += 1
             if lo <= o <= hi:
                 in_block += 1
     if enc in ("cp1252", "latin-1"):
         shape = hi_a if hi_a <= max(1, ascii_a) else -hi_a
-        return ascii_a + shape - bad
+        return ascii_a + shape + 2 * common - bad
     stray = hi_a - in_block
-    if in_block >= ascii_a:  # the script dominates: plausible
-        return ascii_a + 2 * in_block - 5 * stray - bad
-    return -(stray + (ascii_a - in_block)) - bad
+    if in_block >= 3 * stray:  # the script dominates non-ASCII letters
+        return ascii_a + 2 * in_block + 2 * common - 5 * stray - bad
+    return -(stray + max(ascii_a - in_block, 0)) - bad
 
 
 def detect_encoding(path: str, sample_bytes: int = 1 << 20) -> str:
@@ -94,8 +111,15 @@ def detect_encoding(path: str, sample_bytes: int = 1 << 20) -> str:
     try:
         head.decode("utf-8")
         return "utf-8"
-    except UnicodeDecodeError:
-        pass
+    except UnicodeDecodeError as e:
+        # a 1 MiB sample of a larger utf-8 file can end MID-SEQUENCE —
+        # only a failure away from the tail means genuinely not utf-8
+        if e.start >= len(head) - 4:
+            try:
+                head[: e.start].decode("utf-8")
+                return "utf-8"
+            except UnicodeDecodeError:
+                pass
     best, best_score = "latin-1", float("-inf")
     for enc in _SB_CANDIDATES:
         try:

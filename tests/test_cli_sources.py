@@ -405,6 +405,31 @@ class TestEncodingDetection:
                       key=lambda r: r["_row"])
         assert rows[0]["город"] == "Москва"
 
+    def test_review_reproduced_edge_cases(self, tmp_path):
+        """The three failure modes a review reproduced: utf-8 sample
+        truncated mid-sequence, Greek vs Cyrillic symmetry, and mixed
+        ASCII-heavy content with Cyrillic values."""
+        from cow_ray.sources.csv import detect_encoding
+
+        # 1. valid utf-8 file whose sample window PROVABLY ends
+        # mid-multibyte: byte (1<<20)-1 is the first byte of 'é'
+        big = (b"a,b\n" + b"x" * ((1 << 20) - 5)
+               + "é".encode("utf-8") + b",tail\n" + b"y,z\n" * 10)
+        assert big[(1 << 20) - 1] == "é".encode("utf-8")[0]
+        p = self._csv_bytes(tmp_path, "big.csv", big)
+        assert detect_encoding(p) == "utf-8"
+
+        # 2. Greek iso-8859-7 must not be read as Cyrillic mojibake
+        el = "πόλη,χώρα\nΑθήνα,Ελλάδα\nΠάτρα,Ελλάδα\n"
+        p = self._csv_bytes(tmp_path, "el.csv", el.encode("iso-8859-7"))
+        assert detect_encoding(p) == "iso-8859-7"
+
+        # 3. English headers/emails with Russian values is still cp1251
+        mixed = ("id,name,email\n1,Иван,a@b.ru\n2,Пётр,c@d.ru\n"
+                 "3,Олег,e@f.ru\n")
+        p = self._csv_bytes(tmp_path, "mixed.csv", mixed.encode("cp1251"))
+        assert detect_encoding(p) == "cp1251"
+
 
 class TestCsvSinglePassPlanning:
     def test_planner_counts_match_parse(self, tmp_path):
