@@ -533,6 +533,49 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             stage(make_fake_media_table(1))
 
+    def test_audio_spectral_features_real_math(self):
+        """The feature math is REAL (numpy FFT): a pure tone's energy
+        must land in the band containing its frequency."""
+        import numpy as np_
+
+        from cow_ray.ops.multimodal import spectral_features
+
+        sr, frame, n_bands = 16000, 512, 8
+        t = np_.arange(sr) / sr
+        # 1 kHz tone → bin 32 of 257, on the band-0/1 edge; 6 kHz →
+        # bin 192 → band 5/6 edge.  Low and high tones must land in
+        # clearly different band regions.
+        low = spectral_features(np_.sin(2 * np_.pi * 1000 * t), sr,
+                                n_bands, frame)
+        high = spectral_features(np_.sin(2 * np_.pi * 6000 * t), sr,
+                                 n_bands, frame)
+        assert low.argmax() in (0, 1)
+        assert high.argmax() in (5, 6)
+        assert low[2:].max() < 1e-3 and high[:5].max() < 1e-3
+        assert len(low) == n_bands
+        # short input is padded, not crashed
+        assert len(spectral_features(np_.zeros(10), sr)) == n_bands
+
+    def test_decode_audio_stage_plumbing(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.multimodal import DecodeAudio, make_fake_audio_table
+
+        ds = ray.data.from_arrow(make_fake_audio_table(40))
+        out = ds.map_batches(
+            DecodeAudio(n_bands=8), batch_format="pyarrow",
+            batch_size=8, concurrency=2,
+        )
+        rows = out.take_all()
+        assert len(rows) == 40
+        assert all(len(r["features"]) == 8 for r in rows)
+        assert "payload" not in rows[0]  # bytes dropped after decode
+        # deterministic across runs
+        again = ds.map_batches(DecodeAudio(n_bands=8),
+                               batch_format="pyarrow").take_all()
+        assert [r["features"] for r in sorted(rows, key=lambda r: r["media_id"])] == \
+            [r["features"] for r in sorted(again, key=lambda r: r["media_id"])]
+
     def test_sample_frames_flatmap(self, ray_session):
         import ray.data
 
