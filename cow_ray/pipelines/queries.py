@@ -1275,6 +1275,18 @@ def q_multimodal_decode(sf_dir: str):
     ).select_columns(["media_id", "features"])
 
 
+def q_multimodal_audio(sf_dir: str):
+    import ray.data
+
+    from ..ops.multimodal import DecodeAudio, make_fake_audio_table
+
+    ds = ray.data.from_arrow(make_fake_audio_table(200))
+    return ds.map_batches(
+        DecodeAudio(n_bands=8), batch_format="pyarrow", batch_size=32,
+        concurrency=2,
+    ).select_columns(["media_id", "features"])
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1316,6 +1328,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "approx_distinct_docs": q_approx_distinct_docs,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,
 }
 
 ORACLES = {
