@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -104,20 +105,40 @@ def curate_corpus(
         from ..ops.dedup import minhash_lsh_candidates, verify_candidates
 
         survivors = out.materialize()  # consumed twice below
-        n = survivors.count()
-        if n > NEAR_DUP_MAX_DOCS:
+        cand = minhash_lsh_candidates(
+            survivors, id_col=id_col, text_col=text_col
+        ).materialize()
+        cand_rows = cand.select_columns(["id_a", "id_b"]).take_all()
+        cand_ids = {r["id_a"] for r in cand_rows} | {
+            r["id_b"] for r in cand_rows
+        }
+        if len(cand_ids) > NEAR_DUP_MAX_DOCS:
             raise ValueError(
-                f"{n} docs — near-dup verification broadcasts the "
-                "surviving texts; run per-shard or raise "
-                "NEAR_DUP_MAX_DOCS deliberately"
+                f"{len(cand_ids)} candidate docs — near-dup "
+                "verification broadcasts the CANDIDATE texts; run "
+                "per-shard or raise NEAR_DUP_MAX_DOCS deliberately"
             )
+        # broadcast only the texts the verifier needs (candidate-sized,
+        # not corpus-sized): filter the survivors down to candidate ids
+        cand_ids_ref = ray.put(np.sort(np.fromiter(cand_ids, dtype=np.int64,
+                                                   count=len(cand_ids)))
+                               if cand_ids else np.array([], dtype=np.int64))
+
+        def only_candidates(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(cand_ids_ref)
+            if not len(wanted):
+                return batch.slice(0, 0)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(wanted, ids), 0, len(wanted) - 1)
+            return batch.filter(pa.array(wanted[idx] == ids))
+
         texts = {}
-        for b in survivors.select_columns([id_col, text_col]).iter_batches(
-            batch_format="pyarrow"
+        for b in (
+            survivors.select_columns([id_col, text_col])
+            .map_batches(only_candidates, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
         ):
             texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
-        cand = minhash_lsh_candidates(survivors, id_col=id_col,
-                                      text_col=text_col)
         verified = verify_candidates(cand, ray.put(texts),
                                      threshold=near_dup_threshold)
         drop = {r["id_b"] for r in verified.select_columns(["id_b"])
