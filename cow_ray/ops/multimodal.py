@@ -134,20 +134,28 @@ AUDIO_SCHEMA = pa.schema(
 )
 
 
+_BAND_CAP_HZ = 8000.0  # fixed absolute band range → features are
+# comparable ACROSS sample rates (the similarity contract)
+
+
 def spectral_features(pcm: np.ndarray, sample_rate: int,
                       n_bands: int = 8, frame: int = 512) -> np.ndarray:
     """REAL audio feature math (numpy FFT — no codec needed): Hann-
     windowed frames → power spectrum → log energies in ``n_bands``
-    linear bands, mean-pooled over frames.  Pure function so it is
-    testable with synthesized tones; the only stubbed piece of the
-    audio path is the bytes→PCM codec."""
+    linear bands over the FIXED 0–8 kHz range (mapped to bins via the
+    sample rate, so the same tone lands in the same band at 8 kHz and
+    48 kHz), mean-pooled over frames.  Pure function so it is testable
+    with synthesized tones; the only stubbed piece of the audio path
+    is the bytes→PCM codec."""
     if len(pcm) < frame:
         pcm = np.pad(pcm, (0, frame - len(pcm)))
     n_frames = len(pcm) // frame
     x = pcm[: n_frames * frame].reshape(n_frames, frame)
     win = np.hanning(frame)
     spec = np.abs(np.fft.rfft(x * win, axis=1)) ** 2
-    edges = np.linspace(0, spec.shape[1], n_bands + 1, dtype=int)
+    bin_hz = np.arange(spec.shape[1]) * (sample_rate / frame)
+    hz_edges = np.linspace(0.0, _BAND_CAP_HZ, n_bands + 1)
+    edges = np.searchsorted(bin_hz, hz_edges)
     bands = np.stack(
         [spec[:, lo:hi].sum(axis=1) for lo, hi in zip(edges, edges[1:])],
         axis=1,

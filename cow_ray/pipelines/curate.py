@@ -29,9 +29,12 @@ import pyarrow.compute as pc
 
 from ..ops.textstats import PUNCT_RE
 
-# verify_candidates broadcasts the surviving texts; refuse silently
-# unscalable use (same stance as the broadcast-join guard)
+# verify_candidates broadcasts the candidate texts; refuse silently
+# unscalable use (same stance as the broadcast-join guard).  The pair
+# cap is checked DISTRIBUTEDLY (count()) before any driver
+# materialization of the candidate set.
 NEAR_DUP_MAX_DOCS = 200_000
+NEAR_DUP_MAX_PAIRS = 5_000_000
 
 
 def curate_corpus(
@@ -108,6 +111,12 @@ def curate_corpus(
         cand = minhash_lsh_candidates(
             survivors, id_col=id_col, text_col=text_col
         ).materialize()
+        n_pairs = cand.count()  # distributed — BEFORE any driver pull
+        if n_pairs > NEAR_DUP_MAX_PAIRS:
+            raise ValueError(
+                f"{n_pairs} candidate pairs — run exact dedup first or "
+                "shard the near-dup pass (NEAR_DUP_MAX_PAIRS)"
+            )
         cand_rows = cand.select_columns(["id_a", "id_b"]).take_all()
         cand_ids = {r["id_a"] for r in cand_rows} | {
             r["id_b"] for r in cand_rows
@@ -129,8 +138,7 @@ def curate_corpus(
             if not len(wanted):
                 return batch.slice(0, 0)
             ids = batch[id_col].to_numpy(zero_copy_only=False)
-            idx = np.clip(np.searchsorted(wanted, ids), 0, len(wanted) - 1)
-            return batch.filter(pa.array(wanted[idx] == ids))
+            return batch.filter(pa.array(np.isin(ids, wanted)))
 
         texts = {}
         for b in (

@@ -57,6 +57,19 @@ _SB_COMMON = {
 _SB_SCORE_CHARS = 1 << 16  # letter statistics converge long before 1 MiB
 
 
+def _score_probe(text: str) -> str:
+    """Slice the decoded sample for scoring: head + middle + tail
+    windows, so non-ASCII content that starts late (e.g. 100 KB of
+    ASCII ids before the first Cyrillic column) still reaches the
+    scorer, while the per-character Python loop stays bounded."""
+    if len(text) <= _SB_SCORE_CHARS:
+        return text
+    h = _SB_SCORE_CHARS // 2
+    q = _SB_SCORE_CHARS // 4
+    mid = len(text) // 2
+    return text[:h] + text[mid:mid + q] + text[-q:]
+
+
 def _coherence(enc: str, text: str) -> float:
     """Score a decoded sample the way chardet's statistics do in
     miniature.  Control characters (what a wrong single-byte guess
@@ -66,31 +79,45 @@ def _coherence(enc: str, text: str) -> float:
     block to dominate the NON-ASCII letters (ASCII headers/ids mixed
     with Cyrillic values are normal); common-letter frequency breaks
     the remaining ties."""
-    ascii_a = hi_a = in_block = common = bad = 0
+    ascii_a = hi_a = in_block = common = bad = runs = 0
+    prev_hi = False
     lo, hi = _SB_SCRIPT_BLOCK.get(enc, (0, -1))
     common_set = _SB_COMMON.get(enc, ())
-    for ch in text[:_SB_SCORE_CHARS]:
+    for ch in _score_probe(text):
         o = ord(ch)
         if o < 128:
+            prev_hi = False
             if o < 32 and ch not in "\t\r\n":
                 bad += 5
             elif ch.isalpha():
                 ascii_a += 1
             continue
         if 0x80 <= o <= 0x9F:
+            prev_hi = False
             bad += 5
             continue
         if ch.isalpha():
             hi_a += 1
+            if not prev_hi:
+                runs += 1
+            prev_hi = True
             if ch.lower() in common_set:
                 common += 1
             if lo <= o <= hi:
                 in_block += 1
+        else:
+            prev_hi = False
     if enc in ("cp1252", "latin-1"):
         shape = hi_a if hi_a <= max(1, ascii_a) else -hi_a
         return ascii_a + shape + 2 * common - bad
     stray = hi_a - in_block
-    if in_block >= 3 * stray:  # the script dominates non-ASCII letters
+    # a non-Latin-script reading is plausible only when the block
+    # dominates the non-ASCII letters AND they arrive in word-length
+    # RUNS (mean run ≥ 2): real Cyrillic/Greek words are wholly
+    # non-ASCII, while Western accents are isolated chars inside ASCII
+    # words — without the run test, 'Café Noël' maps wholesale into
+    # the Greek block and detects as iso-8859-7
+    if in_block >= 3 * stray and hi_a >= 2 * runs:
         return ascii_a + 2 * in_block + 2 * common - 5 * stray - bad
     return -(stray + max(ascii_a - in_block, 0)) - bad
 
@@ -112,9 +139,11 @@ def detect_encoding(path: str, sample_bytes: int = 1 << 20) -> str:
         head.decode("utf-8")
         return "utf-8"
     except UnicodeDecodeError as e:
-        # a 1 MiB sample of a larger utf-8 file can end MID-SEQUENCE —
-        # only a failure away from the tail means genuinely not utf-8
-        if e.start >= len(head) - 4:
+        # a TRUNCATED sample (file larger than the window) can end
+        # mid-multibyte-sequence — forgive a failure in the last 4
+        # bytes then.  A complete small file ending in non-UTF8 bytes
+        # must NOT take this path (its tail is data, not truncation).
+        if len(head) == sample_bytes and e.start >= len(head) - 4:
             try:
                 head[: e.start].decode("utf-8")
                 return "utf-8"

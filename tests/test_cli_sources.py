@@ -430,6 +430,26 @@ class TestEncodingDetection:
         p = self._csv_bytes(tmp_path, "mixed.csv", mixed.encode("cp1251"))
         assert detect_encoding(p) == "cp1251"
 
+        # 4. accented French WITHOUT 0x80-0x9F bytes must stay Western
+        # (sparse accents map wholesale into the Greek block — the
+        # misdetection a review reproduced)
+        fr2 = ("id,nom,ville\n1,Café Noël,Besançon\n2,Hélène,Orléans\n"
+               "3,Françoise,Nîmes\n")
+        p = self._csv_bytes(tmp_path, "fr2.csv", fr2.encode("cp1252"))
+        assert detect_encoding(p) == "cp1252"
+
+        # 5. a SMALL complete file ending in non-utf8 bytes is not
+        # "truncated utf-8" — tail forgiveness needs a full window
+        p = self._csv_bytes(tmp_path, "tail.csv",
+                            "id,city\n1,x\n2,Юя".encode("cp1251"))
+        assert detect_encoding(p) != "utf-8"
+
+        # 6. non-ASCII content starting beyond 64 KiB still detected
+        late = (b"id,val\n" + b"1,x\n" * 20000
+                + "2,Москва\n3,Россия\n".encode("cp1251") * 50)
+        p = self._csv_bytes(tmp_path, "late.csv", late)
+        assert detect_encoding(p) == "cp1251"
+
 
 class TestCsvSinglePassPlanning:
     def test_planner_counts_match_parse(self, tmp_path):

@@ -542,16 +542,20 @@ class TestMultimodal:
 
         sr, frame, n_bands = 16000, 512, 8
         t = np_.arange(sr) / sr
-        # 1 kHz tone → bin 32 of 257, on the band-0/1 edge; 6 kHz →
-        # bin 192 → band 5/6 edge.  Low and high tones must land in
-        # clearly different band regions.
-        low = spectral_features(np_.sin(2 * np_.pi * 1000 * t), sr,
+        # bands span 0-8 kHz absolutely: 1.5 kHz → band 1, 6.5 kHz →
+        # band 6 (mid-band tones, no edge ambiguity)
+        low = spectral_features(np_.sin(2 * np_.pi * 1500 * t), sr,
                                 n_bands, frame)
-        high = spectral_features(np_.sin(2 * np_.pi * 6000 * t), sr,
+        high = spectral_features(np_.sin(2 * np_.pi * 6500 * t), sr,
                                  n_bands, frame)
-        assert low.argmax() in (0, 1)
-        assert high.argmax() in (5, 6)
-        assert low[2:].max() < 1e-3 and high[:5].max() < 1e-3
+        assert low.argmax() == 1
+        assert high.argmax() == 6
+        assert low[3:].max() < 1e-3 and high[:5].max() < 1e-3
+        # cross-sample-rate comparability: same tone, same band
+        t48 = np_.arange(48000) / 48000
+        low48 = spectral_features(np_.sin(2 * np_.pi * 1500 * t48), 48000,
+                                  n_bands, frame)
+        assert low48.argmax() == 1
         assert len(low) == n_bands
         # short input is padded, not crashed
         assert len(spectral_features(np_.zeros(10), sr)) == n_bands
