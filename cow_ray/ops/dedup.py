@@ -1,6 +1,12 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
 Jaccard verification, embedding-cosine near-dup.
 
+Algorithms (public literature): MinHash resemblance sketches (Broder,
+"On the resemblance and containment of documents", 1997); banded LSH
+candidate generation (Leskovec/Rajaraman/Ullman, *Mining of Massive
+Datasets* ch. 3); SimHash (Charikar, "Similarity estimation techniques
+from rounding algorithms", STOC 2002).
+
 Scale shapes (see /opt-guide patterns; all shuffles are keyed on
 uniformly-distributed hashes → no salting needed):
 

@@ -1,6 +1,11 @@
 """Approximate-nearest-neighbor search over an embedding column
 (``list<float>``).
 
+Algorithms (public literature): random-hyperplane LSH (Charikar, STOC
+2002); IVF coarse-quantizer inverted lists (Sivic & Zisserman "Video
+Google" 2003; Jégou et al., "Product quantization for nearest
+neighbor search", TPAMI 2011 — the coarse stage only, no PQ codes).
+
 * **Brute-force cosine top-k** (the baseline + the oracle): the query
   matrix is broadcast once (``ray.put``), every ``map_batches`` task
   computes one float64 GEMM against its batch and emits its *local*

@@ -1,4 +1,6 @@
-"""Mergeable sketches: HyperLogLog approximate distinct counting.
+"""Mergeable sketches: HyperLogLog approximate distinct counting
+(Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the analysis of a
+near-optimal cardinality estimation algorithm", AofA 2007).
 
 The aggregation-at-scale pattern for non-algebraic aggregates (guide:
 "emit one serialized sketch per batch and merge them in a second, tiny
