@@ -87,7 +87,12 @@ def cmd_convert(args) -> int:
             mention_rules = json.load(f)
 
     sub_stores: list[str] = []
-    if len(inputs) > 1 and all(f.endswith(".csv") for f in inputs):
+    if (len(inputs) > 1 and all(f.endswith(".csv") for f in inputs)
+            and args.rules):
+        # explicit shared --rules: ONE job over the whole CSV glob,
+        # unified global _row space, one store
+        _, manifests = convert_csv(inputs, rules, args.out, config=cfg)
+    elif len(inputs) > 1 and all(f.endswith(".csv") for f in inputs):
         # reference behavior: glob of CSVs converts each file (its own
         # sidecar metadata) into a per-file sub-store
         total_parts = []

@@ -291,53 +291,86 @@ def _read_chunk_rows(path: str, start: int, end: int, delimiter: str,
     return [r for r in rows if r]
 
 
+_MULTIBYTE_ENCODINGS = ("utf-16", "utf-16-le", "utf-16-be",
+                        "utf-32", "utf-32-le", "utf-32-be")
+
+
+def _plan_file(path: str, delimiter: str | None, quotechar: str,
+               encoding: str | None, target_chunk_bytes: int):
+    """Per-file planning: dialect detection + chunk cuts + row counts
+    (one driver byte pass — see ``_plan_chunks``)."""
+    enc = encoding or detect_encoding(path)
+    delim = delimiter or sniff_delimiter(path, enc)
+    header = read_header(path, delim, quotechar, enc)
+    if enc.lower().replace("_", "-") in _MULTIBYTE_ENCODINGS:
+        # multi-byte code units: 0x0A bytes are NOT newlines, so byte
+        # chunking would shear code units.  Single whole-file task
+        # (the reference's reader is single-stream anyway); the count
+        # needs a text-mode parse, but only of this degenerate path.
+        chunks = [(-1, os.path.getsize(path))]
+        counts = [len(_read_chunk_rows(path, -1, chunks[0][1], delim,
+                                       quotechar, enc))]
+    else:
+        chunks, counts = _plan_chunks(path, target_chunk_bytes, quotechar)
+    return header, delim, enc, chunks, counts
+
+
 def read_csv_with_row_ids(
-    path: str,
+    path: str | list[str],
     *,
     delimiter: str | None = None,
     quotechar: str = '"',
     encoding: str | None = None,
     target_chunk_bytes: int = 16 << 20,
 ):
-    """CSV file → Dataset of all-string columns + deterministic
-    ``_row``.  Chunk cuts are quote-parity-aware, so quoted fields may
-    contain newlines — a cut never lands inside a quoted field."""
+    """CSV file(s) → ONE Dataset of all-string columns + deterministic
+    global ``_row`` (file order × in-file order — a multi-file glob
+    converts as a single job with one unified row space).  Chunk cuts
+    are quote-parity-aware, so quoted fields may contain newlines — a
+    cut never lands inside a quoted field.  All files must share the
+    header; dialect/encoding are detected per file unless given."""
     import ray.data
     from ray.data.block import BlockMetadata
     from ray.data.datasource import Datasource, ReadTask
 
-    encoding = encoding or detect_encoding(path)
-    delimiter = delimiter or sniff_delimiter(path, encoding)
-    header = read_header(path, delimiter, quotechar, encoding)
+    files = list(path) if isinstance(path, (list, tuple)) else [path]
+    header: list[str] | None = None
+    task_specs = []  # (path, start, end, delim, enc, row_start, n_rows)
+    row_base = 0
+    total_bytes = 0
+    for p in files:
+        hdr, delim, enc, chunks, counts = _plan_file(
+            p, delimiter, quotechar, encoding, target_chunk_bytes
+        )
+        if header is None:
+            header = hdr
+        elif hdr != header:
+            raise ValueError(
+                f"{p} header {hdr} does not match the job header "
+                f"{header} — a multi-file CSV job needs identical "
+                "headers (convert per-file otherwise)"
+            )
+        off = row_base
+        for (s, e), n in zip(chunks, counts):
+            task_specs.append((p, s, e, delim, enc, off, n))
+            off += n
+        row_base = off
+        total_bytes += os.path.getsize(p)
 
-    if encoding.lower().replace("_", "-") in ("utf-16", "utf-16-le",
-                                              "utf-16-be", "utf-32",
-                                              "utf-32-le", "utf-32-be"):
-        # multi-byte code units: 0x0A bytes are NOT newlines, so byte
-        # chunking would shear code units.  Single whole-file task
-        # (the reference's reader is single-stream anyway); the count
-        # needs a text-mode parse, but only of this one degenerate path.
-        chunks = [(-1, os.path.getsize(path))]
-        counts = [len(_read_chunk_rows(path, -1, chunks[0][1], delimiter,
-                                       quotechar, encoding))]
-    else:
-        # ONE driver byte pass total: chunk cuts and per-chunk row
-        # counts come out of the same quote-parity scan
-        chunks, counts = _plan_chunks(path, target_chunk_bytes, quotechar)
-    offsets = [0]
-    for c in counts[:-1]:
-        offsets.append(offsets[-1] + c)
+    hdr_final = header or []
 
-    def make_read(start: int, end: int, row_start: int):
+    def make_read(fpath: str, start: int, end: int, delim: str, enc: str,
+                  row_start: int):
         def read() -> list[pa.Table]:
-            rows = _read_chunk_rows(path, start, end, delimiter, quotechar,
-                                    encoding)
-            cols: dict[str, list[str]] = {h: [] for h in header}
+            rows = _read_chunk_rows(fpath, start, end, delim, quotechar,
+                                    enc)
+            cols: dict[str, list[str]] = {h: [] for h in hdr_final}
             for r in rows:
-                for j, h in enumerate(header):
+                for j, h in enumerate(hdr_final):
                     cols[h].append(r[j] if j < len(r) else "")
-            arrays = [pa.array(cols[h], type=pa.string()) for h in header]
-            t = pa.Table.from_arrays(arrays, names=header)
+            arrays = [pa.array(cols[h], type=pa.string())
+                      for h in hdr_final]
+            t = pa.Table.from_arrays(arrays, names=hdr_final)
             return [
                 t.append_column(
                     "_row",
@@ -353,29 +386,33 @@ def read_csv_with_row_ids(
             return "RowIdCsv"
 
         def estimate_inmemory_data_size(self):
-            return os.path.getsize(path) * 2
+            return total_bytes * 2
 
         def get_read_tasks(self, parallelism: int):
             tasks = []
-            for (s, e), n, off in zip(chunks, counts, offsets):
+            for fpath, s, e, delim, enc, off, n in task_specs:
                 meta = BlockMetadata(num_rows=n, size_bytes=(e - s) * 2,
-                                     exec_stats=None, input_files=[path])
-                tasks.append(ReadTask(make_read(s, e, off), meta))
+                                     exec_stats=None, input_files=[fpath])
+                tasks.append(
+                    ReadTask(make_read(fpath, s, e, delim, enc, off), meta)
+                )
             return tasks
 
     return ray.data.read_datasource(_CsvSource())
 
 
 def convert_csv(
-    csv_path: str,
+    csv_path: str | list[str],
     rule_doc,
     out_dir: str | None = None,
     *,
     config=None,
 ):
-    """The reference's ``cow_tool convert`` path: CSV + rule document →
-    triple store.  Dialect comes from the rule doc when present
-    (reference ``csvw.py:263-271``)."""
+    """The reference's ``cow_tool convert`` path: CSV(s) + one rule
+    document → triple store.  A list of files converts as ONE job with
+    a unified global ``_row`` space (file order × in-file order).
+    Dialect comes from the rule doc when present (reference
+    ``csvw.py:263-271``)."""
     from ..pipelines.convert import ConvertConfig
     from ..rules import RuleDoc, parse_rules
     from ..triples import EmitTriples
@@ -398,11 +435,13 @@ def convert_csv(
     from ..nanopub import Nanopub, job_hash
     from ..stages.materialize import materialize_triples
 
-    jh = job_hash(doc.doc_hash, [csv_path])
+    file_list = (list(csv_path) if isinstance(csv_path, (list, tuple))
+                 else [csv_path])
+    jh = job_hash(doc.doc_hash, file_list)
     np_ = Nanopub(doc.base, doc.dataset_name, jh)
     manifests = materialize_triples(
         triples, out_dir, num_parts=cfg.num_parts, job=jh, nanopub=np_,
-        resume=cfg.resume, dedup=cfg.dedup, input_desc=csv_path,
+        resume=cfg.resume, dedup=cfg.dedup, input_desc=";".join(file_list),
     )
     # returned Dataset: real triples only (markers are store-internal)
     import pyarrow.compute as pc

@@ -377,6 +377,51 @@ class TestCsvChunkingProperty:
                     assert [got[i][h] for h in header] == wrow, (trial, chunk, i)
 
 
+class TestMultiFileCsvJob:
+    def test_one_job_global_rows(self, ray_session, tmp_path):
+        """A list of CSVs converts as ONE job: unified _row space in
+        file order, identical triples to the concatenated file."""
+        from cow_ray.sources.csv import convert_csv, read_csv_with_row_ids
+        from cow_ray.stages.materialize import read_triple_store
+
+        a = tmp_path / "a.csv"
+        b = tmp_path / "b.csv"
+        a.write_text("name,age\nalice,30\nbob,40\n")
+        b.write_text("name,age\ncarol,50\ndave,60\n")
+        both = tmp_path / "both.csv"
+        both.write_text("name,age\nalice,30\nbob,40\ncarol,50\ndave,60\n")
+
+        ds = read_csv_with_row_ids([str(a), str(b)])
+        rows = sorted(ds.take_all(), key=lambda r: r["_row"])
+        assert [r["_row"] for r in rows] == [0, 1, 2, 3]
+        assert [r["name"] for r in rows] == ["alice", "bob", "carol", "dave"]
+
+        rules = {"base": "https://x.org/", "aboutUrl": "r/{_row}",
+                 "columns": [{"name": "name"},
+                             {"name": "age", "datatype": "integer"}]}
+        out_multi = str(tmp_path / "s_multi")
+        out_single = str(tmp_path / "s_single")
+        convert_csv([str(a), str(b)], rules, out_multi)
+        convert_csv(str(both), rules, out_single)
+        t1 = sorted(map(tuple, (
+            (r["subj"], r["pred"], r["obj_lex"])
+            for r in read_triple_store(out_multi).take_all())))
+        t2 = sorted(map(tuple, (
+            (r["subj"], r["pred"], r["obj_lex"])
+            for r in read_triple_store(out_single).take_all())))
+        assert t1 == t2 and len(t1) == 8
+
+    def test_mismatched_headers_refused(self, ray_session, tmp_path):
+        from cow_ray.sources.csv import read_csv_with_row_ids
+
+        a = tmp_path / "a.csv"
+        b = tmp_path / "b.csv"
+        a.write_text("name,age\nx,1\n")
+        b.write_text("nom,age\ny,2\n")
+        with pytest.raises(ValueError, match="header"):
+            read_csv_with_row_ids([str(a), str(b)])
+
+
 class TestEncodingDetection:
     def _csv_bytes(self, tmp_path, name, data: bytes):
         p = tmp_path / name
