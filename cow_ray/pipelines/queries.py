@@ -103,10 +103,16 @@ def _round2(batch: pa.Table, col: str) -> pa.Table:
     return batch.set_column(batch.column_names.index(col), col,
                             pa.array(r, type=pa.float64()))
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, blocks: int | None = None):
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    # blocks: the sf documents table is ONE parquet row group = one Ray
+    # block; override_num_blocks splits it AT THE READ (free) where an
+    # explicit .repartition() would be an all-to-all exchange
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        override_num_blocks=blocks,
+    )
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -488,9 +494,7 @@ SELECT lang, doc_id, n_chars FROM documents
 def q_token_doc_freq(sf_dir: str):
     from ..ops.textstats import token_doc_freq
 
-    # single-row-group input: split so the tokenize/combine stage
-    # parallelizes (real corpora arrive in many blocks)
-    return token_doc_freq(_docs(sf_dir).repartition(8), limit=50)
+    return token_doc_freq(_docs(sf_dir, blocks=8), limit=50)
 
 
 SQL_TOKEN_DOC_FREQ = """
@@ -558,11 +562,8 @@ SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
 def q_dedup_minhash_docs(sf_dir: str):
     from ..ops.dedup import minhash_lsh_candidates
 
-    # the sf documents table is ONE parquet row group = one Ray block;
-    # without a split the signature stage runs on a single core (a real
-    # corpus arrives in many blocks and needs no repartition)
     return minhash_lsh_candidates(
-        _docs(sf_dir).repartition(16), num_perm=64, num_bands=16
+        _docs(sf_dir, blocks=16), num_perm=64, num_bands=16
     )
 
 
@@ -570,8 +571,7 @@ def q_dedup_simhash_docs(sf_dir: str):
     from ..ops.dedup import SimHasher
 
     return (
-        _docs(sf_dir)
-        .repartition(8)  # single-row-group input: split for the pool
+        _docs(sf_dir, blocks=8)
         .map_batches(SimHasher(), batch_format="pyarrow", concurrency=2)
         .select_columns(["doc_id", "simhash"])
     )

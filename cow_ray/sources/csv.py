@@ -334,6 +334,8 @@ def read_csv_with_row_ids(
     from ray.data.datasource import Datasource, ReadTask
 
     files = list(path) if isinstance(path, (list, tuple)) else [path]
+    if not files:
+        raise ValueError("no input CSV files")
     header: list[str] | None = None
     task_specs = []  # (path, start, end, delim, enc, row_start, n_rows)
     row_base = 0
