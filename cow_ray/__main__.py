@@ -192,6 +192,35 @@ def _export(store: str, fmt: str, out: str, gzipped: bool = False) -> None:
     print(f"exported {n} statements → {out}")
 
 
+def cmd_curate(args) -> int:
+    """Corpus curation: filter → exact dedup → optional near-dup
+    removal over a documents parquet; writes surviving rows as
+    partitioned parquet."""
+    _init_ray(args.parallelism)
+    import ray
+    import ray.data
+
+    from .pipelines.curate import curate_corpus
+
+    ds = ray.data.read_parquet(args.input)
+    out = curate_corpus(
+        ds,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+        min_chars=args.min_chars,
+        max_punct_ppm=args.max_punct_ppm,
+        dedup_exact=not args.no_dedup,
+        near_dup=args.near_dup,
+        near_dup_threshold=args.near_dup_threshold,
+        text_col=args.text_col,
+        id_col=args.id_col,
+    )
+    out.write_parquet(args.out)
+    n = ray.data.read_parquet(args.out).count()
+    print(f"kept {n} documents → {args.out}")
+    ray.shutdown()
+    return 0
+
+
 def cmd_export(args) -> int:
     _init_ray(args.parallelism)
     import ray
@@ -226,6 +255,22 @@ def main(argv=None) -> int:
     c.add_argument("--gazetteer", help="entity gazetteer JSON for linking")
     c.add_argument("--mention-rules", help="rule doc applied to mentions")
     c.set_defaults(fn=cmd_convert)
+
+    cu = sub.add_parser(
+        "curate",
+        help="filter + dedup a documents parquet (training-data prep)")
+    cu.add_argument("input")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--langs", help="comma-separated lang allowlist")
+    cu.add_argument("--min-chars", type=int, default=0)
+    cu.add_argument("--max-punct-ppm", type=int, default=None)
+    cu.add_argument("--no-dedup", action="store_true")
+    cu.add_argument("--near-dup", action="store_true")
+    cu.add_argument("--near-dup-threshold", type=float, default=0.8)
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--parallelism", type=int, default=None)
+    cu.set_defaults(fn=cmd_curate)
 
     e = sub.add_parser("export", help="export a triple store to RDF text")
     e.add_argument("store")

@@ -377,6 +377,31 @@ class TestCsvChunkingProperty:
                     assert [got[i][h] for h in header] == wrow, (trial, chunk, i)
 
 
+class TestCurateCli:
+    def test_curate_subcommand(self, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        import pyarrow.parquet as pq_
+
+        out = str(tmp_path / "clean")
+        r = subprocess.run(
+            [_sys.executable, "-m", "cow_ray", "curate",
+             "/root/testdata/sf0.001/documents.parquet", "--out", out,
+             "--langs", "en,de,fr", "--min-chars", "100",
+             "--parallelism", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "kept" in r.stdout
+        import glob as _glob
+
+        files = _glob.glob(out + "/*.parquet")
+        assert files
+        t = pq_.read_table(files[0])
+        assert set(t["lang"].to_pylist()) <= {"en", "de", "fr"}
+
+
 class TestMultiFileCsvJob:
     def test_one_job_global_rows(self, ray_session, tmp_path):
         """A list of CSVs converts as ONE job: unified _row space in
