@@ -98,7 +98,9 @@ def cmd_convert(args) -> int:
         total_parts = []
         used: dict[str, int] = {}
         for f in inputs:
-            frules = _load_rules(f, None) if args.rules is None else rules
+            # args.rules is always falsy here (the shared-rules case
+            # took the single-job branch above)
+            frules = _load_rules(f, None)
             name = os.path.basename(f)
             n = used.get(name, 0)
             used[name] = n + 1
@@ -202,10 +204,19 @@ def cmd_curate(args) -> int:
 
     from .pipelines.curate import curate_corpus
 
-    ds = ray.data.read_parquet(args.input)
+    inputs = sorted(glob.glob(args.input)) or [args.input]
+    if os.path.isdir(args.out) and os.listdir(args.out):
+        # write_parquet APPENDS uniquely-named files — stale shards
+        # from an earlier run would silently mix into the corpus
+        raise SystemExit(
+            f"--out {args.out} exists and is not empty; remove it or "
+            "choose a fresh directory"
+        )
+    ds = ray.data.read_parquet(inputs)
     out = curate_corpus(
         ds,
-        langs=tuple(args.langs.split(",")) if args.langs else None,
+        langs=(tuple(s.strip() for s in args.langs.split(","))
+               if args.langs else None),
         min_chars=args.min_chars,
         max_punct_ppm=args.max_punct_ppm,
         dedup_exact=not args.no_dedup,
@@ -214,8 +225,12 @@ def cmd_curate(args) -> int:
         text_col=args.text_col,
         id_col=args.id_col,
     )
-    out.write_parquet(args.out)
-    n = ray.data.read_parquet(args.out).count()
+    mat = out.materialize()  # one execution for count AND write
+    n = mat.count()
+    if n:
+        mat.write_parquet(args.out)
+    else:
+        os.makedirs(args.out, exist_ok=True)  # empty result, real dir
     print(f"kept {n} documents → {args.out}")
     ray.shutdown()
     return 0
