@@ -230,33 +230,51 @@ def scaling() -> dict:
     # per-core throughput, which would mask pipeline scaling entirely.
     # The control numbers are recorded in BASELINE.md.
     lo, hi = 4, 16
-    out = {}
     # a larger fixed input than the plain bench so per-job fixed costs
     # (pipeline launch, shuffle barriers) don't mask compute scaling
     n_pages = os.environ.get("GRAFT_BENCH_PAGES", "2000000")
-    for n in (lo, hi):
+    pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+
+    def run_level(n: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_HEADLINE_ONLY="1",
-                   GRAFT_BENCH_PAGES=n_pages, GRAFT_BENCH_REPS="3",
-                   GRAFT_BENCH_STAT="median", GRAFT_NUM_PARTS=str(2 * hi))
+                   GRAFT_BENCH_PAGES=n_pages, GRAFT_BENCH_REPS="2",
+                   GRAFT_NUM_PARTS=str(2 * hi))
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True,
                            cwd=os.path.dirname(os.path.abspath(__file__)))
-        out[n] = json.loads(p.stdout.strip().splitlines()[-1])
-    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    # PAIRED, INTERLEAVED design: this shared box sees intermittent
+    # host-contention windows that can swallow one level's entire
+    # measurement block (observed: the 16-cpu level varying 9.0-15.5 s
+    # across otherwise-identical runs while concurrent hardware
+    # controls degrade in lockstep).  Measuring each ratio from an
+    # ADJACENT lo/hi pair cancels ambient drift within the pair; the
+    # median pair-ratio is the reported efficiency.  All raw walls are
+    # published.
+    ratios, lo_runs, hi_runs = [], [], []
+    last = None
+    for _ in range(pairs):
+        a = run_level(lo)
+        b = run_level(hi)
+        lo_runs.append(a["value"])
+        hi_runs.append(b["value"])
+        ratios.append((a["value"] / b["value"]) / (hi / lo))
+        last = b
+    eff = sorted(ratios)[len(ratios) // 2]
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "cpus_lo": lo,
         "cpus_hi": hi,
-        f"sec_{lo}": t_lo,
-        f"sec_{hi}": t_hi,
-        f"runs_{lo}": out[lo].get("runs_sec"),
-        f"runs_{hi}": out[hi].get("runs_sec"),
-        f"docs_per_sec_{lo}": out[lo]["docs_per_sec"],
-        f"docs_per_sec_{hi}": out[hi]["docs_per_sec"],
-        "n_pages": out[hi]["n_pages"],
+        "pair_ratios": [round(r, 3) for r in ratios],
+        f"runs_{lo}": lo_runs,
+        f"runs_{hi}": hi_runs,
+        f"sec_{lo}": sorted(lo_runs)[len(lo_runs) // 2],
+        f"sec_{hi}": sorted(hi_runs)[len(hi_runs) // 2],
+        f"docs_per_sec_{hi}": last["docs_per_sec"],
+        "n_pages": last["n_pages"],
     }
 
 
