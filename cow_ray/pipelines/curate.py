@@ -9,10 +9,9 @@ exchanges, both bounded:
   keep-min prune, so the shuffle carries one row per distinct
   fingerprint per block;
 * near-dup removal reuses :mod:`cow_ray.ops.dedup` (MinHash → banded
-  LSH bucket groupby → exact-Jaccard verification) and then drops the
-  higher id of every verified pair (greedy keep-lowest — the standard
-  cheap policy; full transitive clustering would need a connected-
-  components pass).
+  LSH bucket groupby → exact-Jaccard verification), then clusters the
+  verified pairs transitively (union-find over the candidate-capped,
+  driver-sized pair list) and keeps the lowest id per component.
 
 The filter+exact-dedup subset is SQL-expressible and hash-verified
 against DuckDB by the ``curate_docs`` query; the near-dup variant is
@@ -149,8 +148,25 @@ def curate_corpus(
             texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
         verified = verify_candidates(cand, ray.put(texts),
                                      threshold=near_dup_threshold)
-        drop = {r["id_b"] for r in verified.select_columns(["id_b"])
-                .take_all()}
+        # TRANSITIVE clustering (union-find over the verified pairs,
+        # which are candidate-capped and driver-sized): keep the min id
+        # per near-dup component, drop the rest.  A greedy per-pair
+        # id_b drop would keep both b and c of a chain a~c, b~c.
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in verified.select_columns(["id_a", "id_b"]).take_all():
+            ra, rb = find(r["id_a"]), find(r["id_b"])
+            if ra != rb:
+                # deterministic: larger root points at smaller
+                lo_r, hi_r = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi_r] = lo_r
+        drop = {x for x in parent if find(x) != x}
         drop_ref = ray.put(sorted(drop))
 
         class DropNearDups:

@@ -490,6 +490,29 @@ class TestCurate:
             near_dup_threshold=0.5).take_all())
         assert ids == [0, 5]
 
+    def test_near_dup_clustering_is_transitive(self, ray_session):
+        """A chain a~c, b~c (no direct a~b pair) is ONE component:
+        keep only the min id — a greedy per-pair drop would keep b."""
+        import ray.data
+
+        from cow_ray.pipelines.curate import curate_corpus
+
+        core = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau")
+        rows = [
+            {"doc_id": 10, "lang": "en", "text": core + " ending-one"},
+            {"doc_id": 11, "lang": "en", "text": core + " ending-two"},
+            {"doc_id": 12, "lang": "en", "text": core},
+            {"doc_id": 13, "lang": "en",
+             "text": "a totally different document about ray data and "
+                     "arrow batches streaming through plasma stores ok"},
+        ]
+        ds = ray.data.from_items(rows).repartition(2)
+        ids = sorted(r["doc_id"] for r in curate_corpus(
+            ds, langs=("en",), min_chars=30, near_dup=True,
+            near_dup_threshold=0.6).take_all())
+        assert ids == [10, 13]
+
     def test_curate_near_dup_refuses_unbroadcastable(self, ray_session,
                                                      monkeypatch):
         import ray.data
