@@ -148,6 +148,28 @@ def token_doc_freq(ds, text_col: str = "text", limit: int = 50):
     )
 
 
+def bigram_entropy(batch: pa.Table, text_col: str = "text",
+                   out_col: str = "entropy_mbits") -> pa.Table:
+    """Character-bigram Shannon entropy per document, in integer
+    milli-bits (floor) — the classic cheap gibberish/boilerplate
+    signal: natural language sits ~5-8 bits/bigram, random bytes near
+    the ceiling, single-char spam near 0.  Per-doc numpy (byte-pair
+    codes → np.unique counts → p·log2 p); rows-only at the driver
+    gate (a float log-sum is not hash-stable cross-engine)."""
+    out = []
+    for v in batch[text_col].to_pylist():
+        data = np.frombuffer((v or "").encode("utf-8"), dtype=np.uint8)
+        if len(data) < 2:
+            out.append(0)
+            continue
+        codes = data[:-1].astype(np.uint32) * 256 + data[1:]
+        _, counts = np.unique(codes, return_counts=True)
+        p = counts / counts.sum()
+        h = float(-(p * np.log2(p)).sum())
+        out.append(int(np.floor(h * 1000)))
+    return batch.append_column(out_col, pa.array(out, type=pa.int64()))
+
+
 def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
                         window: int = 16, out_col: str = "roll_fp") -> pa.Table:
     """Rabin-Karp-style rolling-hash document fingerprint: min of the

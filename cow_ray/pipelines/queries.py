@@ -406,6 +406,18 @@ def q_doc_rolling_fp(sf_dir: str):
 # ------------------------------------------------------------- dedup
 
 
+def q_doc_entropy(sf_dir: str):
+    """Character-bigram entropy quality signal — rows-only (float
+    log-sum; see ops.textstats.bigram_entropy)."""
+    from ..ops.textstats import bigram_entropy
+
+    return (
+        _docs(sf_dir, blocks=8)
+        .map_batches(bigram_entropy, batch_format="pyarrow")
+        .select_columns(["doc_id", "entropy_mbits"])
+    )
+
+
 def q_scrub_docs(sf_dir: str):
     """PII scrubbing (email/IP/phone → placeholder tokens) — identical
     RE2 patterns on both engines, so the redacted text hash-matches
@@ -1302,6 +1314,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "langid_docs": q_langid_docs,
     "doc_rolling_fp": q_doc_rolling_fp,
+    "doc_entropy": q_doc_entropy,
     "scrub_docs": q_scrub_docs,
     "chunk_docs": q_chunk_docs,
     "sample_docs": q_sample_docs,

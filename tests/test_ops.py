@@ -103,6 +103,34 @@ class TestTextStats:
         assert out == ["en", "de", "fr", "zh", "und"]
 
 
+class TestEntropy:
+    def test_bigram_entropy_orders_content_classes(self):
+        import math
+
+        import pyarrow as pa_
+
+        from cow_ray.ops.textstats import bigram_entropy
+
+        rng = np.random.default_rng(7)
+        random_ascii = "".join(
+            chr(c) for c in rng.integers(33, 127, size=2000)
+        )
+        english = ("the quick brown fox jumps over the lazy dog and "
+                   "then the dog chases the fox back over the hill ") * 20
+        spam = "a" * 2000
+        t = pa_.table({"text": [spam, english, random_ascii, "", "x", None]})
+        e = bigram_entropy(t)["entropy_mbits"].to_pylist()
+        assert e[0] == 0            # one bigram → zero entropy
+        assert 0 < e[1] < e[2]      # english < random
+        assert e[3] == 0 and e[4] == 0 and e[5] == 0  # degenerate
+        # exact recompute for a tiny case: "abab" bigrams ab,ba,ab
+        t2 = pa_.table({"text": ["abab"]})
+        got = bigram_entropy(t2)["entropy_mbits"].to_pylist()[0]
+        p = np.array([2 / 3, 1 / 3])
+        want = int(math.floor(-(p * np.log2(p)).sum() * 1000))
+        assert got == want
+
+
 class TestDedup:
     def test_dedup_exact_matches_duckdb(self, docs_ds):
         import duckdb
