@@ -187,11 +187,10 @@ def bench_once(headline_only: bool = False) -> dict:
 
     # repeated runs: single-box walls vary ±15% with ambient writeback
     # and frequency scaling.  The plain bench reports the min (the
-    # reproducible compute+shuffle cost); --scaling reports the MEDIAN
-    # of 3 at each level — a ratio of minimums is biased by whichever
-    # level catches one lucky run, a ratio of medians estimates
-    # sustained throughput.  --scaling also pins num_parts so both
-    # levels run the identical job.
+    # reproducible compute+shuffle cost).  --scaling runs PAIRED
+    # interleaved levels (best-of-2 per level per pair, median of the
+    # pair ratios — see scaling()) and pins num_parts so both levels
+    # run the identical job.
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
     stat = os.environ.get("GRAFT_BENCH_STAT", "min")
     num_parts = int(os.environ.get("GRAFT_NUM_PARTS", "0")) or max(
@@ -252,27 +251,36 @@ def scaling() -> dict:
     # ADJACENT lo/hi pair cancels ambient drift within the pair; the
     # median pair-ratio is the reported efficiency.  All raw walls are
     # published.
+    pairs = max(1, pairs)
     ratios, lo_runs, hi_runs = [], [], []
+    lo_reps, hi_reps = [], []
     last = None
     for _ in range(pairs):
         a = run_level(lo)
         b = run_level(hi)
         lo_runs.append(a["value"])
         hi_runs.append(b["value"])
+        lo_reps.append(a.get("runs_sec"))
+        hi_reps.append(b.get("runs_sec"))
         ratios.append((a["value"] / b["value"]) / (hi / lo))
         last = b
-    eff = sorted(ratios)[len(ratios) // 2]
+
+    def lower_median(xs):
+        return sorted(xs)[(len(xs) - 1) // 2]  # even counts: NOT max
+
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(lower_median(ratios), 3),
         "unit": "ratio",
         "cpus_lo": lo,
         "cpus_hi": hi,
         "pair_ratios": [round(r, 3) for r in ratios],
         f"runs_{lo}": lo_runs,
         f"runs_{hi}": hi_runs,
-        f"sec_{lo}": sorted(lo_runs)[len(lo_runs) // 2],
-        f"sec_{hi}": sorted(hi_runs)[len(hi_runs) // 2],
+        f"reps_{lo}": lo_reps,   # every raw wall, per pair per rep
+        f"reps_{hi}": hi_reps,
+        f"sec_{lo}": lower_median(lo_runs),
+        f"sec_{hi}": lower_median(hi_runs),
         f"docs_per_sec_{hi}": last["docs_per_sec"],
         "n_pages": last["n_pages"],
     }

@@ -205,12 +205,15 @@ def cmd_curate(args) -> int:
     from .pipelines.curate import curate_corpus
 
     inputs = sorted(glob.glob(args.input)) or [args.input]
-    if os.path.isdir(args.out) and os.listdir(args.out):
+    if os.path.isfile(args.out) or (
+        os.path.isdir(args.out) and os.listdir(args.out)
+    ):
         # write_parquet APPENDS uniquely-named files — stale shards
-        # from an earlier run would silently mix into the corpus
+        # from an earlier run would silently mix into the corpus (and
+        # a regular file would fail deep inside the write)
         raise SystemExit(
-            f"--out {args.out} exists and is not empty; remove it or "
-            "choose a fresh directory"
+            f"--out {args.out} exists; remove it or choose a fresh "
+            "directory"
         )
     ds = ray.data.read_parquet(inputs)
     out = curate_corpus(
