@@ -39,6 +39,36 @@ def hash_sample(ds, key_col: str, hex_prefixes: tuple = ("0", "1")):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def stratified_sample(ds, group_cols: list, n: int, key_col: str):
+    """Deterministic stratified sample: ``n`` rows per group, chosen by
+    md5-rank of the key within the group — content-addressed like
+    :func:`hash_sample` (stable under any partitioning/engine), but
+    with an exact per-stratum quota instead of a global rate.  Built
+    on the map-side-pruned :func:`group_top_k`, so the exchange
+    carries ≈ n × groups × blocks rows."""
+    import hashlib as _hashlib
+
+    import pyarrow as pa_
+
+    def rank(batch: pa_.Table) -> pa_.Table:
+        h = [
+            _hashlib.md5(str(v).encode("utf-8")).hexdigest()
+            for v in batch[key_col].to_pylist()
+        ]
+        return batch.append_column("__rank", pa_.array(h,
+                                                       type=pa_.string()))
+
+    out = group_top_k(
+        ds.map_batches(rank, batch_format="pyarrow"),
+        group_cols, "__rank", k=n, descending=False, tie_col=key_col,
+    )
+
+    def drop(batch: pa_.Table) -> pa_.Table:
+        return batch.drop_columns(["__rank"])
+
+    return out.map_batches(drop, batch_format="pyarrow")
+
+
 def group_top_k(ds, group_cols: list, order_col: str, k: int = 3,
                 descending: bool = True, tie_col: str | None = None):
     """Per-group top-k with a map-side prune: each batch keeps its own

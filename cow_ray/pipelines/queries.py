@@ -503,6 +503,26 @@ SELECT lang, doc_id, n_chars FROM documents
 """
 
 
+def q_stratified_docs(sf_dir: str):
+    """Deterministic stratified sample: 5 docs per language by
+    md5-rank of doc_id — exact per-stratum quotas, content-addressed
+    (same sample on any engine/partitioning)."""
+    from ..ops.sample import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", columns=["lang", "doc_id", "source"]),
+        ["lang"], 5, "doc_id",
+    )
+
+
+SQL_STRATIFIED_DOCS = """
+SELECT lang, doc_id, source FROM documents
+ QUALIFY row_number() OVER (
+   PARTITION BY lang
+   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+"""
+
+
 def q_token_doc_freq(sf_dir: str):
     from ..ops.textstats import token_doc_freq
 
@@ -1318,6 +1338,7 @@ QUERIES = {
     "scrub_docs": q_scrub_docs,
     "chunk_docs": q_chunk_docs,
     "sample_docs": q_sample_docs,
+    "stratified_docs": q_stratified_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
     "token_doc_freq": q_token_doc_freq,
     "curate_docs": q_curate_docs,
@@ -1356,6 +1377,7 @@ ORACLES = {
     "scrub_docs": SQL_SCRUB_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,
     "sample_docs": SQL_SAMPLE_DOCS,
+    "stratified_docs": SQL_STRATIFIED_DOCS,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "token_doc_freq": SQL_TOKEN_DOC_FREQ,
     "curate_docs": SQL_CURATE_DOCS,

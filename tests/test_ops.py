@@ -344,6 +344,26 @@ class TestSampleAndSelect:
             docs_ds.repartition(7), "doc_id").take_all())
         assert got2 == want
 
+    def test_stratified_sample_quota_and_stability(self, docs_ds):
+        from cow_ray.ops.sample import stratified_sample
+
+        got = stratified_sample(
+            docs_ds.select_columns(["lang", "doc_id"]), ["lang"], 4,
+            "doc_id",
+        ).take_all()
+        by_lang: dict = {}
+        for r in got:
+            by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert all(len(v) == 4 for v in by_lang.values())
+        assert "__rank" not in got[0]
+        # content-addressed: repartitioning must not change the sample
+        again = stratified_sample(
+            docs_ds.select_columns(["lang", "doc_id"]).repartition(7),
+            ["lang"], 4, "doc_id",
+        ).take_all()
+        key = lambda rows: sorted((r["lang"], r["doc_id"]) for r in rows)
+        assert key(got) == key(again)
+
     def test_group_top_k_matches_pandas(self, docs_ds):
         import pandas as pd
 
