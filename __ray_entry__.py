@@ -57,8 +57,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (identical
     column names/semantics).  Keys absent here (linker, minhash,
-    simhash, rolling fp, LSH ANN, langid, multimodal) are genuinely
-    non-SQL-expressible → rows-only check."""
+    simhash, rolling fp, LSH/IVF ANN, langid, multimodal image/audio,
+    HLL sketch, bigram entropy, near-dup curation) are genuinely
+    non-SQL-expressible or not hash-stable cross-engine (float
+    log-sums) → rows-only check."""
     from cow_ray.pipelines.queries import ORACLES
 
     return dict(ORACLES)
