@@ -152,6 +152,67 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def minhash_stage_walls(sf_dir: str) -> dict[str, float]:
+    """Per-stage walls for the dedup_minhash pipeline (signature /
+    band-emit / bucket-pairs / pair-distinct), each stage materialized
+    so a driver-run regression is self-diagnosing (round-2 verdict:
+    an unexplained 2.8× on this query; root cause was first-touch
+    page-fault contention in the signature kernel's 64 MB temporaries,
+    fixed by 4 MB tiled in-place buffers)."""
+    import ray.data
+
+    from cow_ray.ops.dedup import BandEmitter, MinHasher, _bucket_pairs
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), override_num_blocks=16
+    )
+    walls: dict[str, float] = {}
+    t0 = time.time()
+    sigs = docs.map_batches(
+        MinHasher(64, 5, "text"), batch_format="pyarrow"
+    ).materialize()
+    walls["signature"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    bands = sigs.map_batches(
+        BandEmitter(16, "doc_id", num_parts=16), batch_format="pyarrow"
+    ).materialize()
+    walls["band_emit"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    cand = bands.groupby("__part").map_groups(
+        lambda g: _bucket_pairs(g, "doc_id", 1000), batch_format="pyarrow"
+    ).materialize()
+    walls["bucket_pairs"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    from cow_ray.ops.dedup import minhash_lsh_candidates  # noqa: F401
+    from cow_ray.stages.canonicalize import content_key, hash_mod
+    import pyarrow as pa
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__p2", pa.array([], type=pa.int32()))
+        return batch.append_column(
+            "__p2", hash_mod(content_key(batch, ["id_a", "id_b"]), 16)
+        )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        agg = (
+            group.drop_columns(["__p2"])
+            .group_by(["id_a", "id_b"], use_threads=False)
+            .aggregate([("capped", "max")])
+        )
+        return agg.select(["id_a", "id_b", "capped_max"])
+
+    n = (
+        cand.map_batches(prep, batch_format="pyarrow")
+        .groupby("__p2")
+        .map_groups(per_part, batch_format="pyarrow")
+        .count()
+    )
+    walls["pair_distinct"] = round(time.time() - t0, 3)
+    walls["n_pairs"] = n
+    return walls
+
+
 def bench_once(headline_only: bool = False) -> dict:
     import ray
 
@@ -204,12 +265,16 @@ def bench_once(headline_only: bool = False) -> dict:
     head = runs[(len(runs) - 1) // 2] if stat == "median" else runs[0]
     all_secs = [round(r["sec"], 3) for r in runs]
     queries = {} if headline_only else run_queries(SF_DIR)
+    stages = {} if headline_only else {
+        "dedup_minhash": minhash_stage_walls(SF_DIR)
+    }
 
     result = {
         "metric": "flagship_pages_convert",
         "value": round(head["sec"], 3),
         "unit": "sec",
         "queries": queries,
+        "stage_walls": stages,
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,

@@ -110,24 +110,43 @@ class MinHasher:
         ``np.minimum.reduceat`` — one numpy dispatch per chunk instead
         of one per document."""
         shingles = [_shingle_hashes(t or "", self.k) for t in texts]
-        flat = np.concatenate(shingles)
         lens = np.fromiter((len(s) for s in shingles), dtype=np.int64,
                            count=len(shingles))
-        starts = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
         out = np.empty((self.num_perm, len(texts)), dtype=np.uint64)
-        chunk = max(1, int(8_000_000 // max(1, len(flat))))
-        for c in range(0, self.num_perm, chunk):
-            a = self.a[c:c + chunk]
-            b = self.b[c:c + chunk]
-            # (chunk, n_shingles) layout: the segmented min then runs
-            # along CONTIGUOUS rows (reduceat's fast path; the
-            # (n_shingles, chunk) orientation measured 10× slower).
-            # Plain fused `%` beats a shift-add Mersenne reduction
-            # here: on a DRAM-bound box one divide pass is cheaper
-            # than six "cheap" passes over the same 64 MB temporary.
-            v = (a[:, None] * flat[None, :] + b[:, None]) % _MERSENNE
-            out[c:c + chunk] = np.minimum.reduceat(v, starts, axis=1)
+        # Tile over (doc-subrange × perm-chunk) with ONE reused ≤4 MB
+        # buffer and in-place ops.  Large fresh temporaries are the
+        # enemy here: the original 64 MB-per-pass layout made 16
+        # concurrent fresh workers each spend ~5.5 s in first-touch
+        # page faults (kernel fault-path contention), dwarfing the
+        # 57 ms of real compute per batch.  (chunk, n_shingles)
+        # orientation: the segmented min runs along CONTIGUOUS rows —
+        # reduceat's fast path; one fused `%` beats a shift-add
+        # Mersenne reduction on this DRAM-bound box.
+        TILE = 1 << 19  # 0.5M u64 elements = 4 MB
+        buf = np.empty(TILE, dtype=np.uint64)
+        csum = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=csum[1:])
+        d0 = 0
+        while d0 < len(texts):
+            # grow the doc subrange to ~TILE/8 shingles (≥1 doc)
+            d1 = int(np.searchsorted(csum, csum[d0] + (TILE >> 3),
+                                     side="left"))
+            d1 = min(max(d1, d0 + 1), len(texts))
+            flat = np.concatenate(shingles[d0:d1]) if d1 - d0 > 1 \
+                else shingles[d0]
+            m = len(flat)
+            starts = (csum[d0:d1] - csum[d0])
+            chunk = max(1, min(self.num_perm, TILE // max(1, m)))
+            for c in range(0, self.num_perm, chunk):
+                a = self.a[c:c + chunk]
+                b = self.b[c:c + chunk]
+                v = buf[: len(a) * m].reshape(len(a), m)
+                np.multiply(a[:, None], flat[None, :], out=v)
+                v += b[:, None]
+                v %= _MERSENNE
+                np.minimum.reduceat(v, starts, axis=1,
+                                    out=out[c:c + len(a), d0:d1])
+            d0 = d1
         return np.ascontiguousarray(out.T)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -161,20 +180,32 @@ class BandEmitter:
     splitmix64 fold over its rows (collision probability ~2⁻⁶⁴ — the
     same false-candidate budget the md5-prefix carried)."""
 
-    def __init__(self, num_bands: int = 32, id_col: str = "doc_id"):
+    def __init__(self, num_bands: int = 32, id_col: str = "doc_id",
+                 num_parts: int = 0):
         self.num_bands = num_bands
         self.id_col = id_col
+        # num_parts > 0: also emit __part = band_hash % num_parts so the
+        # downstream bucket grouping shuffles on a SMALL int key (one
+        # group per partition, vectorized pair emission inside) instead
+        # of one Python map_groups call per (band, band_hash) bucket —
+        # measured 8.4 s of pure per-group call overhead at 80k buckets
+        self.num_parts = num_parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return pa.table(
+            out = pa.table(
                 {
                     self.id_col: batch[self.id_col],
                     "band": pa.array([], type=pa.int32()),
                     "band_hash": pa.array([], type=pa.uint64()),
                 }
             )
+            if self.num_parts:
+                out = out.append_column(
+                    "__part", pa.array([], type=pa.int32())
+                )
+            return out
         col = batch["minhash"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -200,59 +231,152 @@ class BandEmitter:
         for r in range(rows_per_band):
             h = _splitmix64(h ^ m[:, :, r])
         idx = np.repeat(np.arange(n, dtype=np.int64), self.num_bands)
-        return pa.table(
-            {
-                self.id_col: batch[self.id_col].take(pa.array(idx)),
-                "band": pa.array(
-                    np.tile(np.arange(self.num_bands, dtype=np.int32), n)
-                ),
-                "band_hash": pa.array(h.ravel()),
-            }
-        )
+        hr = h.ravel()
+        cols = {
+            self.id_col: batch[self.id_col].take(pa.array(idx)),
+            "band": pa.array(
+                np.tile(np.arange(self.num_bands, dtype=np.int32), n)
+            ),
+            "band_hash": pa.array(hr),
+        }
+        if self.num_parts:
+            cols["__part"] = pa.array(
+                (hr % np.uint64(self.num_parts)).astype(np.int32)
+            )
+        return pa.table(cols)
 
 
 def minhash_lsh_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
                            num_perm: int = 128, num_bands: int = 32,
-                           shingle_k: int = 5, concurrency=None):
-    """documents → candidate near-dup pairs (id_a < id_b, distinct).
+                           shingle_k: int = 5, concurrency=None,
+                           num_parts: int = 16, bucket_cap: int = 1000):
+    """documents → candidate near-dup pairs (id_a < id_b, distinct),
+    schema ``(id_a, id_b, capped)``.
 
-    The bucket groupby is the only shuffle; its key (band, band_hash)
-    is hash-distributed.  Oversized buckets (>1000 ids — degenerate
-    near-identical content) are truncated pairwise to cap the
-    quadratic blowup; run exact dedup first if such clusters are
-    expected (the final pair-dedup drops the per-bucket ``capped``
-    counter, so the truncation is bounded but not surfaced).
+    Two keyed shuffles, both on SMALL int keys (``num_parts`` distinct
+    values each, uniform by construction):
+
+    1. bucket grouping — partition on ``band_hash % num_parts`` (every
+       row of one (band, band_hash) bucket lands in one partition);
+       inside each partition pairs are emitted VECTORIZED (lexsort +
+       boundary scan; Python loop only over the rare ≥2-id buckets),
+       replacing the one-Python-call-per-bucket ``map_groups`` that
+       cost 8.4 s of pure call overhead at 80k buckets (round-2
+       driver-bench regression);
+    2. pair distinct — partition on a content hash of (id_a, id_b)
+       with a per-partition ``group_by`` keeping ``max(capped)``.
+
+    Oversized buckets (> ``bucket_cap`` ids — degenerate near-identical
+    content) are truncated to their ``bucket_cap`` smallest ids to cap
+    the quadratic blowup; the surviving pairs carry the bucket's
+    dropped-id count in ``capped`` so callers can warn or raise ("no
+    silent caps").  Run exact dedup first if such clusters are expected.
     """
     hasher = MinHasher(num_perm, shingle_k, text_col)
     sigs = ds.map_batches(hasher, batch_format="pyarrow",
                           concurrency=concurrency)
-    bands = sigs.map_batches(BandEmitter(num_bands, id_col),
-                             batch_format="pyarrow")
+    bands = sigs.map_batches(
+        BandEmitter(num_bands, id_col, num_parts=num_parts),
+        batch_format="pyarrow",
+    )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
-        capped = 0
-        if len(ids) > 1000:
-            capped = len(ids) - 1000
-            ids = ids[:1000]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {
-                "id_a": pa.array(ids[ia].astype(np.int64)),
-                "id_b": pa.array(ids[ib].astype(np.int64)),
-                "capped": pa.array(
-                    np.full(len(ia), capped, dtype=np.int32)
-                ),
-            }
+    def part_pairs(group: pa.Table) -> pa.Table:
+        return _bucket_pairs(group, id_col, bucket_cap)
+
+    cand = bands.groupby("__part").map_groups(
+        part_pairs, batch_format="pyarrow"
+    )
+
+    # a pair can surface from many bands (in different partitions) →
+    # global distinct keyed on a content hash of the pair, keeping the
+    # max capped count
+    from ..stages.canonicalize import content_key, hash_mod
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__p2", pa.array([], type=pa.int32()))
+        part = hash_mod(content_key(batch, ["id_a", "id_b"]), num_parts)
+        return batch.append_column("__p2", part)
+
+    def per_part(group: pa.Table) -> pa.Table:
+        agg = (
+            group.drop_columns(["__p2"])
+            .group_by(["id_a", "id_b"], use_threads=False)
+            .aggregate([("capped", "max")])
+        )
+        # select by NAME: pyarrow has moved key-vs-aggregate column
+        # ordering across versions
+        return agg.select(["id_a", "id_b", "capped_max"]).rename_columns(
+            ["id_a", "id_b", "capped"]
         )
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pyarrow"
+    return (
+        cand.map_batches(prep, batch_format="pyarrow")
+        .groupby("__p2")
+        .map_groups(per_part, batch_format="pyarrow")
     )
-    # a pair can surface from many bands → global distinct
-    from ..stages.canonicalize import dedup_triples
 
-    return dedup_triples(cand, num_parts=16, cols=["id_a", "id_b"])
+
+_PAIRS_EMPTY = pa.table(
+    {
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+        "capped": pa.array([], type=pa.int32()),
+    }
+)
+
+
+def _bucket_pairs(group: pa.Table, id_col: str, bucket_cap: int) -> pa.Table:
+    """Vectorized within-partition LSH pair emission: lexsort rows by
+    (band_hash, band, id), find bucket boundaries with one diff scan,
+    emit triu pairs only for buckets with ≥2 ids (ids sorted → capping
+    keeps the smallest ``bucket_cap``, matching the old np.unique
+    slice), then a local pair distinct keeping max(capped)."""
+    n = group.num_rows
+    if n == 0:
+        return _PAIRS_EMPTY
+
+    def col_np(name):
+        c = group[name]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return c.to_numpy(zero_copy_only=False)
+
+    bh = col_np("band_hash").astype(np.uint64)
+    bd = col_np("band").astype(np.int64)
+    ids = col_np(id_col).astype(np.int64)
+    order = np.lexsort((ids, bd, bh))
+    bh, bd, ids = bh[order], bd[order], ids[order]
+    newb = np.r_[True, (bh[1:] != bh[:-1]) | (bd[1:] != bd[:-1])]
+    starts = np.flatnonzero(newb)
+    lens = np.diff(np.r_[starts, n])
+    multi = lens >= 2
+    out_a, out_b, out_c = [], [], []
+    for s, ln in zip(starts[multi], lens[multi]):
+        cap = 0
+        if ln > bucket_cap:
+            cap = int(ln - bucket_cap)
+            ln = bucket_cap
+        ia, ib = np.triu_indices(int(ln), k=1)
+        seg = ids[s:s + ln]
+        out_a.append(seg[ia])
+        out_b.append(seg[ib])
+        out_c.append(np.full(len(ia), cap, dtype=np.int32))
+    if not out_a:
+        return _PAIRS_EMPTY
+    t = pa.table(
+        {
+            "id_a": pa.array(np.concatenate(out_a)),
+            "id_b": pa.array(np.concatenate(out_b)),
+            "capped": pa.array(np.concatenate(out_c)),
+        }
+    )
+    agg = t.group_by(["id_a", "id_b"], use_threads=False).aggregate(
+        [("capped", "max")]
+    )
+    return agg.select(["id_a", "id_b", "capped_max"]).rename_columns(
+        ["id_a", "id_b", "capped"]
+    )
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -273,16 +397,23 @@ def verify_candidates(cand_ds, docs_by_id: dict[int, str], threshold: float = 0.
 
     class Verify:
         def __init__(self, docs):
-            try:
-                import ray
-
-                if isinstance(docs, ray.ObjectRef):
-                    docs = ray.get(docs)
-            except ImportError:
-                pass
-            self.docs = docs
+            # resolve ObjectRef handles lazily on first __call__ IN THE
+            # WORKER — a driver-side ray.get here would embed the texts
+            # dict in the pickled UDF and defeat the plasma broadcast
+            self._handle = docs
+            self.docs = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.docs is None:
+                docs = self._handle
+                try:
+                    import ray
+
+                    if isinstance(docs, ray.ObjectRef):
+                        docs = ray.get(docs)
+                except ImportError:
+                    pass
+                self.docs = docs
             ja = [
                 round(ngram_jaccard(self.docs.get(a, ""), self.docs.get(b, ""), k), 6)
                 for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
@@ -306,31 +437,79 @@ class SimHasher:
         import re
 
         self.word_re = re.compile(r"[A-Za-z0-9_']+")
-        # token→bit-vector memo: web-text vocabularies are zipfian, so
-        # the per-actor cache turns the md5 cost into a one-time cost
-        self._bits: dict[str, np.ndarray] = {}
+        # token→md5-u64 memo: web-text vocabularies are zipfian, so the
+        # per-actor cache turns the md5 cost into a one-time cost
+        self._hash: dict[str, int] = {}
 
-    def _token_bits(self, tok: str) -> np.ndarray:
-        v = self._bits.get(tok)
+    def _token_hash(self, tok: str) -> int:
+        v = self._hash.get(tok)
         if v is None:
-            h = int.from_bytes(
+            v = self._hash[tok] = int.from_bytes(
                 hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
             )
-            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            v = self._bits[tok] = np.where(bits.astype(bool), 1, -1).astype(np.int64)
         return v
 
     def signature(self, text: str) -> int:
+        """Per-document reference kernel (kept for tests; ``__call__``
+        is the vectorized batch path, asserted bit-identical)."""
         votes = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
         for tok in self.word_re.findall((text or "").lower()):
-            votes += self._token_bits(tok)
+            bits = (np.uint64(self._token_hash(tok)) >> shifts) & np.uint64(1)
+            votes += np.where(bits.astype(bool), 1, -1)
         sig = 0
         for b in np.nonzero(votes > 0)[0]:
             sig |= 1 << int(b)
         return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch[self.text_col].to_pylist()]
+        """Vectorized batch signature, bit-identical to
+        :meth:`signature`: tokenize per doc (C regex), md5 only the
+        DISTINCT tokens of the batch (memoized across batches), expand
+        hashes to a (tokens, 64) ±1 int8 vote matrix, segment-sum per
+        doc with ``np.add.reduceat``, pack the positive-vote bits."""
+        texts = batch[self.text_col].to_pylist()
+        if not texts:
+            return batch.append_column(
+                self.out_col, pa.array([], type=pa.uint64())
+            )
+        toks_per_doc = [
+            self.word_re.findall((t or "").lower()) for t in texts
+        ]
+        lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
+                           count=len(toks_per_doc))
+        flat = [t for toks in toks_per_doc for t in toks]
+        shifts = np.arange(64, dtype=np.uint64)
+        if flat:
+            vocab, inv = np.unique(np.asarray(flat, dtype=object),
+                                   return_inverse=True)
+            h_vocab = np.fromiter(
+                (self._token_hash(t) for t in vocab), dtype=np.uint64,
+                count=len(vocab),
+            )
+            # (tokens, 64) ±1 votes; int8 keeps the temporary small
+            sign = np.where(
+                ((h_vocab[:, None] >> shifts[None, :]) & np.uint64(1))
+                .astype(bool),
+                np.int8(1), np.int8(-1),
+            )[inv]
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            # reduceat over NON-EMPTY segments only (zero-length
+            # segments both corrupt the neighbor's range and echo a
+            # stray row instead of zeros), then scatter back; empty
+            # docs keep all-zero votes → signature 0 like the per-doc
+            # kernel.  Consecutive non-empty starts still bound each
+            # doc's own tokens exactly — empty docs occupy zero rows.
+            votes = np.zeros((len(texts), 64), dtype=np.int32)
+            nz = lens > 0
+            votes[nz] = np.add.reduceat(
+                sign.astype(np.int32), starts[nz], axis=0
+            )
+        else:
+            votes = np.zeros((len(texts), 64), dtype=np.int32)
+        sigs = ((votes > 0).astype(np.uint64)
+                << shifts[None, :]).sum(axis=1, dtype=np.uint64)
         return batch.append_column(self.out_col,
                                    pa.array(sigs, type=pa.uint64()))
 

@@ -116,6 +116,19 @@ def curate_corpus(
                 f"{n_pairs} candidate pairs — run exact dedup first or "
                 "shard the near-dup pass (NEAR_DUP_MAX_PAIRS)"
             )
+        # "no silent caps": LSH truncates >bucket_cap-id buckets, so
+        # near-dups can slip through a capped bucket — surface it
+        if n_pairs:
+            n_capped = cand.max("capped")
+            if n_capped:
+                import warnings
+
+                warnings.warn(
+                    f"minhash LSH truncated oversized buckets (max "
+                    f"{n_capped} ids dropped from one bucket): run "
+                    "exact dedup first — near-dups may survive",
+                    stacklevel=2,
+                )
         cand_rows = cand.select_columns(["id_a", "id_b"]).take_all()
         cand_ids = {r["id_a"] for r in cand_rows} | {
             r["id_b"] for r in cand_rows

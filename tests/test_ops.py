@@ -196,6 +196,43 @@ class TestDedup:
         assert a == sh.signature("the quick brown fox jumps over the lazy dog")
         assert hamming64(a, b) < hamming64(a, c)
 
+    def test_simhash_vectorized_bit_identical(self):
+        """__call__ (batch-vectorized votes) must equal the per-doc
+        reference kernel, including empty/blank docs mid- and
+        end-of-batch (reduceat zero-length-segment quirk)."""
+        import pyarrow as pa
+
+        from cow_ray.ops.dedup import SimHasher
+
+        texts = [
+            "the quick brown fox", "", "jumps over the lazy dog",
+            "the the the", "   ", "unique words here only", "",
+        ]
+        sh = SimHasher()
+        got = sh(pa.table({"text": texts}))["simhash"].to_pylist()
+        want = [SimHasher().signature(t) for t in texts]
+        assert got == want
+
+    def test_minhash_capped_surfaces(self, ray_session):
+        """Oversized LSH buckets truncate to bucket_cap ids but the
+        surviving pairs carry the dropped-id count (no silent caps)."""
+        import ray.data
+
+        from cow_ray.ops.dedup import minhash_lsh_candidates
+
+        text = ("an identical document repeated many times so every "
+                "band hashes into one oversized bucket tonight")
+        rows = [{"doc_id": i, "text": text} for i in range(6)]
+        cand = minhash_lsh_candidates(
+            ray.data.from_items(rows), num_perm=64, num_bands=16,
+            bucket_cap=3,
+        ).take_all()
+        pairs = {(r["id_a"], r["id_b"]): r["capped"] for r in cand}
+        # 3 smallest ids survive the cap → 3 pairs, each flagged with
+        # the 3 dropped ids
+        assert set(pairs) == {(0, 1), (0, 2), (1, 2)}
+        assert all(c == 3 for c in pairs.values())
+
 
 class TestSimilarity:
     def test_brute_force_topk_vs_numpy(self, emb_ds):
