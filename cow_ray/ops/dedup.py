@@ -424,6 +424,166 @@ def verify_candidates(cand_ds, docs_by_id: dict[int, str], threshold: float = 0.
     return cand_ds.map_batches(Verify(docs_by_id), batch_format="pyarrow")
 
 
+def verify_candidates_distributed(cand_ds, docs_ds, threshold: float = 0.8,
+                                  k: int = 5, id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  num_parts: int = 16):
+    """Distributed exact-Jaccard verification of candidate pairs —
+    the no-broadcast path for candidate sets too big for a driver
+    texts dict (``verify_candidates`` is the small/fast path).
+
+    Two reduce-side exchanges, both on small int keys:
+
+    1. texts onto pair sides: stage each pair twice (keyed by id_a and
+       id_b) unioned with the docs (keyed by id), partition on
+       ``hash(key) % num_parts``, join per partition with a vectorized
+       searchsorted lookup — each doc's text crosses the wire once;
+    2. reassemble pairs: partition the (pair, side, text) rows on a
+       pair hash, pivot the two sides back together per partition and
+       compute the exact char-k-gram Jaccard per pair.
+
+    Returns (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold.
+    A Bloom-filter pushdown on candidate ids would shrink exchange 1
+    to candidate texts only; at the current fan-in the single pass is
+    the simpler scan.
+    """
+    from ..ops.graph import _hash_part
+
+    staged_schema = pa.schema(
+        [("__part", pa.int32()), ("__kind", pa.int8()),
+         ("__key", pa.int64()), ("__id_a", pa.int64()),
+         ("__id_b", pa.int64()), ("__text", pa.large_string())]
+    )
+
+    def col_np(batch, name):
+        c = batch[name]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return c.to_numpy(zero_copy_only=False)
+
+    def stage_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return staged_schema.empty_table()
+        a = col_np(batch, "id_a").astype(np.int64)
+        b = col_np(batch, "id_b").astype(np.int64)
+        key = np.concatenate([a, b])
+        ia = np.concatenate([a, a])
+        ib = np.concatenate([b, b])
+        return pa.table(
+            {
+                "__part": pa.array(_hash_part(key, num_parts)),
+                "__kind": pa.array(np.zeros(len(key), dtype=np.int8)),
+                "__key": pa.array(key),
+                "__id_a": pa.array(ia),
+                "__id_b": pa.array(ib),
+                "__text": pa.array([""] * len(key),
+                                   type=pa.large_string()),
+            }
+        )
+
+    def stage_docs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return staged_schema.empty_table()
+        ids = col_np(batch, id_col).astype(np.int64)
+        z = np.zeros(len(ids), dtype=np.int64)
+        return pa.table(
+            {
+                "__part": pa.array(_hash_part(ids, num_parts)),
+                "__kind": pa.array(np.ones(len(ids), dtype=np.int8)),
+                "__key": pa.array(ids),
+                "__id_a": pa.array(z),
+                "__id_b": pa.array(z),
+                "__text": pc.cast(
+                    pc.fill_null(batch[text_col], ""), pa.large_string()
+                ),
+            }
+        )
+
+    staged = cand_ds.map_batches(stage_pairs, batch_format="pyarrow").union(
+        docs_ds.select_columns([id_col, text_col]).map_batches(
+            stage_docs, batch_format="pyarrow"
+        )
+    )
+
+    sided_schema = pa.schema(
+        [("__p2", pa.int32()), ("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("side", pa.int8()), ("text", pa.large_string())]
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return sided_schema.empty_table()
+        kind = col_np(group, "__kind")
+        key = col_np(group, "__key").astype(np.int64)
+        is_doc = kind == 1
+        dk = key[is_doc]
+        o = np.argsort(dk, kind="stable")
+        dk = dk[o]
+        dtext = group["__text"].combine_chunks() if isinstance(
+            group["__text"], pa.ChunkedArray) else group["__text"]
+        doc_texts = np.asarray(dtext.to_pylist(), dtype=object)[is_doc][o]
+        pk = key[~is_doc]
+        ia = col_np(group, "__id_a")[~is_doc]
+        ib = col_np(group, "__id_b")[~is_doc]
+        if len(dk):
+            idx = np.clip(np.searchsorted(dk, pk), 0, len(dk) - 1)
+            hit = dk[idx] == pk
+            texts = np.where(hit, doc_texts[idx], "")
+        else:
+            texts = np.full(len(pk), "", dtype=object)
+        side = (pk != ia).astype(np.int8)  # 0 = a-side, 1 = b-side
+        pair_key = ia * np.int64(0x9E3779B1) + ib
+        return pa.table(
+            {
+                "__p2": pa.array(_hash_part(pair_key, num_parts)),
+                "id_a": pa.array(ia),
+                "id_b": pa.array(ib),
+                "side": pa.array(side),
+                "text": pa.array(list(texts), type=pa.large_string()),
+            }
+        )
+
+    sided = staged.groupby("__part").map_groups(attach,
+                                                batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("jaccard", pa.float64())]
+    )
+
+    def pivot(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        ia = col_np(group, "id_a").astype(np.int64)
+        ib = col_np(group, "id_b").astype(np.int64)
+        side = col_np(group, "side")
+        tcol = group["text"].combine_chunks() if isinstance(
+            group["text"], pa.ChunkedArray) else group["text"]
+        texts = np.asarray(tcol.to_pylist(), dtype=object)
+        order = np.lexsort((side, ib, ia))
+        ia, ib, side, texts = ia[order], ib[order], side[order], texts[order]
+        newp = np.r_[True, (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])]
+        starts = np.flatnonzero(newp)
+        out_a, out_b, out_j = [], [], []
+        ends = np.r_[starts[1:], len(ia)]
+        for s, e in zip(starts, ends):
+            if e - s != 2:  # a side missing its doc row — skip
+                continue
+            out_a.append(ia[s])
+            out_b.append(ib[s])
+            out_j.append(round(ngram_jaccard(texts[s], texts[s + 1], k), 6))
+        t = pa.table(
+            {
+                "id_a": pa.array(np.array(out_a, dtype=np.int64)),
+                "id_b": pa.array(np.array(out_b, dtype=np.int64)),
+                "jaccard": pa.array(np.array(out_j, dtype=np.float64)),
+            }
+        )
+        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+    return sided.groupby("__p2").map_groups(pivot, batch_format="pyarrow")
+
+
 # ---------- simhash ----------
 
 

@@ -10,8 +10,10 @@ exchanges, both bounded:
   fingerprint per block;
 * near-dup removal reuses :mod:`cow_ray.ops.dedup` (MinHash → banded
   LSH bucket groupby → exact-Jaccard verification), then clusters the
-  verified pairs transitively (union-find over the candidate-capped,
-  driver-sized pair list) and keeps the lowest id per component.
+  verified pairs transitively and keeps the lowest id per component —
+  driver union-find when the pair set is small, distributed
+  reduce-side verification + alternating-star connected components
+  (:mod:`cow_ray.ops.graph`) above the guards (see ``_near_dup_pass``).
 
 The filter+exact-dedup subset is SQL-expressible and hash-verified
 against DuckDB by the ``curate_docs`` query; the near-dup variant is
@@ -34,6 +36,9 @@ from ..ops.textstats import PUNCT_RE
 # materialization of the candidate set.
 NEAR_DUP_MAX_DOCS = 200_000
 NEAR_DUP_MAX_PAIRS = 5_000_000
+# distributed backend: only the final drop-id list (linear in dup
+# count) is pulled for the last broadcast filter; 10M int64 ≈ 80 MB
+NEAR_DUP_DROP_BROADCAST_MAX = 10_000_000
 
 
 def curate_corpus(
@@ -45,6 +50,7 @@ def curate_corpus(
     dedup_exact: bool = True,
     near_dup: bool = False,
     near_dup_threshold: float = 0.5,
+    near_dup_mode: str = "auto",
     text_col: str = "text",
     id_col: str = "doc_id",
 ):
@@ -102,43 +108,81 @@ def curate_corpus(
         )
 
     if near_dup:
-        import ray
+        out = _near_dup_pass(
+            out, near_dup_threshold=near_dup_threshold, mode=near_dup_mode,
+            id_col=id_col, text_col=text_col,
+        )
 
-        from ..ops.dedup import minhash_lsh_candidates, verify_candidates
+    return out
 
-        survivors = out.materialize()  # consumed twice below
-        cand = minhash_lsh_candidates(
-            survivors, id_col=id_col, text_col=text_col
-        ).materialize()
-        n_pairs = cand.count()  # distributed — BEFORE any driver pull
-        if n_pairs > NEAR_DUP_MAX_PAIRS:
-            raise ValueError(
-                f"{n_pairs} candidate pairs — run exact dedup first or "
-                "shard the near-dup pass (NEAR_DUP_MAX_PAIRS)"
+
+def _near_dup_pass(out, *, near_dup_threshold: float, mode: str,
+                   id_col: str, text_col: str):
+    """MinHash-LSH near-dup removal with two interchangeable backends
+    (identical row sets, asserted in tests):
+
+    * ``driver`` — broadcast candidate texts, verify per pair, cluster
+      with a driver union-find.  Fastest at query scale; bounded by
+      ``NEAR_DUP_MAX_PAIRS`` / ``NEAR_DUP_MAX_DOCS``.
+    * ``distributed`` — no pair/text driver materialization at any
+      point: reduce-side text join + per-pair Jaccard
+      (:func:`~cow_ray.ops.dedup.verify_candidates_distributed`), then
+      alternating-star connected components
+      (:func:`~cow_ray.ops.graph.connected_components`).  The only
+      driver pull is the final DROP-ID list (linear in the number of
+      duplicates — the quadratic pair set never leaves the cluster),
+      broadcast for the last filter and guarded at
+      ``NEAR_DUP_DROP_BROADCAST_MAX``.
+    * ``auto`` (default) — driver when under both guards, else
+      distributed.  Round-2's hard ValueError ceiling is gone.
+    """
+    import ray
+
+    from ..ops.dedup import minhash_lsh_candidates, verify_candidates
+
+    survivors = out.materialize()  # consumed twice below
+    cand = minhash_lsh_candidates(
+        survivors, id_col=id_col, text_col=text_col
+    ).materialize()
+    n_pairs = cand.count()  # distributed — BEFORE any driver pull
+    # "no silent caps": LSH truncates >bucket_cap-id buckets, so
+    # near-dups can slip through a capped bucket — surface it
+    if n_pairs:
+        n_capped = cand.max("capped")
+        if n_capped:
+            import warnings
+
+            warnings.warn(
+                f"minhash LSH truncated oversized buckets (max "
+                f"{n_capped} ids dropped from one bucket): run "
+                "exact dedup first — near-dups may survive",
+                stacklevel=2,
             )
-        # "no silent caps": LSH truncates >bucket_cap-id buckets, so
-        # near-dups can slip through a capped bucket — surface it
-        if n_pairs:
-            n_capped = cand.max("capped")
-            if n_capped:
-                import warnings
 
-                warnings.warn(
-                    f"minhash LSH truncated oversized buckets (max "
-                    f"{n_capped} ids dropped from one bucket): run "
-                    "exact dedup first — near-dups may survive",
-                    stacklevel=2,
-                )
+    use_driver = mode == "driver" or (
+        mode == "auto" and n_pairs <= NEAR_DUP_MAX_PAIRS
+    )
+    if mode == "driver" and n_pairs > NEAR_DUP_MAX_PAIRS:
+        raise ValueError(
+            f"{n_pairs} candidate pairs exceed NEAR_DUP_MAX_PAIRS — "
+            "use near_dup_mode='distributed' (or 'auto')"
+        )
+
+    if use_driver:
         cand_rows = cand.select_columns(["id_a", "id_b"]).take_all()
         cand_ids = {r["id_a"] for r in cand_rows} | {
             r["id_b"] for r in cand_rows
         }
         if len(cand_ids) > NEAR_DUP_MAX_DOCS:
-            raise ValueError(
-                f"{len(cand_ids)} candidate docs — near-dup "
-                "verification broadcasts the CANDIDATE texts; run "
-                "per-shard or raise NEAR_DUP_MAX_DOCS deliberately"
-            )
+            if mode == "driver":
+                raise ValueError(
+                    f"{len(cand_ids)} candidate docs — the driver "
+                    "backend broadcasts the CANDIDATE texts; use "
+                    "near_dup_mode='distributed' (or 'auto')"
+                )
+            use_driver = False
+
+    if use_driver:
         # broadcast only the texts the verifier needs (candidate-sized,
         # not corpus-sized): filter the survivors down to candidate ids
         cand_ids_ref = ray.put(np.sort(np.fromiter(cand_ids, dtype=np.int64,
@@ -179,28 +223,54 @@ def curate_corpus(
                 # deterministic: larger root points at smaller
                 lo_r, hi_r = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi_r] = lo_r
-        drop = {x for x in parent if find(x) != x}
-        drop_ref = ray.put(sorted(drop))
+        drop = sorted(x for x in parent if find(x) != x)
+    else:
+        from ..ops.dedup import verify_candidates_distributed
+        from ..ops.graph import connected_components
 
-        class DropNearDups:
-            def __init__(self, handle):
-                # resolved lazily in the worker (see queries.AttachNation)
-                self._handle = handle
-                self.drop = None
+        verified = verify_candidates_distributed(
+            cand, survivors, threshold=near_dup_threshold,
+            id_col=id_col, text_col=text_col,
+        )
+        comp = connected_components(verified, "id_a", "id_b")
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                import numpy as np
+        def non_roots(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.not_equal(batch["node"], batch["component"])
+            ).select(["node"])
 
-                if self.drop is None:
-                    self.drop = np.asarray(ray.get(self._handle))
-                ids = batch[id_col].to_numpy(zero_copy_only=False)
-                idx = np.searchsorted(self.drop, ids)
-                idx = np.clip(idx, 0, max(len(self.drop) - 1, 0))
-                hit = (self.drop[idx] == ids) if len(self.drop) else \
-                    np.zeros(len(ids), dtype=bool)
-                return batch.filter(pa.array(~hit))
+        drop_ds = comp.map_batches(non_roots,
+                                   batch_format="pyarrow").materialize()
+        n_drop = drop_ds.count()
+        if n_drop > NEAR_DUP_DROP_BROADCAST_MAX:
+            raise ValueError(
+                f"{n_drop} near-dup drop ids exceed the broadcast "
+                "guard — shard the corpus (per-shard curation) or "
+                "raise NEAR_DUP_DROP_BROADCAST_MAX deliberately"
+            )
+        drop = sorted(
+            r["node"] for r in drop_ds.take_all()
+        )
 
-        out = survivors.map_batches(DropNearDups(drop_ref),
-                                    batch_format="pyarrow")
+    drop_ref = ray.put(drop)
 
-    return out
+    class DropNearDups:
+        def __init__(self, handle):
+            # resolved lazily in the worker (see queries.AttachNation)
+            self._handle = handle
+            self.drop = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            if self.drop is None:
+                self.drop = np.asarray(ray.get(self._handle))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.drop, ids)
+            idx = np.clip(idx, 0, max(len(self.drop) - 1, 0))
+            hit = (self.drop[idx] == ids) if len(self.drop) else \
+                np.zeros(len(ids), dtype=bool)
+            return batch.filter(pa.array(~hit))
+
+    return survivors.map_batches(DropNearDups(drop_ref),
+                                 batch_format="pyarrow")

@@ -234,6 +234,122 @@ class TestDedup:
         assert all(c == 3 for c in pairs.values())
 
 
+class TestGraph:
+    def test_connected_components_basic(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.graph import connected_components
+
+        # chain, triangle, pair, self-loop-only node (dropped)
+        edges = [(1, 0), (1, 2), (2, 3), (4, 3), (10, 11), (11, 12),
+                 (10, 12), (20, 21), (30, 30)]
+        ds = ray.data.from_items(
+            [{"id_a": a, "id_b": b} for a, b in edges]
+        )
+        got = {r["node"]: r["component"]
+               for r in connected_components(ds).take_all()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                       10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_connected_components_vs_union_find(self, ray_session):
+        """Randomized graph vs an in-process union-find reference —
+        includes long chains (the worst case that sent plain
+        min-neighbor contraction to O(n) rounds)."""
+        import ray.data
+
+        from cow_ray.ops.graph import connected_components
+
+        rng = np.random.default_rng(7)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.integers(0, 400, size=(600, 2)) if a != b]
+        edges += [(1000 + i, 1001 + i) for i in range(120)]  # chain
+
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {n for e in edges for n in e}
+        want = {n: find(n) for n in nodes}
+        # path-compress to true minima
+        want = {n: find(n) for n in nodes}
+
+        ds = ray.data.from_items(
+            [{"id_a": a, "id_b": b} for a, b in edges]
+        )
+        got = {r["node"]: r["component"]
+               for r in connected_components(ds).take_all()}
+        assert got == want
+
+    def test_verify_candidates_distributed_matches_broadcast(
+            self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.dedup import (
+            minhash_lsh_candidates,
+            verify_candidates,
+            verify_candidates_distributed,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep green forest tonight")
+        rows = [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base.replace("lazy", "sleepy")},
+            {"doc_id": 2, "text": base},
+            {"doc_id": 3, "text": "completely different content about "
+                                  "spark query engines"},
+        ]
+        docs = ray.data.from_items(rows)
+        cand = minhash_lsh_candidates(docs, num_perm=64, num_bands=16)
+        texts = {r["doc_id"]: r["text"] for r in rows}
+        want = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in verify_candidates(cand, texts,
+                                       threshold=0.7).take_all()
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in verify_candidates_distributed(
+                cand, docs, threshold=0.7).take_all()
+        )
+        assert got == want and len(got) >= 2
+
+    def test_curate_distributed_mode_above_pair_guard(
+            self, ray_session, monkeypatch):
+        """With the pair guard forced to 0, auto routing must take the
+        distributed backend (no driver pair pull) and reproduce the
+        driver backend's row set exactly."""
+        import ray.data
+
+        from cow_ray.pipelines import curate as curate_mod
+
+        docs = ray.data.read_parquet(DOCS)
+        kw = dict(langs=("en", "de", "fr"), min_chars=100,
+                  max_punct_ppm=100_000, near_dup=True,
+                  near_dup_threshold=0.5)
+        want = sorted(
+            r["doc_id"] for r in curate_mod.curate_corpus(
+                docs, near_dup_mode="driver", **kw
+            ).select_columns(["doc_id"]).take_all()
+        )
+        monkeypatch.setattr(curate_mod, "NEAR_DUP_MAX_PAIRS", 0)
+        got = sorted(
+            r["doc_id"] for r in curate_mod.curate_corpus(
+                docs, near_dup_mode="auto", **kw
+            ).select_columns(["doc_id"]).take_all()
+        )
+        assert got == want and len(got) > 0
+
+
 class TestSimilarity:
     def test_brute_force_topk_vs_numpy(self, emb_ds):
         from cow_ray.ops.similarity import brute_force_topk
