@@ -271,6 +271,213 @@ def _plan_chunks(
     return chunks, chunk_counts
 
 
+# ---------------------------------------------------------------------
+# Distributed (wave) planner — TB-scale path.
+#
+# _plan_chunks above is exact but O(file bytes) ON THE DRIVER.  For
+# large files the scan moves to a wave of Ray tasks over raw byte
+# ranges: quote parity at an arbitrary offset is locally unknowable
+# (the classic distributed-CSV problem), so every task computes its
+# chunk's stats under BOTH entry-parity assumptions (speculative
+# parsing) plus the chunk's own parity flip; the driver then chains
+# parities p_{i+1} = p_i XOR flip_i and selects the valid stat set per
+# chunk — O(1) driver bytes and O(#chunks) driver work, mirroring the
+# parquet row-group metadata wave.
+#
+# Record-ownership convention: a record belongs to the chunk containing
+# its FIRST byte.  Records spanning chunks (quoted newlines, giant
+# fields) are tracked by the driver as a running "span" of per-chunk
+# scalars; read tasks extend past their chunk end to the span's
+# terminating safe newline.
+
+
+def _scan_chunk_stats(data: bytes, quotechar: str = '"') -> dict:
+    """Pure per-chunk kernel (unit-testable): newline/record stats
+    under both entry parities.  All outputs are scalars."""
+    import numpy as np
+
+    q = quotechar.encode()[0]
+    n = len(data)
+    out: dict = {"flip": 0, "tail_last": -1, "size": n}
+    if n == 0:
+        for s in (0, 1):
+            out[s] = {"n_nl": 0, "first": -1, "last": -1,
+                      "n_started": 0, "pre_first": -1}
+        return out
+    arr = np.frombuffer(data, dtype=np.uint8)
+    is_q = arr == q
+    cs = np.cumsum(is_q)
+    out["flip"] = int(cs[-1] % 2)
+    out["tail_last"] = int(arr[-1])
+    nl = np.nonzero(arr == 0x0A)[0]
+    for s in (0, 1):
+        if nl.size == 0:
+            out[s] = {"n_nl": 0, "first": -1, "last": -1,
+                      "n_started": 0, "pre_first": -1}
+            continue
+        safe = nl[(cs[nl] + s) % 2 == 0]
+        if safe.size == 0:
+            out[s] = {"n_nl": 0, "first": -1, "last": -1,
+                      "n_started": 0, "pre_first": -1}
+            continue
+        first, last = int(safe[0]), int(safe[-1])
+        n_started = 0
+        if safe.size >= 2:
+            starts = safe[:-1] + 1
+            ends = safe[1:]
+            lens = ends - starts
+            pb = arr[ends - 1]
+            nonempty = ~((lens == 0) | ((lens == 1) & (pb == 0x0D)))
+            n_started = int(nonempty.sum())
+        out[s] = {
+            "n_nl": int(safe.size), "first": first, "last": last,
+            "n_started": n_started,
+            "pre_first": int(arr[first - 1]) if first > 0 else -1,
+        }
+    return out
+
+
+def _chain_chunk_stats(stats: list[dict]) -> tuple[list[int], list[int],
+                                                   list[bool]]:
+    """Driver-side combiner: per-chunk stats → (entry parities, exact
+    per-chunk nonempty-record counts, starts-at-begin flags).  Chunk 0
+    is assumed to begin exactly at a record start (after the header)."""
+    n = len(stats)
+    counts = [0] * n
+    parities: list[int] = []
+    begin_flags = [False] * n
+    if n:
+        begin_flags[0] = True
+    p = 0
+    span_chunk, span_len, span_last = 0, 0, 0x0A
+    for i, st in enumerate(stats):
+        parities.append(p)
+        s = st[p]
+        size = st["size"]
+        if s["n_nl"] > 0:
+            # the running span record terminates at this chunk's first
+            # safe newline — attribute it to the chunk it STARTED in
+            tl = span_len + s["first"]
+            lb = s["pre_first"] if s["first"] > 0 else span_last
+            if not (tl == 0 or (tl == 1 and lb == 0x0D)):
+                counts[span_chunk] += 1
+            counts[i] += s["n_started"]
+            span_len = size - (s["last"] + 1)
+            if span_len > 0:
+                span_chunk, span_last = i, st["tail_last"]
+            else:
+                # next record starts exactly at the next chunk's first
+                # byte — it owns the span, and its task parses from
+                # byte 0 without skipping to a newline
+                span_chunk, span_last = i + 1, 0x0A
+                if i + 1 < n:
+                    begin_flags[i + 1] = True
+        else:
+            span_len += size
+            if size > 0:
+                span_last = st["tail_last"]
+        p ^= st["flip"]
+    # EOF: tail record without trailing newline
+    if span_len > 0 and not (span_len == 1 and span_last == 0x0D):
+        counts[span_chunk] += 1
+    return parities, counts, begin_flags
+
+
+def _find_safe_newlines(data: bytes, parity: int, quotechar: str):
+    """Safe-newline local offsets of ``data`` given the entry quote
+    parity; also returns the exit parity."""
+    import numpy as np
+
+    q = quotechar.encode()[0]
+    arr = np.frombuffer(data, dtype=np.uint8)
+    is_q = arr == q
+    cs = np.cumsum(is_q)
+    nl = np.nonzero(arr == 0x0A)[0]
+    exit_parity = (parity + int(cs[-1])) % 2 if len(arr) else parity
+    if nl.size == 0:
+        return nl, exit_parity
+    return nl[(cs[nl] + parity) % 2 == 0], exit_parity
+
+
+def _read_chunk_rows_wave(path: str, start: int, end: int, parity: int,
+                          starts_at_begin: bool, delimiter: str,
+                          quotechar: str, encoding: str) -> list[list[str]]:
+    """Parse the records STARTING in ``[start, end)``: seek, find the
+    first record boundary (immediately at ``start`` when the driver
+    flagged it, else after the first safe newline), and extend past
+    ``end`` to the final record's terminating safe newline.  Only this
+    chunk's bytes (+ the spill of its tail record) are read."""
+    BLOCK = 8 << 20
+    with open(path, "rb") as f:
+        f.seek(start)
+        data = f.read(end - start)
+        safe, exit_parity = _find_safe_newlines(data, parity, quotechar)
+        if starts_at_begin:
+            rs0 = 0
+        else:
+            if safe.size == 0:
+                return []
+            rs0 = int(safe[0]) + 1
+            safe = safe[1:]
+        # last record boundary still inside the chunk: nl with nl+1 <
+        # len(data); later starts belong to the next chunk
+        inside = safe[safe + 1 < len(data)]
+        s_max = int(inside[-1]) + 1 if inside.size else rs0
+        if rs0 >= len(data):
+            return []
+        # terminator: first safe newline at/after s_max (spills past
+        # the chunk end for boundary-spanning tail records)
+        term_rel = None
+        after = safe[safe >= s_max]
+        if after.size:
+            term_rel = int(after[0])
+        buf = [data]
+        total = len(data)
+        while term_rel is None:
+            block = f.read(BLOCK)
+            if not block:
+                term_rel = total  # EOF terminates the tail record
+                break
+            more, exit_parity = _find_safe_newlines(block, exit_parity,
+                                                    quotechar)
+            if more.size:
+                term_rel = total + int(more[0])
+            buf.append(block)
+            total += len(block)
+        blob = b"".join(buf)[rs0:term_rel]
+    text = blob.decode(encoding, "replace")
+    rows = list(_csv.reader(io.StringIO(text), delimiter=delimiter,
+                            quotechar=quotechar))
+    return [r for r in rows if r]
+
+
+def _plan_file_wave(path: str, delim: str, quotechar: str, enc: str,
+                    target_chunk_bytes: int):
+    """Distributed planning: raw byte cuts + a Ray scan wave + the
+    driver chain.  Driver reads only the header line."""
+    import ray
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        header_end = len(f.readline())
+
+    cuts = list(range(header_end, size, target_chunk_bytes)) + [size]
+    spans = [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)]
+    if not spans:
+        return [], [], [], []
+
+    @ray.remote(num_cpus=1)
+    def scan(p: str, s: int, e: int, qc: str) -> dict:
+        with open(p, "rb") as fh:
+            fh.seek(s)
+            return _scan_chunk_stats(fh.read(e - s), qc)
+
+    stats = ray.get([scan.remote(path, s, e, quotechar)
+                     for s, e in spans])
+    parities, counts, begin_flags = _chain_chunk_stats(stats)
+    return spans, parities, counts, begin_flags
+
+
 def _read_chunk_rows(path: str, start: int, end: int, delimiter: str,
                      quotechar: str, encoding: str) -> list[list[str]]:
     """Parse one chunk to rows.  start == -1 means "whole file in text
@@ -322,13 +529,22 @@ def read_csv_with_row_ids(
     quotechar: str = '"',
     encoding: str | None = None,
     target_chunk_bytes: int = 16 << 20,
+    planner: str = "auto",
+    driver_scan_max_bytes: int = 64 << 20,
 ):
     """CSV file(s) → ONE Dataset of all-string columns + deterministic
     global ``_row`` (file order × in-file order — a multi-file glob
     converts as a single job with one unified row space).  Chunk cuts
     are quote-parity-aware, so quoted fields may contain newlines — a
     cut never lands inside a quoted field.  All files must share the
-    header; dialect/encoding are detected per file unless given."""
+    header; dialect/encoding are detected per file unless given.
+
+    ``planner``: ``"driver"`` = exact single-pass driver byte scan
+    (record-boundary cuts + counts); ``"wave"`` = distributed
+    speculative scan (raw byte cuts, a Ray task wave computes per-chunk
+    stats under both quote parities, the driver chains O(1) scalars per
+    chunk — the TB-scale path); ``"auto"`` = driver below
+    ``driver_scan_max_bytes`` per file, wave above."""
     import ray.data
     from ray.data.block import BlockMetadata
     from ray.data.datasource import Datasource, ReadTask
@@ -337,12 +553,21 @@ def read_csv_with_row_ids(
     if not files:
         raise ValueError("no input CSV files")
     header: list[str] | None = None
-    task_specs = []  # (path, start, end, delim, enc, row_start, n_rows)
+    # (path, start, end, delim, enc, row_start, n_rows, mode, parity,
+    #  starts_at_begin)
+    task_specs = []
     row_base = 0
     total_bytes = 0
     for p in files:
-        hdr, delim, enc, chunks, counts = _plan_file(
-            p, delimiter, quotechar, encoding, target_chunk_bytes
+        enc = encoding or detect_encoding(p)
+        delim = delimiter or sniff_delimiter(p, enc)
+        hdr = read_header(p, delim, quotechar, enc)
+        multibyte = enc.lower().replace("_", "-") in _MULTIBYTE_ENCODINGS
+        use_wave = (
+            not multibyte
+            and (planner == "wave"
+                 or (planner == "auto"
+                     and os.path.getsize(p) > driver_scan_max_bytes))
         )
         if header is None:
             header = hdr
@@ -353,19 +578,40 @@ def read_csv_with_row_ids(
                 "headers (convert per-file otherwise)"
             )
         off = row_base
-        for (s, e), n in zip(chunks, counts):
-            task_specs.append((p, s, e, delim, enc, off, n))
-            off += n
+        if use_wave:
+            spans, parities, counts, begin_flags = _plan_file_wave(
+                p, delim, quotechar, enc, target_chunk_bytes
+            )
+            for (s, e), par, n, bf in zip(spans, parities, counts,
+                                          begin_flags):
+                task_specs.append((p, s, e, delim, enc, off, n,
+                                   "wave", par, bf))
+                off += n
+        else:
+            _, delim, enc, chunks, counts = _plan_file(
+                p, delim, quotechar, enc, target_chunk_bytes
+            )
+            for (s, e), n in zip(chunks, counts):
+                task_specs.append((p, s, e, delim, enc, off, n,
+                                   "driver", 0, True))
+                off += n
         row_base = off
         total_bytes += os.path.getsize(p)
 
     hdr_final = header or []
 
     def make_read(fpath: str, start: int, end: int, delim: str, enc: str,
-                  row_start: int):
+                  row_start: int, mode: str, parity: int,
+                  starts_at_begin: bool):
         def read() -> list[pa.Table]:
-            rows = _read_chunk_rows(fpath, start, end, delim, quotechar,
-                                    enc)
+            if mode == "wave":
+                rows = _read_chunk_rows_wave(
+                    fpath, start, end, parity, starts_at_begin, delim,
+                    quotechar, enc,
+                )
+            else:
+                rows = _read_chunk_rows(fpath, start, end, delim,
+                                        quotechar, enc)
             cols: dict[str, list[str]] = {h: [] for h in hdr_final}
             for r in rows:
                 for j, h in enumerate(hdr_final):
@@ -392,11 +638,16 @@ def read_csv_with_row_ids(
 
         def get_read_tasks(self, parallelism: int):
             tasks = []
-            for fpath, s, e, delim, enc, off, n in task_specs:
+            for (fpath, s, e, delim, enc, off, n, mode, par,
+                 bf) in task_specs:
                 meta = BlockMetadata(num_rows=n, size_bytes=(e - s) * 2,
                                      exec_stats=None, input_files=[fpath])
                 tasks.append(
-                    ReadTask(make_read(fpath, s, e, delim, enc, off), meta)
+                    ReadTask(
+                        make_read(fpath, s, e, delim, enc, off, mode,
+                                  par, bf),
+                        meta,
+                    )
                 )
             return tasks
 

@@ -377,6 +377,94 @@ class TestCsvChunkingProperty:
                     assert [got[i][h] for h in header] == wrow, (trial, chunk, i)
 
 
+class TestWavePlanner:
+    """Distributed (speculative two-parity) CSV planning — the
+    TB-scale path where the driver reads only the header line."""
+
+    def _evil_csv(self, path, n, rng):
+        with open(path, "w", newline="", encoding="utf-8") as f:
+            f.write("a,b,c\n")
+            for i in range(n):
+                r = rng.random()
+                if r < 0.2:
+                    f.write(f'{i},"multi\nline\n""quoted""",x\n')
+                elif r < 0.3:
+                    f.write("\n")
+                elif r < 0.35:
+                    f.write("\r\n")
+                elif r < 0.45:
+                    f.write(f'{i},"comma, inside",y\r\n')
+                else:
+                    f.write(f"{i},plain{i},z\n")
+            f.write("999,tail-no-newline,w")
+
+    def test_wave_equals_driver_planner(self, ray_session, tmp_path):
+        import random
+
+        from cow_ray.sources.csv import read_csv_with_row_ids
+
+        rng = random.Random(5)
+        p = tmp_path / "evil.csv"
+        self._evil_csv(p, 300, rng)
+
+        def rows(ds):
+            return sorted(tuple(r.items()) for r in ds.take_all())
+
+        for tcb in (64, 1024, 1 << 20):
+            a = rows(read_csv_with_row_ids(str(p), planner="driver",
+                                           target_chunk_bytes=tcb))
+            b = rows(read_csv_with_row_ids(str(p), planner="wave",
+                                           target_chunk_bytes=tcb))
+            assert a == b and len(a) > 200, tcb
+
+    def test_wave_driver_reads_no_file_bytes(self, ray_session, tmp_path,
+                                             monkeypatch):
+        """In wave mode the driver never runs the O(file-bytes) scan —
+        `_plan_chunks` must not be called; planning bytes on the driver
+        are the header line only."""
+        import random
+
+        from cow_ray.sources import csv as csv_mod
+
+        p = tmp_path / "wave.csv"
+        self._evil_csv(p, 200, random.Random(6))
+
+        def boom(*a, **k):
+            raise AssertionError("driver byte scan ran in wave mode")
+
+        monkeypatch.setattr(csv_mod, "_plan_chunks", boom)
+        ds = csv_mod.read_csv_with_row_ids(str(p), planner="wave",
+                                           target_chunk_bytes=512)
+        got = ds.take_all()
+        assert len(got) > 100
+        # _row determinism: dense 0..n-1
+        assert sorted(r["_row"] for r in got) == list(range(len(got)))
+
+    def test_chain_chunk_stats_counts_exact(self, tmp_path):
+        """Pure-kernel check: wave counts per chunk sum to the exact
+        total and the parity chain matches a sequential scan."""
+        import random
+
+        from cow_ray.sources.csv import (
+            _chain_chunk_stats,
+            _plan_chunks,
+            _scan_chunk_stats,
+        )
+
+        p = tmp_path / "k.csv"
+        self._evil_csv(p, 250, random.Random(7))
+        raw = open(p, "rb").read()
+        header_end = raw.index(b"\n") + 1
+        body = raw[header_end:]
+        for tcb in (100, 517, 4096):
+            cuts = list(range(0, len(body), tcb)) + [len(body)]
+            stats = [_scan_chunk_stats(body[cuts[i]:cuts[i + 1]])
+                     for i in range(len(cuts) - 1)]
+            _, counts, _ = _chain_chunk_stats(stats)
+            _, exact = _plan_chunks(str(p), 1 << 30)
+            assert sum(counts) == sum(exact), tcb
+
+
 class TestCurateCli:
     def test_curate_subcommand(self, tmp_path):
         import subprocess
