@@ -40,9 +40,16 @@ def asof_join(
     ts_right: str,
     right_payload: list[str],
     direction: str = "backward",
+    max_group_rows: int = 5_000_000,
 ):
     """Left as-of join of two Datasets.  Returns the left columns plus
-    ``right_payload`` columns (null where no right row qualifies)."""
+    ``right_payload`` columns (null where no right row qualifies).
+
+    ``max_group_rows`` enforces the documented one-key-fits-a-worker
+    contract at its edge: a hot key whose two-sided history exceeds it
+    raises a NAMED error (below) instead of an opaque worker OOM.
+    Remedies: pre-aggregate the right side, split the key range by
+    time, or raise the limit deliberately on big-memory workers."""
     if direction != "backward":
         raise ValueError("only direction='backward' is implemented")
 
@@ -87,6 +94,13 @@ def asof_join(
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_group_rows:
+            raise RuntimeError(
+                f"asof_join hot key {g['__k'].iloc[0]!r}: {len(g)} rows "
+                f"exceed max_group_rows={max_group_rows} — the one-key-"
+                "fits-a-worker contract; pre-aggregate the right side, "
+                "split by time range, or raise max_group_rows"
+            )
         lefts = g[g["__side"] == 0]
         rights = g[g["__side"] == 1]
         out = lefts[left_cols].copy()

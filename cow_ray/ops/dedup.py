@@ -45,7 +45,9 @@ def dedup_exact(ds, key_col: str, id_col: str, keep: str = "min"):
             .group_by([key_col], use_threads=False)
             .aggregate([(id_col, keep), ([], "count_all")])
         )
-        return agg.rename_columns([key_col, "keep_id", "n"])
+        # select by NAME before renaming (pyarrow ordering drift guard)
+        return agg.select([key_col, f"{id_col}_{keep}", "count_all"]
+                          ).rename_columns([key_col, "keep_id", "n"])
 
     from ray.data.aggregate import Min, Max, Sum
 

@@ -27,6 +27,15 @@ def interval_join(
     """``intervals`` is a list of ``(label, lo, hi)`` with inclusive
     bounds, non-overlapping.  Appends ``label_col``; inner-join
     semantics by default (rows outside every interval dropped)."""
+    # fail FAST at call time: an empty/invalid interval list would
+    # otherwise only explode at task runtime inside every map task
+    if not intervals:
+        raise ValueError("interval_join needs at least one interval")
+    for lab, lo, hi in intervals:
+        if lo > hi:
+            raise ValueError(
+                f"interval {lab!r} has lo {lo} > hi {hi}"
+            )
     ivs = sorted(intervals, key=lambda t: t[1])
     for (_, _, h1), (_, l2, _) in zip(ivs, ivs[1:]):
         if l2 <= h1:

@@ -260,43 +260,55 @@ def lsh_near_dup_pairs(ds, threshold: float = 0.95, *,
     bucket shuffle; keep multi_probe ≤ 2."""
     from itertools import combinations
 
-    dim = len(ds.take(1)[0][vec_col])
-    lsh = HyperplaneLSH(dim, planes, seed, vec_col)
     flips = [0]
     for r in range(1, multi_probe + 1):
         for bits in combinations(range(planes), r):
             flips.append(sum(1 << b for b in bits))
     flips_np = np.asarray(flips, dtype=np.int64)
 
-    def expand(batch: pa.Table) -> pa.Table:
-        sub = batch.select([id_col, vec_col])
-        n = sub.num_rows
-        if n == 0:
-            return sub.append_column("bucket",
-                                     pa.array([], type=pa.int64()))
-        m = _norm_rows(_as_matrix(sub[vec_col]))
-        base = lsh.bucket_of(m).astype(np.int64)
-        # row i replicated once per probe bucket (vectorized tile/xor)
-        idx = np.repeat(np.arange(n), len(flips_np))
-        buckets = (base[:, None] ^ flips_np[None, :]).ravel()
-        out = sub.take(pa.array(idx))
-        return out.append_column("bucket", pa.array(buckets))
+    class Expand:
+        """Hyperplanes built lazily from the first batch's vector width
+        (seeded rng → identical across workers) — probing ``dim`` with
+        a driver-side ``ds.take(1)`` triggered a whole extra plan
+        execution (round-2 verdict)."""
+
+        def __init__(self):
+            self.lsh = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sub = batch.select([id_col, vec_col])
+            n = sub.num_rows
+            if n == 0:
+                return sub.append_column("bucket",
+                                         pa.array([], type=pa.int64()))
+            m = _norm_rows(_as_matrix(sub[vec_col]))
+            if self.lsh is None:
+                self.lsh = HyperplaneLSH(m.shape[1], planes, seed, vec_col)
+            base = self.lsh.bucket_of(m).astype(np.int64)
+            # row i replicated once per probe bucket (vectorized xor)
+            idx = np.repeat(np.arange(n), len(flips_np))
+            buckets = (base[:, None] ^ flips_np[None, :]).ravel()
+            out = sub.take(pa.array(idx))
+            return out.append_column("bucket", pa.array(buckets))
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False)
         m = _norm_rows(_as_matrix(group[vec_col]))
         return _pairs_of(ids, m, threshold)
 
-    def first_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return (
-        ds.map_batches(expand, batch_format="pyarrow")
+    cand = (
+        ds.map_batches(Expand(), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .map_groups(first_pair, batch_format="pyarrow")
     )
+    # a pair surfaces once per shared probe bucket with an IDENTICAL
+    # (same two vectors, rounded) score → vectorized hash-partitioned
+    # distinct over all three columns, not a Python map_groups call
+    # per pair (round-2 verdict)
+    from ..stages.canonicalize import dedup_triples
+
+    return dedup_triples(cand, num_parts=16,
+                         cols=["id_a", "id_b", "score"])
 
 
 # ---------- IVF (inverted-file / coarse k-means) ----------
@@ -412,7 +424,11 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95,
     sub = ds if max_rows is None else ds.limit(max_rows)
     n_rows = None
     if mode == "auto":
-        n_rows = sub.count()  # one execution, reused by the guard below
+        # materialize BEFORE counting: for a transformed upstream a
+        # bare count() would execute the whole pipeline once for the
+        # guard and the chosen path would then re-execute it
+        sub = sub.materialize()
+        n_rows = sub.count()
         mode = ("broadcast" if n_rows <= BROADCAST_NEAR_DUP_MAX_ROWS
                 else "lsh")
     if mode == "lsh":

@@ -127,7 +127,8 @@ def token_doc_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
         distinct.group_by(["token"], use_threads=False)
         .aggregate([([], "count_all")])
     )
-    return partial.rename_columns(["token", "df"])
+    return partial.select(["token", "count_all"]).rename_columns(
+        ["token", "df"])
 
 
 def token_doc_freq(ds, text_col: str = "text", limit: int = 50):

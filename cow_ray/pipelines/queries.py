@@ -772,7 +772,10 @@ def q_top_parts_by_qty(sf_dir: str):
             batch.group_by(["l_partkey"], use_threads=False)
             .aggregate([("l_quantity", "sum")])
         )
-        return agg.rename_columns(["l_partkey", "l_quantity"])
+        # select by NAME before renaming: pyarrow has moved key-vs-
+        # aggregate column ordering across versions
+        return agg.select(["l_partkey", "l_quantity_sum"]).rename_columns(
+            ["l_partkey", "l_quantity"])
 
     out = (
         _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
@@ -862,7 +865,8 @@ def q_orders_by_nation(sf_dir: str):
             b.group_by(["nation"], use_threads=False)
             .aggregate([([], "count_all"), ("cents", "sum")])
         )
-        return agg.rename_columns(["nation", "n", "cents"])
+        return agg.select(["nation", "count_all", "cents_sum"]
+                          ).rename_columns(["nation", "n", "cents"])
 
     out = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -919,7 +923,8 @@ def q_events_hourly(sf_dir: str):
             b.group_by(["user_id", "hour"], use_threads=False)
             .aggregate([([], "count_all"), ("cents", "sum")])
         )
-        return agg.rename_columns(["user_id", "hour", "n", "cents"])
+        return agg.select(["user_id", "hour", "count_all", "cents_sum"]
+                          ).rename_columns(["user_id", "hour", "n", "cents"])
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1131,7 +1136,8 @@ def q_lineitem_qty_bands(sf_dir: str):
             batch.group_by(["band"], use_threads=False)
             .aggregate([([], "count_all")])
         )
-        return agg.rename_columns(["band", "n"])
+        return agg.select(["band", "count_all"]).rename_columns(
+            ["band", "n"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -127,7 +127,8 @@ def grouped_count(ds, keys: list[str], salt: int = 0, count_col: str = "n"):
             .group_by(keys, use_threads=False)
             .aggregate([([], "count_all")])
         )
-        t = t.rename_columns(keys + [count_col])
+        t = t.select(keys + ["count_all"]).rename_columns(
+            keys + [count_col])
         if salt > 0:
             t = t.append_column(
                 "__salt", pa.array(np.arange(t.num_rows) % salt, type=pa.int32())

@@ -590,6 +590,39 @@ class TestAsofJoin:
         assert out[3] is None or (out[3] != out[3])  # no right rows
         assert out[4] == 300          # equal ts qualifies; tie → max
 
+    def test_hot_key_contract_edge(self, ray_session):
+        """The documented one-key-fits-a-worker contract at its edge:
+        a synthetic hot key COMPLETES while under max_group_rows and
+        fails with the contract's NAMED error (not an opaque OOM) when
+        its two-sided history exceeds the limit."""
+        import datetime as dt
+
+        import ray.data
+
+        from cow_ray.ops.asof import asof_join
+
+        base = dt.datetime(2024, 1, 1)
+        n = 5000  # one hot user holds every row
+        left = ray.data.from_items([
+            {"eid": i, "k": 1, "ts": base + dt.timedelta(minutes=i)}
+            for i in range(n)
+        ]).repartition(4)
+        right = ray.data.from_items([
+            {"k": 1, "rts": base + dt.timedelta(minutes=i, seconds=-30),
+             "payload": i}
+            for i in range(n)
+        ]).repartition(4)
+        kw = dict(key_left="k", ts_left="ts", key_right="k",
+                  ts_right="rts", right_payload=["payload"])
+        ok = asof_join(left, right, **kw).take_all()
+        assert len(ok) == n
+        assert {r["payload"] for r in ok[:5]} <= set(range(n))
+
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="one-key-fits-a-worker"):
+            asof_join(left, right, max_group_rows=1000, **kw).take_all()
+
 
 class TestScrubAndChunk:
     def test_scrub_redacts_pii(self):
@@ -725,8 +758,19 @@ class TestCurate:
              for i in range(20)]
         )
         monkeypatch.setattr(curate, "NEAR_DUP_MAX_DOCS", 5)
-        with pytest.raises(ValueError, match="broadcasts"):
-            curate.curate_corpus(ds, near_dup=True)
+        # explicit driver mode still refuses loudly above the guard...
+        with pytest.raises(ValueError, match="CANDIDATE texts"):
+            curate.curate_corpus(ds, near_dup=True,
+                                 near_dup_mode="driver")
+        # ...auto mode routes to the distributed backend instead and
+        # reproduces the (unguarded) driver backend's row set exactly
+        monkeypatch.setattr(curate, "NEAR_DUP_MAX_DOCS", 200_000)
+        want = sorted(r["doc_id"] for r in curate.curate_corpus(
+            ds, near_dup=True, near_dup_mode="driver").take_all())
+        monkeypatch.setattr(curate, "NEAR_DUP_MAX_DOCS", 5)
+        got = sorted(r["doc_id"] for r in curate.curate_corpus(
+            ds, near_dup=True).take_all())
+        assert got == want and len(got) > 0
 
 
 class TestMultimodal:
