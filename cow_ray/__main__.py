@@ -166,10 +166,12 @@ def _export(store: str, fmt: str, out: str, gzipped: bool = False) -> None:
         # extension (csvw.py:39-41) likewise emits rdflib's turtle-style
         # serialization for plain triple data
         n = export_turtle(ds, out)
-    elif fmt in ("xml", "pretty-xml"):
-        # the reference's `pretty-xml` is rdflib's cosmetic variant of
-        # the same RDF/XML graph; both map to the one serializer here
+    elif fmt == "xml":
         n = export_rdfxml(ds, out)
+    elif fmt == "pretty-xml":
+        from .stages.serialize import export_pretty_xml
+
+        n = export_pretty_xml(ds, out)
     elif fmt == "trix":
         n = export_trix(ds, out)
     elif fmt == "trig":

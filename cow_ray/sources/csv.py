@@ -35,11 +35,12 @@ import pyarrow as pa
 
 # single-byte candidates for the coherence scorer, most-specific
 # first; latin-1 is the lossless fallback (every byte decodes)
-_SB_CANDIDATES = ("cp1252", "cp1251", "iso-8859-7", "latin-1")
+_SB_CANDIDATES = ("cp1252", "cp1251", "koi8-r", "iso-8859-7", "latin-1")
 
 
 _SB_SCRIPT_BLOCK = {  # expected non-ASCII letter block per encoding
     "cp1251": (0x0400, 0x04FF),      # Cyrillic
+    "koi8-r": (0x0400, 0x04FF),      # Cyrillic (different byte map)
     "iso-8859-7": (0x0370, 0x03FF),  # Greek
 }
 # highest-frequency letters of each family's languages — real text in
@@ -50,6 +51,7 @@ _SB_SCRIPT_BLOCK = {  # expected non-ASCII letter block per encoding
 # byte to *some* in-block letter)
 _SB_COMMON = {
     "cp1251": set("оеаинтсрвлкм"),
+    "koi8-r": set("оеаинтсрвлкм"),
     "iso-8859-7": set("αοειτνσρηυκπ"),
     "cp1252": set("éèêàâçùûüöäëñïíóúã"),
     "latin-1": set("éèêàâçùûüöäëñïíóúã"),
@@ -79,7 +81,7 @@ def _coherence(enc: str, text: str) -> float:
     block to dominate the NON-ASCII letters (ASCII headers/ids mixed
     with Cyrillic values are normal); common-letter frequency breaks
     the remaining ties."""
-    ascii_a = hi_a = in_block = common = bad = runs = 0
+    ascii_a = hi_a = in_block = common = bad = runs = lower_blk = 0
     prev_hi = False
     lo, hi = _SB_SCRIPT_BLOCK.get(enc, (0, -1))
     common_set = _SB_COMMON.get(enc, ())
@@ -105,6 +107,8 @@ def _coherence(enc: str, text: str) -> float:
                 common += 1
             if lo <= o <= hi:
                 in_block += 1
+                if ch.islower():
+                    lower_blk += 1
         else:
             prev_hi = False
     if enc in ("cp1252", "latin-1"):
@@ -118,8 +122,100 @@ def _coherence(enc: str, text: str) -> float:
     # words — without the run test, 'Café Noël' maps wholesale into
     # the Greek block and detects as iso-8859-7
     if in_block >= 3 * stray and hi_a >= 2 * runs:
-        return ascii_a + 2 * in_block + 2 * common - 5 * stray - bad
+        # case coherence: real text is lowercase-dominant, and the
+        # Cyrillic code pages invert case between themselves (koi8-r
+        # lower 0xC0-0xDF = cp1251 UPPER) and against Greek — a wrong
+        # guess reads as SHOUTING and loses here
+        case = 2 * lower_blk - (in_block - lower_blk)
+        return ascii_a + 2 * in_block + 2 * common + case - 5 * stray - bad
     return -(stray + max(ascii_a - in_block, 0)) - bad
+
+
+# --- multi-byte CJK detection (shift-jis / euc-kr / gb2312) ---------
+#
+# Structure + miniature frequency models, the same recipe as the
+# single-byte scorer: (1) a byte-level gate — double-byte text makes
+# high-byte runs of mostly EVEN length, while Cyrillic/Greek words
+# have arbitrary lengths; (2) strict decode per candidate; (3) score
+# script-block membership plus a small set of highest-frequency
+# characters per language, which is what breaks the euc-kr-vs-gb2312
+# symmetry (both decode each other's byte pairs into plausible-looking
+# blocks; random mappings miss the frequent characters).  Pathological
+# cross-CJK inputs can still misdetect — chardet-grade language models
+# are out of scope; the detected name is reported for override.
+
+_CJK_CANDIDATES = ("shift_jis", "euc_kr", "gb2312")
+_CJK_BLOCKS = {
+    "shift_jis": ((0x3040, 0x30FF), (0x4E00, 0x9FFF), (0xFF61, 0xFF9F),
+                  (0x3000, 0x303F)),
+    "euc_kr": ((0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x4E00, 0x9FFF),
+               (0x3000, 0x303F)),
+    "gb2312": ((0x4E00, 0x9FFF), (0x3000, 0x303F), (0xFF00, 0xFF65)),
+}
+_CJK_COMMON = {
+    "shift_jis": set("のにはをたがでてとしれさあるいうんます年月日本語今"),
+    "euc_kr": set("이다의는을를에가하고지서도로는한국어입니년월일"),
+    "gb2312": set("的一是不了人我在有他这中大来上国年月日文本天"),
+}
+
+
+def _high_runs_mostly_even(head: bytes, max_scan: int = 1 << 16) -> bool:
+    import numpy as np
+
+    arr = np.frombuffer(head[:max_scan], dtype=np.uint8)
+    hi = (arr >= 0x80).astype(np.int8)
+    if hi.sum() < 20:
+        return False
+    d = np.diff(np.concatenate([[0], hi, [0]]))
+    starts = np.nonzero(d == 1)[0]
+    ends = np.nonzero(d == -1)[0]
+    lens = ends - starts
+    return (lens % 2 == 0).mean() >= 0.75
+
+
+def _cjk_detect(head: bytes) -> str | None:
+    # EUC-family pairs are both-high → the even-run gate applies;
+    # Shift-JIS trail bytes reach into ASCII (0x40-0x7E) and break the
+    # run structure, so its guard is kana presence instead (real
+    # Japanese text is kana-dense; mojibake from a wrong guess is not)
+    even_runs = _high_runs_mostly_even(head)
+    best, best_score = None, 0.0
+    for enc in _CJK_CANDIDATES:
+        if enc in ("euc_kr", "gb2312") and not even_runs:
+            continue
+        try:
+            text = head.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            # forgive a truncated trailing sequence, like the utf-8 probe
+            try:
+                text = head[:-2].decode(enc) if len(head) > 2 else ""
+            except (UnicodeDecodeError, LookupError):
+                continue
+        probe = _score_probe(text)
+        blocks = _CJK_BLOCKS[enc]
+        common_set = _CJK_COMMON[enc]
+        in_blk = common = non_ascii = kana = 0
+        for ch in probe:
+            o = ord(ch)
+            if o < 128:
+                continue
+            non_ascii += 1
+            if any(lo <= o <= hi for lo, hi in blocks):
+                in_blk += 1
+                if ch in common_set:
+                    common += 1
+                if 0x3040 <= o <= 0x30FF:
+                    kana += 1
+        if non_ascii == 0 or in_blk < 10 or common < 3:
+            continue
+        if in_blk / non_ascii < 0.7:
+            continue
+        if enc == "shift_jis" and kana < max(3, in_blk * 0.15):
+            continue
+        score = in_blk + 4 * common - 3 * (non_ascii - in_blk)
+        if score > best_score:
+            best, best_score = enc, score
+    return best
 
 
 def detect_encoding(path: str, sample_bytes: int = 1 << 20) -> str:
@@ -149,6 +245,9 @@ def detect_encoding(path: str, sample_bytes: int = 1 << 20) -> str:
                 return "utf-8"
             except UnicodeDecodeError:
                 pass
+    cjk = _cjk_detect(head)
+    if cjk:
+        return cjk
     best, best_score = "latin-1", float("-inf")
     for enc in _SB_CANDIDATES:
         try:

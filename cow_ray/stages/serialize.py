@@ -215,6 +215,100 @@ def triples_to_rdfxml(rows) -> str:
     return "\n".join(out)
 
 
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def triples_to_pretty_xml(rows) -> str:
+    """rdflib-style "pretty-xml": subjects grouped as in the plain
+    serializer PLUS (1) typed nodes — a subject's first expressible
+    ``rdf:type`` becomes the element name — and (2) nesting — an IRI
+    object that is itself a subject and is referenced exactly once in
+    the graph is inlined as a nested description.  Cycles fall back to
+    ``rdf:resource`` (stack check), depth capped at 20."""
+    from collections import Counter
+
+    by_subj: dict[str, list] = {}
+    for r in rows:
+        by_subj.setdefault(r["subj"], []).append(r)
+    refs = Counter(
+        r["obj_lex"] for r in rows
+        if r["obj_kind"] == "iri" and r["obj_lex"] in by_subj
+        and r["obj_lex"] != r["subj"]
+    )
+    inlinable = {s for s, c in refs.items() if c == 1}
+    emitted: set[str] = set()
+    out = ['<?xml version="1.0" encoding="utf-8"?>',
+           '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">']
+
+    def try_split(iri: str):
+        try:
+            return _split_predicate(iri)
+        except ValueError:
+            return None
+
+    def emit(s: str, ind: str, stack: frozenset, depth: int):
+        emitted.add(s)
+        rows_s = by_subj[s]
+        type_row = next(
+            (r for r in rows_s
+             if r["pred"] == _RDF_TYPE and r["obj_kind"] == "iri"
+             and try_split(r["obj_lex"])),
+            None,
+        )
+        if type_row is not None:
+            tns, tlocal = _split_predicate(type_row["obj_lex"])
+            tag = f"t:{tlocal}"
+            topen = (f'{ind}<{tag} xmlns:t="{_xml_escape(tns)}" '
+                     f'rdf:about="{_xml_escape(s)}">')
+        else:
+            tag = "rdf:Description"
+            topen = f'{ind}<{tag} rdf:about="{_xml_escape(s)}">'
+        out.append(topen)
+        for r in rows_s:
+            if r is type_row:
+                continue
+            ns, local = _split_predicate(r["pred"])
+            attrs = f' xmlns:p="{_xml_escape(ns)}"'
+            if r["obj_kind"] == "iri":
+                o = r["obj_lex"]
+                if (o in inlinable and o not in emitted and o not in stack
+                        and depth < 20):
+                    out.append(f'{ind}  <p:{local}{attrs}>')
+                    emit(o, ind + "    ", stack | {s}, depth + 1)
+                    out.append(f'{ind}  </p:{local}>')
+                else:
+                    out.append(f'{ind}  <p:{local}{attrs} '
+                               f'rdf:resource="{_xml_escape(o)}"/>')
+            else:
+                extra = ""
+                if r.get("obj_lang"):
+                    extra = f' xml:lang="{_xml_escape(r["obj_lang"])}"'
+                elif r.get("obj_datatype"):
+                    extra = (f' rdf:datatype='
+                             f'"{_xml_escape(r["obj_datatype"])}"')
+                out.append(f'{ind}  <p:{local}{attrs}{extra}>'
+                           f'{_xml_escape(r["obj_lex"])}</p:{local}>')
+        out.append(f"{ind}</{tag}>")
+
+    # roots first (subjects nobody inlines), then leftovers (detached
+    # cycles of inlinable subjects)
+    for s in sorted(by_subj):
+        if s not in emitted and s not in inlinable:
+            emit(s, "", frozenset(), 0)
+    for s in sorted(by_subj):
+        if s not in emitted:
+            emit(s, "", frozenset(), 0)
+    out.append("</rdf:RDF>")
+    return "\n".join(out)
+
+
+def export_pretty_xml(ds, path: str) -> int:
+    rows = _collect_sorted(ds)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(triples_to_pretty_xml(rows))
+    return len(rows)
+
+
 def triples_to_trix(rows, graph: str | None = None) -> str:
     """TriX serialization (one <graph> block)."""
     out = ['<?xml version="1.0" encoding="utf-8"?>',

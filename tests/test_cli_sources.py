@@ -330,6 +330,62 @@ class TestXmlSerializers:
         assert 'rdf:resource="http://x/s2"' in xml
         assert 'rdf:datatype="http://www.w3.org/2001/XMLSchema#integer"' in xml
 
+    def test_pretty_xml_nests_and_round_trips(self):
+        """pretty-xml must (1) nest the once-referenced s2 inside s1,
+        (2) use the rdf:type as the element name, and (3) round-trip
+        the exact triple set (reconstructed with ElementTree)."""
+        import xml.etree.ElementTree as ET
+
+        from cow_ray.stages.serialize import triples_to_pretty_xml
+
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        rows = self.ROWS + [
+            {"subj": "http://x/s1", "pred": RDF + "type",
+             "obj_lex": "http://x/v/Person", "obj_kind": "iri",
+             "obj_datatype": None, "obj_lang": None},
+        ]
+        xml = triples_to_pretty_xml(rows)
+        root = ET.fromstring(xml)
+        # typed node: one root element named {http://x/v/}Person
+        assert len(root) == 1
+        assert root[0].tag == "{http://x/v/}Person"
+        # nesting: s2's description sits inside s1's knows property
+        knows = root[0].find("{http://x/v/}knows")
+        assert knows is not None and len(knows) == 1
+        nested = knows[0]
+        assert nested.attrib[f"{{{RDF}}}about"] == "http://x/s2"
+
+        def walk(el):
+            subj = el.attrib[f"{{{RDF}}}about"]
+            if el.tag != f"{{{RDF}}}Description":
+                yield (subj, RDF + "type",
+                       el.tag.replace("{", "").replace("}", ""), "iri",
+                       None, None)
+            for prop in el:
+                pred = prop.tag.replace("{", "").replace("}", "")
+                res = prop.attrib.get(f"{{{RDF}}}resource")
+                if res is not None:
+                    yield (subj, pred, res, "iri", None, None)
+                elif len(prop):
+                    yield (subj, pred,
+                           prop[0].attrib[f"{{{RDF}}}about"], "iri",
+                           None, None)
+                    yield from walk(prop[0])
+                else:
+                    yield (subj, pred, prop.text or "", "literal",
+                           prop.attrib.get(f"{{{RDF}}}datatype"),
+                           prop.attrib.get(
+                               "{http://www.w3.org/XML/1998/namespace}lang"))
+
+        got = set()
+        for el in root:
+            got.update(walk(el))
+        want = {
+            (r["subj"], r["pred"], r["obj_lex"], r["obj_kind"],
+             r["obj_datatype"], r["obj_lang"]) for r in rows
+        }
+        assert got == want
+
     def test_trix_well_formed(self):
         import xml.etree.ElementTree as ET
 
@@ -375,6 +431,43 @@ class TestCsvChunkingProperty:
                 assert len(got) == len(want), (trial, chunk)
                 for i, wrow in enumerate(want):
                     assert [got[i][h] for h in header] == wrow, (trial, chunk, i)
+
+
+class TestEncodingDetection:
+    SAMPLES = {
+        "shift_jis": "id,text\n1,日本語のテキストです。今日は天気がいい"
+                     "ですね。\n2,東京で働いています。日本の年月日。\n",
+        "euc_kr": "id,text\n1,한국어 텍스트입니다. 오늘은 날씨가 좋습니다."
+                  "\n2,서울에서 일하고 있습니다. 한국의 년월일.\n",
+        "gb2312": "id,text\n1,这是一个中文文本。今天天气很好。\n"
+                  "2,我们在北京工作。中国的年月日。\n",
+        "koi8-r": "id,text\n1,русский текст про погоду и море\n"
+                  "2,сегодня хорошая погода в москве\n",
+        "cp1251": "id,text\n1,русский текст про погоду и море\n"
+                  "2,сегодня хорошая погода в москве\n",
+    }
+
+    def test_families_detected(self, tmp_path):
+        from cow_ray.sources.csv import detect_encoding
+
+        for enc, text in self.SAMPLES.items():
+            p = tmp_path / f"{enc}.csv"
+            p.write_bytes(text.encode(enc))
+            got = detect_encoding(str(p)).lower().replace("_", "-")
+            assert got == enc.replace("_", "-"), (enc, got)
+
+    def test_shift_jis_roundtrip_read(self, ray_session, tmp_path):
+        """End-to-end: a Shift-JIS CSV reads with correct cell values
+        (multi-byte pairs never contain 0x0A/0x22, so byte chunking is
+        safe for the CJK family — unlike utf-16/32)."""
+        from cow_ray.sources.csv import read_csv_with_row_ids
+
+        p = tmp_path / "sj.csv"
+        p.write_bytes(self.SAMPLES["shift_jis"].encode("shift_jis"))
+        rows = sorted(read_csv_with_row_ids(str(p)).take_all(),
+                      key=lambda r: r["_row"])
+        assert rows[0]["text"].startswith("日本語のテキスト")
+        assert rows[1]["text"].startswith("東京で働いて")
 
 
 class TestWavePlanner:
