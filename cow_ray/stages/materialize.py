@@ -213,6 +213,9 @@ def finish_part(
     inline in tests)."""
     from ..triples import TRIPLE_SCHEMA
 
+    import time as _time
+
+    _t0 = _time.time()
     files = sorted(
         _glob.glob(os.path.join(stage_dir, f"part_id={part_id}", "*.parquet"))
     )
@@ -223,7 +226,11 @@ def finish_part(
                                                    dedup)
     else:
         table, errors, null_skips = TRIPLE_SCHEMA.empty_table(), 0, 0
-    return _publish_part(out_dir, part_id, table, job, errors, null_skips)
+    out = _publish_part(out_dir, part_id, table, job, errors, null_skips)
+    if os.environ.get("GRAFT_TIMING") == "1":
+        print(f"[finish_part] p{part_id} rows {table.num_rows} "
+              f"{_time.time() - _t0:.2f}s files {len(files)}", flush=True)
+    return out
 
 
 def _ipc_compress(table: pa.Table) -> pa.Buffer:
@@ -247,11 +254,21 @@ def _ipc_decompress(buf: pa.Buffer) -> pa.Table:
 class PartReducer:
     """Object-store shuffle reducer: one actor owns a contiguous range
     of output partitions.  ``append`` only *pins* the incoming
-    zstd-compressed IPC slice (the buffer stays in plasma where the map
-    task put it; at cluster scale Ray spills plasma to local disk, so
-    the reducer never holds the partition in heap before finalize).
-    ``finalize`` decompresses its slices and runs the shared
-    dedup→sort→publish kernel per owned partition.
+    PER-PARTITION zstd-compressed IPC slice (the buffer stays in
+    plasma where the map task put it; at cluster scale Ray spills
+    plasma to local disk, so the reducer never holds a partition in
+    heap before its turn).  ``finalize`` processes owned partitions
+    ONE AT A TIME: decompress that partition's slices, run the shared
+    dedup→sort→publish kernel, release.
+
+    Round-3 root-cause of the "actor finalize 4× slower than identical
+    polars work in plain tasks" mystery: the old per-REDUCER slices
+    forced decompress-all → concat-all → partition_by-all — three full
+    in-memory passes over the reducer's whole share before any useful
+    work, each DRAM-bound with every reducer bursting at once, while
+    storage mode streams each partition once off compressed parquet.
+    Per-partition slices remove all three passes and bound the working
+    set at one partition.
 
     This replaces the storage shuffle's write+read round trip of every
     staged byte through the scratch filesystem — the round-1 scaling
@@ -262,36 +279,75 @@ class PartReducer:
         self.out_dir = out_dir
         self.job = job
         self.dedup = dedup
-        self.chunks: list[pa.Buffer] = []  # zstd IPC slices, part_id col
+        # part_id → pinned zstd IPC slices of that partition
+        self.by_part: dict[int, list[pa.Buffer]] = {}
 
-    def append(self, buf: pa.Buffer) -> None:
-        self.chunks.append(buf)
+    def warmup(self, mb: int = 256) -> None:
+        """Pre-fault allocator arenas in this FRESH actor process —
+        called fire-and-forget right after creation, overlapping the
+        map stage.  Finalize's burst of large allocations (decompress,
+        concat, polars sort) otherwise lands on cold pages in every
+        reducer at once, and concurrent first-touch page faults were
+        measured to make identical polars work ~8× slower than in the
+        long-lived (warm) map worker pool."""
+        import numpy as np
+
+        # touch pages through each allocator finalize will use; keep
+        # this CHEAP (~0.3 s) — actor tasks are ordered, so an
+        # expensive warmup would stall the first appends and the map
+        # stage behind them (measured: a full polars-sort warmup moved
+        # the cost into phase 1 instead of removing it)
+        a = np.empty(mb << 20, dtype=np.uint8)
+        a[::4096] = 1
+        del a
+        buf = pa.allocate_buffer(mb << 20)
+        np.frombuffer(buf, dtype=np.uint8)[::4096] = 1
+        del buf
+        import polars as pl
+
+        # initialize polars' allocator pools only (arena setup, not a
+        # full page warm)
+        pl.DataFrame({"s": ["w"] * 4096}).sort("s")
+
+    def append(self, part_id: int, buf: pa.Buffer) -> None:
+        self.by_part.setdefault(part_id, []).append(buf)
 
     def finalize(self, owned: list[int]) -> list[dict]:
+        import time as _time
+
         import polars as pl
 
         from ..triples import TRIPLE_SCHEMA
 
-        by_part: dict = {}
-        if self.chunks:
-            df = pl.from_arrow(
-                pa.concat_tables(_ipc_decompress(b) for b in self.chunks)
-            )
-            self.chunks = []
-            by_part = {
-                int(k[0] if isinstance(k, tuple) else k): sub.drop("part_id")
-                for k, sub in df.partition_by("part_id", as_dict=True).items()
-            }
+        timing = os.environ.get("GRAFT_TIMING") == "1"
         out = []
+        t_fin = t_pub = 0.0
+        rows = 0
         for p in owned:
-            sub = by_part.pop(p, None)
-            if sub is None:
+            bufs = self.by_part.pop(p, None)
+            ta = _time.time()
+            if not bufs:
                 table, errors, skips = TRIPLE_SCHEMA.empty_table(), 0, 0
             else:
-                table, errors, skips = _finalize_lazy(sub.lazy(), self.dedup)
+                # rechunk=False: one partition's slices sort just as
+                # fast chunked, and the rechunk copy is a full DRAM
+                # pass ×every reducer at once (measured slower)
+                lf = pl.from_arrow(
+                    pa.concat_tables(_ipc_decompress(b) for b in bufs),
+                    rechunk=False,
+                ).lazy()
+                del bufs
+                table, errors, skips = _finalize_lazy(lf, self.dedup)
+                rows += table.num_rows
+            tb = _time.time()
             out.append(
                 _publish_part(self.out_dir, p, table, self.job, errors, skips)
             )
+            t_fin += tb - ta
+            t_pub += _time.time() - tb
+        if timing:
+            print(f"[reducer] fin {t_fin:.2f}s pub {t_pub:.2f}s "
+                  f"rows {rows}", flush=True)
         return out
 
 
@@ -419,6 +475,11 @@ def materialize_triples(
             Reducer.options(num_cpus=0).remote(out_dir, job, dedup)
             for _ in range(n_red)
         ]
+        # fire-and-forget allocator warmup, overlapped with the map
+        # stage (actor tasks run in order, so it completes before the
+        # first append is processed)
+        for r in reducers:
+            r.warmup.remote()
 
         def scatter(batch: pa.Table) -> pa.Table:
             batch = assign_part(batch)
@@ -426,14 +487,14 @@ def materialize_triples(
             if n:
                 import numpy as np
 
-                aidx = (
-                    batch["part_id"].to_numpy(zero_copy_only=False) // ppa
-                )
+                pid = batch["part_id"].to_numpy(zero_copy_only=False)
+                body = batch.drop_columns(["part_id"])
                 refs = [
-                    reducers[int(k)].append.remote(
-                        _ipc_compress(batch.filter(pa.array(aidx == k)))
+                    reducers[int(p) // ppa].append.remote(
+                        int(p),
+                        _ipc_compress(body.filter(pa.array(pid == p))),
                     )
-                    for k in np.unique(aidx)
+                    for p in np.unique(pid)
                 ]
                 ray.get(refs)
             return pa.table({"rows": pa.array([n], type=pa.int64())})
