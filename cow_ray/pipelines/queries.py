@@ -629,6 +629,44 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 """
 
 
+def q_near_dup_components(sf_dir: str):
+    """Transitive clusters of the embedding near-dup graph: the
+    alternating-star distributed connected components
+    (:mod:`cow_ray.ops.graph`) over the ``emb_near_dup`` pair set —
+    hash-verified against a DuckDB recursive-CTE transitive closure."""
+    from ..ops.similarity import cosine_near_dup_pairs
+    from ..ops.graph import connected_components
+
+    pairs = cosine_near_dup_pairs(
+        _read(sf_dir, "embeddings"), threshold=0.45
+    ).select_columns(["id_a", "id_b"])
+    return connected_components(pairs, "id_a", "id_b")
+
+
+# transitive closure by recursive CTE (UNION's set semantics
+# guarantees termination); component = min reachable node.  Feasible
+# because near-dup components are small — the engine-side algorithm
+# (alternating star contraction) is the one that scales.
+SQL_NEAR_DUP_COMPONENTS = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a, embeddings b
+   WHERE a.vec_id < b.vec_id
+     AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a
+)
+SELECT a AS node, least(a, min(b)) AS component
+  FROM walk GROUP BY a
+"""
+
+
 # ---------------------------------------------------------- similarity
 
 
@@ -686,6 +724,18 @@ def q_ann_ivf_topk(sf_dir: str):
     q, qids = _ann_queries(sf_dir)
     out = ivf_topk(_read(sf_dir, "embeddings"), q, qids, k=5,
                    n_centroids=16, nprobe=4)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def q_ann_ivf_pq_topk(sf_dir: str):
+    """IVF-PQ ANN (coarse inverted lists + 8-byte residual product-
+    quantization codes, ADC scoring) — rows-only: training/probing is
+    not hash-matchable SQL; recall vs brute force is pinned in tests."""
+    from ..ops.similarity import ivf_pq_topk
+
+    q, qids = _ann_queries(sf_dir)
+    out = ivf_pq_topk(_read(sf_dir, "embeddings"), q, qids, k=5,
+                      n_centroids=16, nprobe=4, m=8)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
@@ -1353,9 +1403,11 @@ QUERIES = {
     "dedup_minhash_docs": q_dedup_minhash_docs,
     "dedup_simhash_docs": q_dedup_simhash_docs,
     "emb_near_dup": q_emb_near_dup,
+    "near_dup_components": q_near_dup_components,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "q1_pricing_summary": q_q1_pricing_summary,
     "top_parts_by_qty": q_top_parts_by_qty,
     "orders_by_nation": q_orders_by_nation,
@@ -1389,6 +1441,7 @@ ORACLES = {
     "curate_docs": SQL_CURATE_DOCS,
     "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
     "emb_near_dup": SQL_EMB_NEAR_DUP,
+    "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
     "ann_topk": SQL_ANN_TOPK,
     "q1_pricing_summary": SQL_Q1,
     "top_parts_by_qty": SQL_TOP_PARTS,
