@@ -371,10 +371,13 @@ def _validate_complex_url(t, placeholder_row: dict) -> None:
     downgrade to a warning."""
     import warnings
 
-    from jinja2 import Template, TemplateSyntaxError
+    from jinja2 import TemplateSyntaxError
+
+    from .templating import _jinja_template
 
     try:
-        tmpl = Template(t.pattern)
+        # the shared env so user-registered custom filters validate
+        tmpl = _jinja_template(t.pattern)
     except TemplateSyntaxError as e:
         raise RuleError(
             f"malformed Jinja template {t.pattern!r}: {e}"
@@ -412,7 +415,9 @@ def _validate(doc: RuleDoc) -> None:
     substitution; COMPLEX (Jinja) templates are compiled (syntax
     errors fail fast) and URL-valued ones are additionally rendered
     against a placeholder row and IRI-validated."""
-    from jinja2 import Template, TemplateSyntaxError
+    from jinja2 import TemplateSyntaxError
+
+    from .templating import _jinja_template
 
     placeholder_row: dict[str, object] = {"_row": 0}
     for c in doc.columns:
@@ -421,7 +426,7 @@ def _validate(doc: RuleDoc) -> None:
         for t in (c.value_tmpl, c.lang):
             if t is not None and t.kind == COMPLEX:
                 try:
-                    Template(t.pattern)
+                    _jinja_template(t.pattern)
                 except TemplateSyntaxError as e:
                     raise RuleError(
                         f"malformed Jinja template {t.pattern!r}: {e}"

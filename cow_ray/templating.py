@@ -44,13 +44,37 @@ _JINJA_DELIMS = ("{{", "{%", "{#")
 # one compiled-Template cache per worker process
 _jinja_cache: dict[str, Any] = {}
 
+# user-registered Jinja filters (reference docs/index.rst footnote f3
+# lists a custom-filter registry as future work; here it is a real
+# extension surface).  Registered on the DRIVER before building the
+# pipeline; the dict is captured in the pickled rule kernels, so
+# filters must be importable/self-contained functions.  Registering a
+# new filter invalidates the per-worker template cache.
+_custom_filters: dict[str, Any] = {}
+
+
+def register_filter(name: str, fn) -> None:
+    """Make ``fn`` available as a Jinja filter (``{{col|name}}``) in
+    every COMPLEX template rendered by this engine."""
+    if not callable(fn):
+        raise TypeError(f"filter {name!r} is not callable")
+    _custom_filters[name] = fn
+    _jinja_cache.clear()
+
+
+def unregister_filter(name: str) -> None:
+    _custom_filters.pop(name, None)
+    _jinja_cache.clear()
+
 
 def _jinja_template(pattern: str):
     t = _jinja_cache.get(pattern)
     if t is None:
-        from jinja2 import Template
+        from jinja2 import Environment
 
-        t = _jinja_cache[pattern] = Template(pattern)
+        env = Environment()
+        env.filters.update(_custom_filters)
+        t = _jinja_cache[pattern] = env.from_string(pattern)
     return t
 
 

@@ -313,8 +313,20 @@ class EmitTriples:
                 )
         self.errors = 0
         self.null_skips = 0
+        # capture driver-registered custom Jinja filters so they travel
+        # with the pickled UDF into every worker (module globals do not)
+        from .templating import _custom_filters
+
+        self._filters = dict(_custom_filters)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._filters:
+            from . import templating as _tpl
+
+            if any(_tpl._custom_filters.get(k) is not v
+                   for k, v in self._filters.items()):
+                _tpl._custom_filters.update(self._filters)
+                _tpl._jinja_cache.clear()
         ctx = _BatchCtx(batch, self.fields)
         if ctx.n == 0:
             return empty_triple_table()

@@ -295,3 +295,52 @@ class TestRaySourceAndKernel:
         ds = read_parquet_with_row_ids([p1, p2])
         got = {r["_row"]: r["v"] for r in ds.take_all()}
         assert got == {0: "r0", 1: "r1", 2: "r2", 3: "r3", 4: "r4"}
+
+
+class TestCustomFilters:
+    """User-extension surface (SURVEY §2.9): custom Jinja filters —
+    the reference lists this as future work (docs/index.rst f3)."""
+
+    def test_register_filter_end_to_end(self, ray_session):
+        import ray.data
+
+        from cow_ray.rules import parse_rules
+        from cow_ray.templating import register_filter, unregister_filter
+        from cow_ray.triples import EmitTriples
+
+        def rot13(s):
+            import codecs
+
+            return codecs.encode(str(s), "rot_13")
+
+        register_filter("rot13", rot13)
+        try:
+            rules = {
+                "base": "http://x/", "aboutUrl": "r/{_row}",
+                "columns": [{"name": "name",
+                             "value": "{{name|rot13|upper}}",
+                             "datatype": "string",
+                             "propertyUrl": "rdfs:label"}],
+            }
+            ds = ray.data.from_items(
+                [{"name": "hello", "_row": 0}, {"name": "world", "_row": 1}]
+            )
+            out = ds.map_batches(
+                EmitTriples(parse_rules(rules)), batch_format="pyarrow"
+            ).take_all()
+            assert sorted(r["obj_lex"] for r in out) == ["JBEYQ", "URYYB"]
+        finally:
+            unregister_filter("rot13")
+
+    def test_unknown_filter_fails_fast(self):
+        import pytest as _pytest
+
+        from cow_ray.rules import RuleError, parse_rules
+
+        with _pytest.raises(RuleError, match="nosuchfilter"):
+            parse_rules({
+                "base": "http://x/", "aboutUrl": "r/{_row}",
+                "columns": [{"name": "a", "value": "{{a|nosuchfilter}}",
+                             "datatype": "string",
+                             "propertyUrl": "rdfs:label"}],
+            })
