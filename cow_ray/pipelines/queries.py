@@ -578,6 +578,22 @@ def q_curate_docs_neardup(sf_dir: str):
     ).select_columns(["doc_id", "source", "lang"])
 
 
+def q_neardup_verified_docs(sf_dir: str):
+    """MinHash-LSH candidates verified by exact n-gram Jaccard through
+    the DISTRIBUTED reduce-side text join (no driver broadcast) —
+    rows-only: character-k-gram Jaccard is not practical DuckDB SQL."""
+    from ..ops.dedup import (
+        minhash_lsh_candidates,
+        verify_candidates_distributed,
+    )
+
+    docs = _docs(sf_dir, blocks=8)
+    cand = minhash_lsh_candidates(docs, num_perm=64, num_bands=16)
+    return verify_candidates_distributed(
+        cand, docs, threshold=0.5
+    ).select_columns(["id_a", "id_b", "jaccard"])
+
+
 def q_dedup_exact_docs(sf_dir: str):
     from ..ops.dedup import dedup_exact
 
@@ -1400,6 +1416,7 @@ QUERIES = {
     "curate_docs": q_curate_docs,
     "curate_docs_neardup": q_curate_docs_neardup,
     "dedup_exact_docs": q_dedup_exact_docs,
+    "neardup_verified_docs": q_neardup_verified_docs,
     "dedup_minhash_docs": q_dedup_minhash_docs,
     "dedup_simhash_docs": q_dedup_simhash_docs,
     "emb_near_dup": q_emb_near_dup,
