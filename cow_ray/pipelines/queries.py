@@ -827,11 +827,16 @@ SELECT l_returnflag, l_linestatus,
 
 
 def q_top_parts_by_qty(sf_dir: str):
-    """Top-k by grouped sum with a map-side combiner: each batch
-    pre-sums per key (Arrow hash aggregation), so the groupby exchange
-    carries ≈ distinct-keys×blocks rows instead of every lineitem —
-    sums are associative, partial-then-final is exact."""
-    from ray.data.aggregate import Sum
+    """Top-k by grouped sum: map-side combiner (each batch pre-sums
+    per key), then OUR hash-partitioned final aggregate — partition on
+    ``hash(key) % P`` and finish each partition with one vectorized
+    Arrow ``group_by`` + a LOCAL top-k prune, so the last exchange is
+    P×k rows and the expensive generic sort-based ``Dataset.aggregate``
+    (measured 4.4 s of the query's 4.7 at sf0.1 — high-cardinality key)
+    never runs.  Exact: sums are associative and a global top-k is
+    contained in the union of per-hash-partition top-ks (each key lives
+    in exactly one partition)."""
+    from ..stages.canonicalize import hash_mod
 
     def partial(batch: pa.Table) -> pa.Table:
         agg = (
@@ -840,18 +845,37 @@ def q_top_parts_by_qty(sf_dir: str):
         )
         # select by NAME before renaming: pyarrow has moved key-vs-
         # aggregate column ordering across versions
-        return agg.select(["l_partkey", "l_quantity_sum"]).rename_columns(
+        agg = agg.select(["l_partkey", "l_quantity_sum"]).rename_columns(
             ["l_partkey", "l_quantity"])
+        if agg.num_rows == 0:
+            return agg.append_column("__part",
+                                     pa.array([], type=pa.int32()))
+        return agg.append_column(
+            "__part", hash_mod(agg["l_partkey"], 16)
+        )
 
-    out = (
+    def per_part(group: pa.Table) -> pa.Table:
+        agg = (
+            group.drop_columns(["__part"])
+            .group_by(["l_partkey"], use_threads=False)
+            .aggregate([("l_quantity", "sum")])
+        )
+        agg = agg.select(["l_partkey", "l_quantity_sum"]).rename_columns(
+            ["l_partkey", "total_qty"])
+        order = pc.sort_indices(
+            agg, sort_keys=[("total_qty", "descending"),
+                            ("l_partkey", "ascending")]
+        )
+        return agg.take(order[:10])
+
+    return (
         _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("l_quantity", alias_name="total_qty"))
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
         .sort(["total_qty", "l_partkey"], descending=[True, False])
         .limit(10)
     )
-    return out
 
 
 SQL_TOP_PARTS = """
@@ -1129,12 +1153,24 @@ def q_lineitem_orders_join(sf_dir: str):
         month = pc.floor_temporal(batch["o_orderdate"], unit="month")
         return pa.table({"month": month, "revenue4": pa.array(rev4)})
 
+    def month_partial(batch: pa.Table) -> pa.Table:
+        # in-batch combiner: ~84 distinct months, so the final groupby
+        # exchange carries months×blocks rows instead of every joined
+        # lineitem (the generic aggregate over 600k rows measured ~4 s)
+        agg = (
+            batch.group_by(["month"], use_threads=False)
+            .aggregate([("revenue4", "sum"), ([], "count_all")])
+        )
+        return agg.select(["month", "revenue4_sum", "count_all"]
+                          ).rename_columns(["month", "revenue4", "n"])
+
     def rollup(joined):
         return (
             joined.map_batches(month_revenue, batch_format="pyarrow")
+            .map_batches(month_partial, batch_format="pyarrow")
             .groupby("month")
             .aggregate(Sum("revenue4", alias_name="revenue4"),
-                       Count(alias_name="n_items"))
+                       Sum("n", alias_name="n_items"))
         )
 
     # strategy selection is EXPLICIT, never a silent runtime fallback:
