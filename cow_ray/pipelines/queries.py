@@ -994,8 +994,6 @@ def q_events_hourly(sf_dir: str):
     pre-aggregates per (user, hour) — counts and integer-cent sums are
     associative and order-free — so the exchange carries ≈ windows ×
     blocks rows, not every event."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1013,27 +1011,43 @@ def q_events_hourly(sf_dir: str):
             b.group_by(["user_id", "hour"], use_threads=False)
             .aggregate([([], "count_all"), ("cents", "sum")])
         )
-        return agg.select(["user_id", "hour", "count_all", "cents_sum"]
-                          ).rename_columns(["user_id", "hour", "n", "cents"])
+        agg = agg.select(["user_id", "hour", "count_all", "cents_sum"]
+                         ).rename_columns(["user_id", "hour", "n", "cents"])
+        if agg.num_rows == 0:
+            return agg.append_column("__part",
+                                     pa.array([], type=pa.int32()))
+        # final merge = hash-partitioned vectorized group_by per
+        # partition, not the generic sort-based Dataset.aggregate over
+        # the high-cardinality (user, hour) key
+        from ..stages.canonicalize import content_key, hash_mod
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "hour"])
-        .aggregate(Sum("n", alias_name="n_events"),
-                   Sum("cents", alias_name="cents"))
-    )
+        return agg.append_column(
+            "__part", hash_mod(content_key(agg, ["user_id", "hour"]), 16)
+        )
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    def per_part(group: pa.Table) -> pa.Table:
+        agg = (
+            group.drop_columns(["__part"])
+            .group_by(["user_id", "hour"], use_threads=False)
+            .aggregate([("n", "sum"), ("cents", "sum")])
+        )
+        agg = agg.select(["user_id", "hour", "n_sum", "cents_sum"]
+                         ).rename_columns(
+            ["user_id", "hour", "n_events", "cents"])
         return pa.table({
-            "user_id": batch["user_id"],
-            "hour": batch["hour"],
-            "n_events": batch["n_events"],
+            "user_id": agg["user_id"],
+            "hour": agg["hour"],
+            "n_events": agg["n_events"],
             "total_value": pc.divide(
-                pc.cast(batch["cents"], pa.float64()), pa.scalar(100.0)
+                pc.cast(agg["cents"], pa.float64()), pa.scalar(100.0)
             ),
         })
 
-    return out.map_batches(finalize, batch_format="pyarrow")
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
 
 
 # value sums in exact integer cents on both engines (order-free)
@@ -1055,18 +1069,32 @@ def q_events_first(sf_dir: str):
     ds = _read(sf_dir, "events",
                columns=["user_id", "event_type", "event_id", "ts"])
 
+    from ..stages.canonicalize import content_key, hash_mod
+
     def local_first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["ts", "event_id"]).drop_duplicates(
+        out = df.sort_values(["ts", "event_id"]).drop_duplicates(
             ["user_id", "event_type"], keep="first"
         )
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        return t.append_column(
+            "__part",
+            hash_mod(content_key(t, ["user_id", "event_type"]), 16),
+        ).to_pandas()
 
-    def first_event(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"]).head(1)
+    def first_part(g: pd.DataFrame) -> pd.DataFrame:
+        # whole hash partition: one sort, keep the first row per key
+        # (C-speed drop_duplicates), instead of one Python call per
+        # (user, event_type) group
+        return (
+            g.sort_values(["ts", "event_id"], kind="stable")
+            .drop_duplicates(["user_id", "event_type"], keep="first")
+            .drop(columns=["__part"])
+        )
 
     return (
         ds.map_batches(local_first, batch_format="pandas")
-        .groupby(["user_id", "event_type"])
-        .map_groups(first_event, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(first_part, batch_format="pandas")
     )
 
 
@@ -1307,27 +1335,53 @@ def q_events_sliding(sf_dir: str):
     history fits a worker."""
     import pandas as pd
 
+    from ..stages.canonicalize import hash_mod
+
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
                                           "value"])
     W = pd.Timedelta(hours=2)
 
-    def window(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__part",
+                                       pa.array([], type=pa.int32()))
+        return batch.append_column("__part", hash_mod(batch["user_id"], 16))
+
+    def window_part(g: pd.DataFrame) -> pd.DataFrame:
+        # whole partition: one sort, then the per-key two-pointer runs
+        # on slices (searchsorted stays within the key's block; prefix
+        # sums restart per block) — no per-key map_groups call
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         ts = g["ts"].to_numpy()
+        users = g["user_id"].to_numpy()
         cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
-        # RANGE window semantics: peers of the current ts included
-        lo = np.searchsorted(ts, ts - W.to_timedelta64(), side="left")
-        hi = np.searchsorted(ts, ts, side="right")
-        cum = np.concatenate([[0], np.cumsum(cents)])
+        n = len(g)
+        w_events = np.empty(n, dtype=np.int64)
+        w_value4 = np.empty(n, dtype=np.int64)
+        newu = np.r_[True, users[1:] != users[:-1]]
+        starts = np.flatnonzero(newu)
+        ends = np.r_[starts[1:], n]
+        wdelta = W.to_timedelta64()
+        for s, e in zip(starts, ends):
+            t = ts[s:e]
+            lo = np.searchsorted(t, t - wdelta, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            cum = np.concatenate([[0], np.cumsum(cents[s:e])])
+            w_events[s:e] = hi - lo
+            w_value4[s:e] = cum[hi] - cum[lo]
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
-            "user_id": g["user_id"].to_numpy(),
-            "ts": g["ts"].to_numpy(),
-            "w_events": (hi - lo).astype(np.int64),
-            "w_value": (cum[hi] - cum[lo]) / 100.0,
+            "user_id": users,
+            "ts": ts,
+            "w_events": w_events,
+            "w_value": w_value4 / 100.0,
         })
 
-    return ds.groupby("user_id").map_groups(window, batch_format="pandas")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(window_part, batch_format="pandas")
+    )
 
 
 SQL_EVENTS_SLIDING = """
@@ -1348,13 +1402,24 @@ def q_events_sessionize(sf_dir: str):
     per key).  Output: one row per session."""
     import pandas as pd
 
+    from ..stages.canonicalize import hash_mod
+
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
     GAP = pd.Timedelta(minutes=30)
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new_session = (g["ts"].diff() > GAP).cumsum()
-        out = g.groupby(new_session).agg(
+    def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__part",
+                                       pa.array([], type=pa.int32()))
+        return batch.append_column("__part", hash_mod(batch["user_id"], 16))
+
+    def sessionize_part(g: pd.DataFrame) -> pd.DataFrame:
+        # whole partition, ALL keys in one vectorized pass: sort by
+        # (user, ts, event_id); a session break is a user change OR a
+        # gap; cumsum labels sessions; one C-speed groupby finishes
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        brk = (g["user_id"] != g["user_id"].shift()) | (g["ts"].diff() > GAP)
+        out = g.groupby(brk.cumsum()).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "first"),
             session_end=("ts", "last"),
@@ -1363,7 +1428,11 @@ def q_events_sessionize(sf_dir: str):
         out["n_events"] = out["n_events"].astype("int64")
         return out.reset_index(drop=True)
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sessionize_part, batch_format="pandas")
+    )
 
 
 SQL_EVENTS_SESSIONIZE = """

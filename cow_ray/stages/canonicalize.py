@@ -164,26 +164,71 @@ def canonicalize_surface_forms(
     elect one canonical entity per surface key (max support, then
     lexicographically smallest — deterministic).
 
-    Returns a small Dataset ``(surface_key, entity_id, n)`` with one
-    row per surface key.  Head-entity skew is absorbed by the map-side
-    pre-count + salt inside :func:`grouped_count`.
+    Returns a small Dataset ``(surface_key, entity_id, n, n_total)``
+    with one row per surface key.  ONE keyed exchange: batches
+    pre-count per (surface_key, entity) — a hot surface form leaves
+    each block as one row, which is what the ``salt`` phase used to
+    protect; hash partitioning on the surface key then lands each
+    key's ≤ #blocks partial rows in one partition, where the merge,
+    election and totals are a single vectorized pass (the previous
+    shape ran two generic sort-aggregates plus one Python ``elect``
+    call per key).  ``salt`` is kept for API compatibility and ignored.
     """
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
+    num_parts = 16
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
             "surface_key", normalize_surface(batch[surface_col])
         )
+        t = (
+            batch.select(["surface_key", entity_col])
+            .group_by(["surface_key", entity_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        t = t.select(["surface_key", entity_col, "count_all"]
+                     ).rename_columns(["surface_key", entity_col, "n"])
+        if t.num_rows == 0:
+            return t.append_column("__part", pa.array([], type=pa.int32()))
+        return t.append_column("__part", hash_mod(t["surface_key"],
+                                                  num_parts))
 
-    keyed = mentions.map_batches(add_key, batch_format="pyarrow")
-    counts = grouped_count(keyed, ["surface_key", entity_col], salt=salt)
+    def per_part(group: pa.Table) -> pa.Table:
+        import numpy as np
 
-    def elect(group: pa.Table) -> pa.Table:
-        n = group["n"].to_pylist()
-        ents = group[entity_col].to_pylist()
-        # deterministic election: max count, then smallest entity id
-        best = sorted(range(len(n)), key=lambda i: (-n[i], ents[i]))[0]
-        return group.take([best]).append_column(
-            "n_total", pa.array([sum(n)], type=pa.int64())
+        agg = (
+            group.drop_columns(["__part"])
+            .group_by(["surface_key", entity_col], use_threads=False)
+            .aggregate([("n", "sum")])
+        )
+        agg = agg.select(["surface_key", entity_col, "n_sum"]
+                         ).rename_columns(["surface_key", entity_col, "n"])
+        # election: sort (key asc, n desc, entity asc); first row per
+        # key wins; n_total = per-key sum (vectorized boundary scan)
+        import pyarrow.compute as pc_
+
+        order = pc_.sort_indices(
+            agg,
+            sort_keys=[("surface_key", "ascending"), ("n", "descending"),
+                       (entity_col, "ascending")],
+        )
+        s = agg.take(order)
+        keys = s["surface_key"].to_numpy(zero_copy_only=False)
+        nvals = s["n"].to_numpy(zero_copy_only=False)
+        newk = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(newk)
+        ends = np.r_[starts[1:], len(keys)]
+        totals = np.add.reduceat(nvals, starts) if len(keys) else \
+            np.array([], dtype=np.int64)
+        # reduceat single-segment quirk does not apply: starts are
+        # strictly increasing with at least one element per segment
+        out = s.take(pa.array(starts))
+        return out.append_column(
+            "n_total", pa.array(totals.astype(np.int64))
         )
 
-    return counts.groupby("surface_key").map_groups(elect, batch_format="pyarrow")
+    return (
+        mentions.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
