@@ -629,7 +629,7 @@ def read_csv_with_row_ids(
     encoding: str | None = None,
     target_chunk_bytes: int = 16 << 20,
     planner: str = "auto",
-    driver_scan_max_bytes: int = 64 << 20,
+    driver_scan_max_bytes: int = 256 << 20,
 ):
     """CSV file(s) → ONE Dataset of all-string columns + deterministic
     global ``_row`` (file order × in-file order — a multi-file glob
@@ -643,7 +643,10 @@ def read_csv_with_row_ids(
     speculative scan (raw byte cuts, a Ray task wave computes per-chunk
     stats under both quote parities, the driver chains O(1) scalars per
     chunk — the TB-scale path); ``"auto"`` = driver below
-    ``driver_scan_max_bytes`` per file, wave above."""
+    ``driver_scan_max_bytes`` per file, wave above (the driver scan
+    runs ~400 MB/s, so 256 MB ≈ a sub-second driver stall; the wave
+    pays one extra distributed pass and wins only when the driver
+    pass itself is the bottleneck)."""
     import ray.data
     from ray.data.block import BlockMetadata
     from ray.data.datasource import Datasource, ReadTask
