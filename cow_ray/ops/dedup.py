@@ -678,3 +678,152 @@ class SimHasher:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR — Hacker's Delight §5-1)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = ((x & np.uint64(0x3333333333333333))
+         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
+                           text_col: str = "text", max_hamming: int = 3,
+                           num_parts: int = 16, bucket_cap: int = 1000):
+    """Near-duplicate pairs by SimHash pigeonhole banding (Manku,
+    Jain, Das Sarma, "Detecting near-duplicates for web crawling",
+    WWW 2007): split the 64-bit signature into ``max_hamming + 1``
+    bands — two signatures within ``max_hamming`` bits must agree on
+    at least one whole band — bucket on (band, band_value), emit and
+    VERIFY pairs inside each hash partition (vectorized SWAR
+    popcount), then a global pair distinct.  Returns
+    ``(id_a, id_b, hamming)`` with hamming ≤ ``max_hamming``; recall
+    is exact (pigeonhole), precision is enforced by the verification.
+
+    Same scale shape as :func:`minhash_lsh_candidates`: two keyed
+    exchanges on small int keys, vectorized partition kernels, bucket
+    cap on degenerate identical-signature clusters."""
+    n_bands = max_hamming + 1
+    if n_bands > 64:
+        raise ValueError("max_hamming must be < 64")
+    width = 64 // n_bands
+
+    sigs = ds.map_batches(SimHasher(text_col), batch_format="pyarrow")
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.schema(
+            [("__part", pa.int32()), ("band", pa.int32()),
+             ("bval", pa.uint64()), (id_col, pa.int64()),
+             ("sig", pa.uint64())]
+        )
+        if n == 0:
+            return empty.empty_table()
+        sig = batch["simhash"]
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        sv = sig.to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bands = np.arange(n_bands, dtype=np.uint64)
+        # band b = bits [b*width, (b+1)*width); the remainder bits ride
+        # in the last band
+        widths = np.full(n_bands, width, dtype=np.uint64)
+        widths[-1] = 64 - width * (n_bands - 1)
+        shifts = (bands * np.uint64(width))
+        masks = np.where(widths == 64, np.uint64(0xFFFFFFFFFFFFFFFF),
+                         (np.uint64(1) << widths) - np.uint64(1))
+        bval = ((sv[:, None] >> shifts[None, :]) & masks[None, :]).ravel()
+        from .graph import _mix64
+
+        part = (_mix64(bval ^ (np.tile(bands, n) * np.uint64(0x9E37)))
+                % np.uint64(num_parts)).astype(np.int32)
+        return pa.table(
+            {"__part": pa.array(part),
+             "band": pa.array(np.tile(bands.astype(np.int32), n)),
+             "bval": pa.array(bval),
+             id_col: pa.array(np.repeat(ids, n_bands)),
+             "sig": pa.array(np.repeat(sv, n_bands))}
+        )
+
+    out_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("hamming", pa.int64())]
+    )
+
+    def part_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+
+        def col(name, dt):
+            c = group[name]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            return c.to_numpy(zero_copy_only=False).astype(dt)
+
+        bd = col("band", np.int64)
+        bv = col("bval", np.uint64)
+        ids = col(id_col, np.int64)
+        sg = col("sig", np.uint64)
+        order = np.lexsort((ids, bv, bd))
+        bd, bv, ids, sg = bd[order], bv[order], ids[order], sg[order]
+        newb = np.r_[True, (bd[1:] != bd[:-1]) | (bv[1:] != bv[:-1])]
+        starts = np.flatnonzero(newb)
+        lens = np.diff(np.r_[starts, len(bd)])
+        multi = lens >= 2
+        out_a, out_b, out_h = [], [], []
+        for s, ln in zip(starts[multi], lens[multi]):
+            ln = int(min(ln, bucket_cap))
+            ia, ib = np.triu_indices(ln, k=1)
+            sa, sb = sg[s:s + ln][ia], sg[s:s + ln][ib]
+            h = _popcount64(sa ^ sb).astype(np.int64)
+            keep = h <= max_hamming
+            out_a.append(ids[s:s + ln][ia][keep])
+            out_b.append(ids[s:s + ln][ib][keep])
+            out_h.append(h[keep])
+        if not out_a:
+            return out_schema.empty_table()
+        t = pa.table(
+            {"id_a": pa.array(np.concatenate(out_a)),
+             "id_b": pa.array(np.concatenate(out_b)),
+             "hamming": pa.array(np.concatenate(out_h))}
+        )
+        return (
+            t.group_by(["id_a", "id_b"], use_threads=False)
+            .aggregate([("hamming", "min")])
+            .select(["id_a", "id_b", "hamming_min"])
+            .rename_columns(["id_a", "id_b", "hamming"])
+        )
+
+    cand = sigs.map_batches(emit_bands, batch_format="pyarrow").groupby(
+        "__part"
+    ).map_groups(part_pairs, batch_format="pyarrow")
+
+    # global distinct (a pair can agree on bands in different parts)
+    from ..ops.graph import _hash_part
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__p2", pa.array([], type=pa.int32()))
+        key = (batch["id_a"].to_numpy(zero_copy_only=False)
+               * np.int64(0x9E3779B1)
+               + batch["id_b"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "__p2", pa.array(_hash_part(key, num_parts))
+        )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        return (
+            group.drop_columns(["__p2"])
+            .group_by(["id_a", "id_b"], use_threads=False)
+            .aggregate([("hamming", "min")])
+            .select(["id_a", "id_b", "hamming_min"])
+            .rename_columns(["id_a", "id_b", "hamming"])
+        )
+
+    return (
+        cand.map_batches(prep, batch_format="pyarrow")
+        .groupby("__p2")
+        .map_groups(per_part, batch_format="pyarrow")
+    )

@@ -625,6 +625,16 @@ def q_dedup_simhash_docs(sf_dir: str):
     )
 
 
+def q_dedup_simhash_pairs(sf_dir: str):
+    """SimHash near-dup PAIRS by pigeonhole banding (Manku WWW'07) —
+    rows-only: the signature is a hash construction, not SQL."""
+    from ..ops.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _docs(sf_dir, blocks=8), max_hamming=3
+    )
+
+
 def q_emb_near_dup(sf_dir: str):
     from ..ops.similarity import cosine_near_dup_pairs
 
@@ -1524,6 +1534,7 @@ QUERIES = {
     "neardup_verified_docs": q_neardup_verified_docs,
     "dedup_minhash_docs": q_dedup_minhash_docs,
     "dedup_simhash_docs": q_dedup_simhash_docs,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_near_dup": q_emb_near_dup,
     "near_dup_components": q_near_dup_components,
     "ann_topk": q_ann_topk,

@@ -922,3 +922,54 @@ class TestSketch:
             merged = np.maximum(merged, hll_registers(vals.slice(off, 1000)))
         assert (single == merged).all()
         assert abs(hll_estimate(merged) - 10_000) / 10_000 < 0.05
+
+
+class TestSimhashNearDup:
+    def test_pigeonhole_pairs_match_brute_force(self, ray_session):
+        """simhash_near_dup_pairs must find EXACTLY the pairs within
+        max_hamming (pigeonhole recall is exact; verification enforces
+        precision) — checked against per-doc signatures + hamming64."""
+        import ray.data
+
+        from cow_ray.ops.dedup import (
+            SimHasher,
+            hamming64,
+            simhash_near_dup_pairs,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far away into the deep green forest tonight while "
+                "stars shine above")
+        rows = [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base.replace("lazy", "sleepy")},
+            {"doc_id": 2, "text": base},
+            {"doc_id": 3, "text": "completely different text about "
+                                  "database engines and pipelines"},
+            {"doc_id": 4, "text": base.replace("stars", "moons")},
+        ]
+        sh = SimHasher()
+        sigs = {r["doc_id"]: sh.signature(r["text"]) for r in rows}
+        K = 6
+        want = sorted(
+            (a, b, hamming64(sigs[a], sigs[b]))
+            for a in range(5) for b in range(a + 1, 5)
+            if hamming64(sigs[a], sigs[b]) <= K
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(
+                ray.data.from_items(rows), max_hamming=K
+            ).take_all()
+        )
+        assert got == want and len(got) >= 3
+
+    def test_popcount64(self):
+        from cow_ray.ops.dedup import _popcount64, hamming64
+
+        rng = np.random.default_rng(2)
+        a = rng.integers(0, 2**63, 100, dtype=np.uint64)
+        b = rng.integers(0, 2**63, 100, dtype=np.uint64)
+        got = _popcount64(a ^ b)
+        want = [hamming64(int(x), int(y)) for x, y in zip(a, b)]
+        assert got.tolist() == want
