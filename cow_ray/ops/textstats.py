@@ -149,6 +149,46 @@ def token_doc_freq(ds, text_col: str = "text", limit: int = 50):
     )
 
 
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al., "Scaling
+    Language Models: ... Gopher", 2021 — the canonical LLM-corpus
+    repetition filters): per document, the duplicate-LINE and
+    duplicate-WORD fractions as exact floor-ppm integers
+    (``(1e6*(n-distinct)) // n`` — pure integer arithmetic, so the
+    DuckDB oracle matches bit-for-bit).  Vectorized end-to-end with
+    polars list kernels (split/extract_all + list.len/n_unique); no
+    per-row Python."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", text_col]))
+    t = pl.col(text_col).fill_null("")
+    lines = t.str.split("\n")
+    words = t.str.extract_all(WORD_RE)
+    stats = df.select(
+        pl.col("doc_id"),
+        lines.list.len().cast(pl.Int64).alias("n_lines"),
+        lines.list.n_unique().cast(pl.Int64).alias("u_lines"),
+        words.list.len().cast(pl.Int64).alias("n_words"),
+        words.list.n_unique().cast(pl.Int64).alias("u_words"),
+    ).with_columns(
+        pl.when(pl.col("n_lines") > 0)
+        .then((1_000_000 * (pl.col("n_lines") - pl.col("u_lines")))
+              // pl.col("n_lines"))
+        .otherwise(0).alias("dup_line_ppm"),
+        pl.when(pl.col("n_words") > 0)
+        .then((1_000_000 * (pl.col("n_words") - pl.col("u_words")))
+              // pl.col("n_words"))
+        .otherwise(0).alias("dup_word_ppm"),
+    ).select(["doc_id", "n_lines", "n_words", "dup_line_ppm",
+              "dup_word_ppm"])
+    out = stats.to_arrow()
+    return out.cast(pa.schema([
+        ("doc_id", batch.schema.field("doc_id").type),
+        ("n_lines", pa.int64()), ("n_words", pa.int64()),
+        ("dup_line_ppm", pa.int64()), ("dup_word_ppm", pa.int64()),
+    ]))
+
+
 def bigram_entropy(batch: pa.Table, text_col: str = "text",
                    out_col: str = "entropy_mbits") -> pa.Table:
     """Character-bigram Shannon entropy per document, in integer

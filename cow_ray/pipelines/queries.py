@@ -406,6 +406,38 @@ def q_doc_rolling_fp(sf_dir: str):
 # ------------------------------------------------------------- dedup
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition filters (duplicate line/word fractions,
+    exact floor-ppm integers) — hash-verified vs DuckDB list kernels."""
+    from ..ops.textstats import repetition_stats
+
+    return _docs(sf_dir).map_batches(repetition_stats,
+                                     batch_format="pyarrow")
+
+
+SQL_DOC_REPETITION = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(coalesce(text,''), chr(10))) AS n_lines,
+         len(list_distinct(string_split(coalesce(text,''), chr(10))))
+             AS u_lines,
+         len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9_'']+'))
+             AS n_words,
+         len(list_distinct(
+             regexp_extract_all(coalesce(text,''), '[A-Za-z0-9_'']+')))
+             AS u_words
+    FROM documents)
+SELECT doc_id, n_lines, n_words,
+       CASE WHEN n_lines > 0
+            THEN (1000000*(n_lines-u_lines))//n_lines ELSE 0
+       END AS dup_line_ppm,
+       CASE WHEN n_words > 0
+            THEN (1000000*(n_words-u_words))//n_words ELSE 0
+       END AS dup_word_ppm
+  FROM s
+"""
+
+
 def q_doc_entropy(sf_dir: str):
     """Character-bigram entropy quality signal — rows-only (float
     log-sum; see ops.textstats.bigram_entropy)."""
@@ -1522,6 +1554,7 @@ QUERIES = {
     "langid_docs": q_langid_docs,
     "doc_rolling_fp": q_doc_rolling_fp,
     "doc_entropy": q_doc_entropy,
+    "doc_repetition": q_doc_repetition,
     "scrub_docs": q_scrub_docs,
     "chunk_docs": q_chunk_docs,
     "sample_docs": q_sample_docs,
@@ -1565,6 +1598,7 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_hist": SQL_LANG_HIST,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_repetition": SQL_DOC_REPETITION,
     "scrub_docs": SQL_SCRUB_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,
     "sample_docs": SQL_SAMPLE_DOCS,

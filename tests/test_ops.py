@@ -973,3 +973,45 @@ class TestSimhashNearDup:
         got = _popcount64(a ^ b)
         want = [hamming64(int(x), int(y)) for x, y in zip(a, b)]
         assert got.tolist() == want
+
+
+class TestRepetition:
+    def test_repetition_stats_vs_duckdb(self, ray_session):
+        """Gopher repetition signals hash-stable vs DuckDB list
+        kernels (pure integer floor-ppm arithmetic)."""
+        import duckdb
+
+        import ray.data
+
+        from cow_ray.ops.textstats import repetition_stats
+
+        ds = ray.data.read_parquet(DOCS)
+        got = {
+            r["doc_id"]: (r["n_lines"], r["n_words"], r["dup_line_ppm"],
+                          r["dup_word_ppm"])
+            for r in ds.map_batches(repetition_stats,
+                                    batch_format="pyarrow").take_all()
+        }
+        con = duckdb.connect()
+        want = {
+            d: (nl, nw, dl, dw)
+            for d, nl, nw, dl, dw in con.execute(rf"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(coalesce(text,''), chr(10))) AS n_lines,
+         len(list_distinct(string_split(coalesce(text,''), chr(10))))
+             AS u_lines,
+         len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9_'']+'))
+             AS n_words,
+         len(list_distinct(
+             regexp_extract_all(coalesce(text,''), '[A-Za-z0-9_'']+')))
+             AS u_words
+    FROM read_parquet('{DOCS}'))
+SELECT doc_id, n_lines, n_words,
+       CASE WHEN n_lines > 0
+            THEN (1000000*(n_lines-u_lines))//n_lines ELSE 0 END,
+       CASE WHEN n_words > 0
+            THEN (1000000*(n_words-u_words))//n_words ELSE 0 END
+  FROM s""").fetchall()
+        }
+        assert got == want
