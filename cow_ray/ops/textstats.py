@@ -189,6 +189,50 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ]))
 
 
+def c4_line_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """C4-style line-level quality signals (Raffel et al., "Exploring
+    the Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", 2020 — the C4 cleaning heuristics): per document,
+    the fraction of lines ending in terminal punctuation, the fraction
+    of short lines (< 3 words), and the boilerplate flags the C4
+    recipe drops on (``lorem ipsum``, curly braces).  Fractions are
+    exact floor-ppm integers (integer arithmetic → DuckDB-hash-stable);
+    vectorized with polars list kernels."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", text_col]))
+    t = pl.col(text_col).fill_null("")
+    lines = t.str.split("\n")
+    term = lines.list.eval(
+        pl.element().str.contains(r'[.!?"]\s*$')
+    ).list.sum()
+    short = lines.list.eval(
+        pl.element().str.count_matches(WORD_RE) < 3
+    ).list.sum()
+    stats = df.select(
+        pl.col("doc_id"),
+        lines.list.len().cast(pl.Int64).alias("n_lines"),
+        term.cast(pl.Int64).alias("t_lines"),
+        short.cast(pl.Int64).alias("s_lines"),
+        t.str.to_lowercase().str.contains("lorem ipsum", literal=True)
+        .cast(pl.Int64).alias("has_lorem"),
+        t.str.contains("{", literal=True).cast(pl.Int64)
+        .alias("has_brace"),
+    ).with_columns(
+        ((1_000_000 * pl.col("t_lines")) // pl.col("n_lines"))
+        .alias("term_punct_ppm"),
+        ((1_000_000 * pl.col("s_lines")) // pl.col("n_lines"))
+        .alias("short_line_ppm"),
+    ).select(["doc_id", "n_lines", "term_punct_ppm", "short_line_ppm",
+              "has_lorem", "has_brace"])
+    return stats.to_arrow().cast(pa.schema([
+        ("doc_id", batch.schema.field("doc_id").type),
+        ("n_lines", pa.int64()), ("term_punct_ppm", pa.int64()),
+        ("short_line_ppm", pa.int64()), ("has_lorem", pa.int64()),
+        ("has_brace", pa.int64()),
+    ]))
+
+
 def bigram_entropy(batch: pa.Table, text_col: str = "text",
                    out_col: str = "entropy_mbits") -> pa.Table:
     """Character-bigram Shannon entropy per document, in integer

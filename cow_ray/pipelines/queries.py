@@ -406,6 +406,34 @@ def q_doc_rolling_fp(sf_dir: str):
 # ------------------------------------------------------------- dedup
 
 
+def q_doc_c4_quality(sf_dir: str):
+    """C4-style line-level cleaning signals (terminal-punctuation /
+    short-line fractions, boilerplate flags) — hash-verified vs a
+    DuckDB list_filter oracle."""
+    from ..ops.textstats import c4_line_stats
+
+    return _docs(sf_dir).map_batches(c4_line_stats,
+                                     batch_format="pyarrow")
+
+
+SQL_DOC_C4_QUALITY = r"""
+WITH s AS (
+ SELECT doc_id, string_split(coalesce(text,''), chr(10)) AS lines,
+        lower(coalesce(text,'')) AS lt, coalesce(text,'') AS t0
+ FROM documents)
+SELECT doc_id, len(lines) AS n_lines,
+  (1000000*len(list_filter(lines,
+      x -> regexp_matches(x, '[.!?"]\s*$'))))//len(lines)
+      AS term_punct_ppm,
+  (1000000*len(list_filter(lines,
+      x -> len(regexp_extract_all(x, '[A-Za-z0-9_'']+')) < 3)))
+      //len(lines) AS short_line_ppm,
+  CAST(contains(lt, 'lorem ipsum') AS BIGINT) AS has_lorem,
+  CAST(contains(t0, '{') AS BIGINT) AS has_brace
+FROM s
+"""
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition filters (duplicate line/word fractions,
     exact floor-ppm integers) — hash-verified vs DuckDB list kernels."""
@@ -1555,6 +1583,7 @@ QUERIES = {
     "doc_rolling_fp": q_doc_rolling_fp,
     "doc_entropy": q_doc_entropy,
     "doc_repetition": q_doc_repetition,
+    "doc_c4_quality": q_doc_c4_quality,
     "scrub_docs": q_scrub_docs,
     "chunk_docs": q_chunk_docs,
     "sample_docs": q_sample_docs,
@@ -1599,6 +1628,7 @@ ORACLES = {
     "lang_hist": SQL_LANG_HIST,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_repetition": SQL_DOC_REPETITION,
+    "doc_c4_quality": SQL_DOC_C4_QUALITY,
     "scrub_docs": SQL_SCRUB_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,
     "sample_docs": SQL_SAMPLE_DOCS,

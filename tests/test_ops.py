@@ -1015,3 +1015,37 @@ SELECT doc_id, n_lines, n_words,
   FROM s""").fetchall()
         }
         assert got == want
+
+    def test_c4_line_stats_edge_cases(self):
+        """Polars/DuckDB parity on the tricky rows: empty text, null,
+        trailing spaces before terminal punct, boilerplate flags."""
+        import duckdb
+
+        from cow_ray.ops.textstats import c4_line_stats
+
+        texts = ['Good line.\nshort\nFine line!\nends "so"', "",
+                 "no punctuation", "Lorem Ipsum { x }", None,
+                 "trailing. \nnext"]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        got = [
+            (r["doc_id"], r["n_lines"], r["term_punct_ppm"],
+             r["short_line_ppm"], r["has_lorem"], r["has_brace"])
+            for r in c4_line_stats(t).to_pylist()
+        ]
+        con = duckdb.connect()
+        con.register("d", t)
+        want = con.execute(r"""
+WITH s AS (
+ SELECT doc_id, string_split(coalesce(text,''), chr(10)) AS lines,
+        lower(coalesce(text,'')) AS lt, coalesce(text,'') AS t0
+ FROM d)
+SELECT doc_id, len(lines),
+  (1000000*len(list_filter(lines,
+      x -> regexp_matches(x, '[.!?"]\s*$'))))//len(lines),
+  (1000000*len(list_filter(lines,
+      x -> len(regexp_extract_all(x, '[A-Za-z0-9_'']+')) < 3)))
+      //len(lines),
+  CAST(contains(lt, 'lorem ipsum') AS BIGINT),
+  CAST(contains(t0, '{') AS BIGINT)
+FROM s ORDER BY doc_id""").fetchall()
+        assert got == [tuple(w) for w in want]
