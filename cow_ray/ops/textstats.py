@@ -189,6 +189,33 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ]))
 
 
+# GPT-2-style BPE pre-tokenizer pattern (Radford et al. 2019), RE2-safe
+# variant: the original's `\s+(?!\S)` lookahead is unsupported by RE2,
+# so trailing-space merging is approximated by a plain `\s+` branch —
+# token COUNTS differ from the exact pattern only on runs of interior
+# whitespace followed by non-space, where this variant counts one
+# whitespace token instead of splitting the last space onto the next
+# word.  Both Arrow and DuckDB run RE2, so the count is cross-engine
+# exact by construction.
+BPE_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+"
+          r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish token count per document: matches of the GPT-2
+    pre-tokenizer regex (RE2-safe variant, see ``BPE_RE``) — the
+    standard cheap proxy for LLM token budgets at corpus scale (the
+    real tokenizer's merges only ever SPLIT these pre-tokens
+    further)."""
+    t = pc.fill_null(batch[text_col], "")
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_bpe_tokens": pc.cast(
+            pc.count_substring_regex(t, BPE_RE), pa.int64()
+        ),
+    })
+
+
 def c4_line_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """C4-style line-level quality signals (Raffel et al., "Exploring
     the Limits of Transfer Learning with a Unified Text-to-Text

@@ -434,6 +434,27 @@ FROM s
 """
 
 
+def q_doc_bpe_tokens(sf_dir: str):
+    """BPE-ish token counts (GPT-2 pre-tokenizer regex, RE2-safe
+    variant) — both engines run RE2, so counts match exactly."""
+    from ..ops.textstats import bpe_token_stats
+
+    return _docs(sf_dir).map_batches(bpe_token_stats,
+                                     batch_format="pyarrow")
+
+
+def _sql_bpe():
+    from ..ops.textstats import BPE_RE
+
+    pat = BPE_RE.replace("'", "''")
+    return (f"SELECT doc_id, CAST(len(regexp_extract_all("
+            f"coalesce(text,''), '{pat}')) AS BIGINT) AS n_bpe_tokens "
+            f"FROM documents")
+
+
+SQL_DOC_BPE_TOKENS = _sql_bpe()
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition filters (duplicate line/word fractions,
     exact floor-ppm integers) — hash-verified vs DuckDB list kernels."""
@@ -1583,6 +1604,7 @@ QUERIES = {
     "doc_rolling_fp": q_doc_rolling_fp,
     "doc_entropy": q_doc_entropy,
     "doc_repetition": q_doc_repetition,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_c4_quality": q_doc_c4_quality,
     "scrub_docs": q_scrub_docs,
     "chunk_docs": q_chunk_docs,
@@ -1628,6 +1650,7 @@ ORACLES = {
     "lang_hist": SQL_LANG_HIST,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_repetition": SQL_DOC_REPETITION,
+    "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
     "doc_c4_quality": SQL_DOC_C4_QUALITY,
     "scrub_docs": SQL_SCRUB_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,

@@ -1049,3 +1049,24 @@ SELECT doc_id, len(lines),
   CAST(contains(t0, '{') AS BIGINT)
 FROM s ORDER BY doc_id""").fetchall()
         assert got == [tuple(w) for w in want]
+
+    def test_bpe_token_stats_parity(self):
+        """Arrow and DuckDB both run RE2 — counts must match exactly,
+        including unicode scripts and apostrophe contractions."""
+        import duckdb
+
+        from cow_ray.ops.textstats import BPE_RE, bpe_token_stats
+
+        texts = ["Hello, world! It's 2024.", "", None,
+                 "  spaces   everywhere  ", "naïve café 日本語",
+                 "don't can't we'll they're I'm"]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        got = [(r["doc_id"], r["n_bpe_tokens"])
+               for r in bpe_token_stats(t).to_pylist()]
+        con = duckdb.connect()
+        con.register("d", t)
+        want = con.execute(
+            "SELECT doc_id, len(regexp_extract_all(coalesce(text,''), ?))"
+            " FROM d ORDER BY doc_id", [BPE_RE]).fetchall()
+        assert got == [tuple(w) for w in want]
+        assert got[5][1] == 10  # don|'t|can|'t|we|'ll|they|'re|I|'m
