@@ -56,11 +56,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (identical
-    column names/semantics).  Keys absent here (linker, minhash,
-    simhash, rolling fp, LSH/IVF ANN, langid, multimodal image/audio,
+    column names/semantics).  Keys absent here (linker mentions,
+    minhash/simhash signatures + their candidate/verified pair sets,
+    rolling fp, LSH/IVF/IVF-PQ ANN, langid, multimodal image/audio,
     HLL sketch, bigram entropy, near-dup curation) are genuinely
     non-SQL-expressible or not hash-stable cross-engine (float
-    log-sums) → rows-only check."""
+    log-sums) → rows-only check.  Note connected components IS oracled
+    (recursive CTE), as are the Gopher/C4/BPE text-quality signals
+    (exact integer ppm arithmetic; shared RE2 engine)."""
     from cow_ray.pipelines.queries import ORACLES
 
     return dict(ORACLES)
