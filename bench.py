@@ -186,31 +186,9 @@ def minhash_stage_walls(sf_dir: str) -> dict[str, float]:
     ).materialize()
     walls["bucket_pairs"] = round(time.time() - t0, 3)
     t0 = time.time()
-    from cow_ray.ops.dedup import minhash_lsh_candidates  # noqa: F401
-    from cow_ray.stages.canonicalize import content_key, hash_mod
-    import pyarrow as pa
+    from cow_ray.ops.dedup import pair_distinct
 
-    def prep(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("__p2", pa.array([], type=pa.int32()))
-        return batch.append_column(
-            "__p2", hash_mod(content_key(batch, ["id_a", "id_b"]), 16)
-        )
-
-    def per_part(group: pa.Table) -> pa.Table:
-        agg = (
-            group.drop_columns(["__p2"])
-            .group_by(["id_a", "id_b"], use_threads=False)
-            .aggregate([("capped", "max")])
-        )
-        return agg.select(["id_a", "id_b", "capped_max"])
-
-    n = (
-        cand.map_batches(prep, batch_format="pyarrow")
-        .groupby("__p2")
-        .map_groups(per_part, batch_format="pyarrow")
-        .count()
-    )
+    n = pair_distinct(cand, num_parts=16).count()
     walls["pair_distinct"] = round(time.time() - t0, 3)
     walls["n_pairs"] = n
     return walls

@@ -116,9 +116,10 @@ def asof_join(
         lefts = g[g["__side"] == 0]
         rights = g[g["__side"] == 1]
         out = lefts[left_cols].copy()
-        if lefts.empty:
-            return out
-        if rights.empty:
+        if lefts.empty or rights.empty:
+            # keep the output schema IDENTICAL across partitions — a
+            # rights-only partition must still emit (0 rows of) the
+            # payload columns or downstream schema-dependent ops wobble
             for c in right_payload:
                 out[c] = _typed_nulls(g[c].to_numpy().dtype, len(out))
             return out

@@ -139,6 +139,11 @@ class MinHasher:
             m = len(flat)
             starts = (csum[d0:d1] - csum[d0])
             chunk = max(1, min(self.num_perm, TILE // max(1, m)))
+            if chunk * m > len(buf):
+                # a single huge document (distinct shingles > TILE)
+                # needs one full permutation row — grow the buffer
+                # once instead of crashing on the reshape
+                buf = np.empty(chunk * m, dtype=np.uint64)
             for c in range(0, self.num_perm, chunk):
                 a = self.a[c:c + chunk]
                 b = self.b[c:c + chunk]
@@ -292,6 +297,14 @@ def minhash_lsh_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
     # a pair can surface from many bands (in different partitions) →
     # global distinct keyed on a content hash of the pair, keeping the
     # max capped count
+    return pair_distinct(cand, num_parts)
+
+
+def pair_distinct(cand, num_parts: int = 16):
+    """Hash-partitioned global distinct over candidate pairs, keeping
+    ``max(capped)`` per (id_a, id_b).  Shared by the LSH pipelines and
+    the bench's per-stage walls (so the benchmark always measures the
+    stage the real operator runs)."""
     from ..stages.canonicalize import content_key, hash_mod
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -569,11 +582,19 @@ def verify_candidates_distributed(cand_ds, docs_ds, threshold: float = 0.8,
         out_a, out_b, out_j = [], [], []
         ends = np.r_[starts[1:], len(ia)]
         for s, e in zip(starts, ends):
-            if e - s != 2:  # a side missing its doc row — skip
-                continue
+            # rows are side-sorted within the pair group; duplicate
+            # input pairs stack extra copies of each side — verify the
+            # pair ONCE from the first row of each side (a skip here
+            # would silently drop duplicated candidates, diverging
+            # from the broadcast backend)
+            if side[s] != 0 or side[e - 1] != 1:
+                continue  # one side genuinely absent
+            b_first = s + int(np.searchsorted(side[s:e], 1))
             out_a.append(ia[s])
             out_b.append(ib[s])
-            out_j.append(round(ngram_jaccard(texts[s], texts[s + 1], k), 6))
+            out_j.append(
+                round(ngram_jaccard(texts[s], texts[b_first], k), 6)
+            )
         t = pa.table(
             {
                 "id_a": pa.array(np.array(out_a, dtype=np.int64)),
@@ -699,8 +720,11 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
     at least one whole band — bucket on (band, band_value), emit and
     VERIFY pairs inside each hash partition (vectorized SWAR
     popcount), then a global pair distinct.  Returns
-    ``(id_a, id_b, hamming)`` with hamming ≤ ``max_hamming``; recall
-    is exact (pigeonhole), precision is enforced by the verification.
+    ``(id_a, id_b, hamming, capped)`` with hamming ≤ ``max_hamming``;
+    recall is exact (pigeonhole) UP TO the bucket cap — degenerate
+    >``bucket_cap``-id identical-band clusters are truncated and the
+    surviving pairs carry the dropped-id count in ``capped`` ("no
+    silent caps"), precision is enforced by the verification.
 
     Same scale shape as :func:`minhash_lsh_candidates`: two keyed
     exchanges on small int keys, vectorized partition kernels, bucket
@@ -749,7 +773,7 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
 
     out_schema = pa.schema(
         [("id_a", pa.int64()), ("id_b", pa.int64()),
-         ("hamming", pa.int64())]
+         ("hamming", pa.int64()), ("capped", pa.int32())]
     )
 
     def part_pairs(group: pa.Table) -> pa.Table:
@@ -772,8 +796,9 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
         starts = np.flatnonzero(newb)
         lens = np.diff(np.r_[starts, len(bd)])
         multi = lens >= 2
-        out_a, out_b, out_h = [], [], []
+        out_a, out_b, out_h, out_c = [], [], [], []
         for s, ln in zip(starts[multi], lens[multi]):
+            cap = int(max(0, ln - bucket_cap))
             ln = int(min(ln, bucket_cap))
             ia, ib = np.triu_indices(ln, k=1)
             sa, sb = sg[s:s + ln][ia], sg[s:s + ln][ib]
@@ -782,18 +807,20 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
             out_a.append(ids[s:s + ln][ia][keep])
             out_b.append(ids[s:s + ln][ib][keep])
             out_h.append(h[keep])
+            out_c.append(np.full(int(keep.sum()), cap, dtype=np.int32))
         if not out_a:
             return out_schema.empty_table()
         t = pa.table(
             {"id_a": pa.array(np.concatenate(out_a)),
              "id_b": pa.array(np.concatenate(out_b)),
-             "hamming": pa.array(np.concatenate(out_h))}
+             "hamming": pa.array(np.concatenate(out_h)),
+             "capped": pa.array(np.concatenate(out_c))}
         )
         return (
             t.group_by(["id_a", "id_b"], use_threads=False)
-            .aggregate([("hamming", "min")])
-            .select(["id_a", "id_b", "hamming_min"])
-            .rename_columns(["id_a", "id_b", "hamming"])
+            .aggregate([("hamming", "min"), ("capped", "max")])
+            .select(["id_a", "id_b", "hamming_min", "capped_max"])
+            .rename_columns(["id_a", "id_b", "hamming", "capped"])
         )
 
     cand = sigs.map_batches(emit_bands, batch_format="pyarrow").groupby(
@@ -817,9 +844,9 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
         return (
             group.drop_columns(["__p2"])
             .group_by(["id_a", "id_b"], use_threads=False)
-            .aggregate([("hamming", "min")])
-            .select(["id_a", "id_b", "hamming_min"])
-            .rename_columns(["id_a", "id_b", "hamming"])
+            .aggregate([("hamming", "min"), ("capped", "max")])
+            .select(["id_a", "id_b", "hamming_min", "capped_max"])
+            .rename_columns(["id_a", "id_b", "hamming", "capped"])
         )
 
     return (

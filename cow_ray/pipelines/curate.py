@@ -169,20 +169,42 @@ def _near_dup_pass(out, *, near_dup_threshold: float, mode: str,
         )
 
     if use_driver:
-        cand_rows = cand.select_columns(["id_a", "id_b"]).take_all()
-        cand_ids = {r["id_a"] for r in cand_rows} | {
-            r["id_b"] for r in cand_rows
-        }
-        if len(cand_ids) > NEAR_DUP_MAX_DOCS:
+        # distinct candidate-id count DISTRIBUTEDLY before any driver
+        # pull — pulling up to MAX_PAIRS row-dicts just to count ids,
+        # then routing distributed anyway, would waste GBs of driver
+        # heap on exactly the inputs the guard exists for
+        def ids_of(batch: pa.Table) -> pa.Table:
+            both = pa.concat_arrays([
+                batch["id_a"].combine_chunks()
+                if isinstance(batch["id_a"], pa.ChunkedArray)
+                else batch["id_a"],
+                batch["id_b"].combine_chunks()
+                if isinstance(batch["id_b"], pa.ChunkedArray)
+                else batch["id_b"],
+            ])
+            t = pa.table({"id": both})
+            return t.group_by(["id"], use_threads=False).aggregate([])
+
+        from ..stages.canonicalize import dedup_triples
+
+        n_cand_ids = dedup_triples(
+            cand.map_batches(ids_of, batch_format="pyarrow"),
+            num_parts=8, cols=["id"],
+        ).count()
+        if n_cand_ids > NEAR_DUP_MAX_DOCS:
             if mode == "driver":
                 raise ValueError(
-                    f"{len(cand_ids)} candidate docs — the driver "
+                    f"{n_cand_ids} candidate docs — the driver "
                     "backend broadcasts the CANDIDATE texts; use "
                     "near_dup_mode='distributed' (or 'auto')"
                 )
             use_driver = False
 
     if use_driver:
+        cand_rows = cand.select_columns(["id_a", "id_b"]).take_all()
+        cand_ids = {r["id_a"] for r in cand_rows} | {
+            r["id_b"] for r in cand_rows
+        }
         # broadcast only the texts the verifier needs (candidate-sized,
         # not corpus-sized): filter the survivors down to candidate ids
         cand_ids_ref = ray.put(np.sort(np.fromiter(cand_ids, dtype=np.int64,

@@ -1070,3 +1070,68 @@ FROM s ORDER BY doc_id""").fetchall()
             " FROM d ORDER BY doc_id", [BPE_RE]).fetchall()
         assert got == [tuple(w) for w in want]
         assert got[5][1] == 10  # don|'t|can|'t|we|'ll|they|'re|I|'m
+
+
+class TestReviewRegressions3:
+    def test_minhasher_huge_document(self):
+        """A single document with more distinct shingles than the
+        4MB tile must not crash the tiled kernel (review finding:
+        buf reshape ValueError) and must stay bit-identical to the
+        per-doc reference kernel."""
+        from cow_ray.ops.dedup import MinHasher
+
+        rng = np.random.default_rng(11)
+        huge = "".join(
+            chr(c) for c in rng.integers(33, 127, size=700_000)
+        )
+        h = MinHasher(8, 5, "text")
+        sig = h.signatures([huge, "small text here"])
+        assert sig.shape == (2, 8)
+        assert np.array_equal(sig[0], h.signature(huge))
+
+    def test_asof_rights_only_partition_schema(self, ray_session):
+        """A hash partition whose keys exist only on the right side
+        must still emit the payload columns (schema stability across
+        partitions — review finding)."""
+        import datetime as dt
+
+        import ray.data
+
+        from cow_ray.ops.asof import asof_join
+
+        T = lambda d: dt.datetime(2024, 1, d)
+        left = ray.data.from_items([{"eid": 1, "k": 1, "ts": T(5)}])
+        right = ray.data.from_items(
+            [{"k": k, "rts": T(2), "payload": k} for k in range(1, 40)]
+        )
+        out = asof_join(left, right, key_left="k", ts_left="ts",
+                        key_right="k", ts_right="rts",
+                        right_payload=["payload"])
+        rows = out.take_all()
+        assert len(rows) == 1 and rows[0]["payload"] == 1
+        assert "payload" in out.schema().names
+
+    def test_verify_distributed_handles_duplicate_pairs(self,
+                                                        ray_session):
+        """Duplicated candidate pairs must be verified once, not
+        silently dropped (review finding)."""
+        import ray.data
+
+        from cow_ray.ops.dedup import (
+            ngram_jaccard,
+            verify_candidates_distributed,
+        )
+
+        docs = ray.data.from_items([
+            {"doc_id": 0, "text": "alpha beta gamma delta epsilon"},
+            {"doc_id": 1, "text": "alpha beta gamma delta zeta"},
+        ])
+        cand = ray.data.from_items(
+            [{"id_a": 0, "id_b": 1}, {"id_a": 0, "id_b": 1}]
+        )
+        got = verify_candidates_distributed(cand, docs,
+                                            threshold=0.1).take_all()
+        assert len(got) == 1
+        assert got[0]["jaccard"] == pytest.approx(round(
+            ngram_jaccard("alpha beta gamma delta epsilon",
+                          "alpha beta gamma delta zeta"), 6))
