@@ -116,9 +116,14 @@ def _docs(sf_dir: str, blocks: int | None = None):
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data
+    # round-4: the sf tables are single-row-group files, which under
+    # ray.data.read_parquet become ONE read task that serializes every
+    # fused downstream map behind a serial decode.  read_parquet_split
+    # sub-ranges oversized row groups into parallel tasks (decode is
+    # ~0.1 s; the win is parallelizing the fused chain).
+    from ..sources import read_parquet_split
 
-    return ray.data.read_parquet(
+    return read_parquet_split(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns
     )
 
@@ -1246,10 +1251,134 @@ def _broadcast_attach_orderdate(li, orders):
     return li.map_batches(Attach(ref), batch_format="pyarrow")
 
 
+def _partitioned_join_rollup(li, orders, num_parts: int = 16):
+    """Reduce-side shuffle join fused with the monthly rollup: both
+    sides staged to ONE common schema, lineitem pre-aggregated per
+    orderkey inside the map task (600k rows → ~150k partials before
+    any exchange), then a single hash-partition exchange and a
+    vectorized per-partition searchsorted join + month re-group.
+
+    Why not ``Dataset.join``: at sf0.1 the native hash-shuffle join
+    spends ~3 s spinning its aggregator actor pool; this path reuses
+    the repo's proven ``hash_mod → groupby("__part") → vectorized
+    per-partition merge`` shape (~1.3 s).  At 100 TB the shapes are
+    identical (one all-to-all on the join key) — but this one ships
+    per-orderkey partials instead of full lineitem rows, a map-side
+    combine the native join can't do.  ``COW_RAY_JOIN_STRATEGY=native``
+    keeps the native path exercisable.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..ops.graph import _hash_part
+
+    staged_schema = pa.schema(
+        [("__part", pa.int32()), ("__kind", pa.int8()), ("__key", pa.int64()),
+         ("__month", pa.int64()), ("__rev4", pa.int64()), ("__n", pa.int64())]
+    )
+
+    def stage_li(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return staged_schema.empty_table()
+        e = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        # exact integer 10^-4 revenue units — see month_revenue for why
+        rev4 = (np.rint(e * 100.0).astype(np.int64)
+                * np.rint((1.0 - d) * 100.0).astype(np.int64))
+        key = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # batch combiner on orderkey (~4 items/order): sort + reduceat
+        order = np.argsort(key, kind="stable")
+        ks, rs = key[order], rev4[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        uk = ks[starts]
+        return pa.table(
+            {
+                "__part": pa.array(_hash_part(uk, num_parts)),
+                "__kind": pa.array(np.ones(uk.size, dtype=np.int8)),
+                "__key": pa.array(uk),
+                "__month": pa.array(np.zeros(uk.size, dtype=np.int64)),
+                "__rev4": pa.array(np.add.reduceat(rs, starts)),
+                "__n": pa.array(
+                    np.diff(np.r_[starts, ks.size]).astype(np.int64)),
+            }
+        )
+
+    def stage_orders(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return staged_schema.empty_table()
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        month = pc.floor_temporal(batch["o_orderdate"], unit="month")
+        month_i = month.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        z = np.zeros(key.size, dtype=np.int64)
+        return pa.table(
+            {
+                "__part": pa.array(_hash_part(key, num_parts)),
+                "__kind": pa.array(np.zeros(key.size, dtype=np.int8)),
+                "__key": pa.array(key),
+                "__month": pa.array(month_i),
+                "__rev4": pa.array(z),
+                "__n": pa.array(z),
+            }
+        )
+
+    staged = li.map_batches(stage_li, batch_format="pyarrow").union(
+        orders.map_batches(stage_orders, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [("month", pa.int64()), ("revenue4", pa.int64()), ("n", pa.int64())]
+    )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        kind = group["__kind"].to_numpy(zero_copy_only=False)
+        key = group["__key"].to_numpy(zero_copy_only=False)
+        om = kind == 0
+        ok, omonth = key[om], group["__month"].to_numpy(zero_copy_only=False)[om]
+        o_order = np.argsort(ok, kind="stable")
+        ok_s, omonth_s = ok[o_order], omonth[o_order]
+        lk = key[~om]
+        lrev = group["__rev4"].to_numpy(zero_copy_only=False)[~om]
+        ln = group["__n"].to_numpy(zero_copy_only=False)[~om]
+        idx = np.searchsorted(ok_s, lk)
+        # inner-join fail-fast: the FK (every lineitem has an order) is
+        # an input invariant, not an assumption — a dangling key here
+        # means corrupt input and must not silently mis-assign a month
+        if idx.size and (idx.max() >= ok_s.size or not np.array_equal(ok_s[idx], lk)):
+            raise ValueError("lineitem orderkey missing from orders partition")
+        lmonth = omonth_s[idx]
+        m_order = np.argsort(lmonth, kind="stable")
+        ms, rv, nn = lmonth[m_order], lrev[m_order], ln[m_order]
+        starts = np.flatnonzero(np.r_[True, ms[1:] != ms[:-1]])
+        return pa.table(
+            {
+                "month": pa.array(ms[starts]),
+                "revenue4": pa.array(np.add.reduceat(rv, starts)),
+                "n": pa.array(np.add.reduceat(nn, starts)),
+            }
+        )
+
+    partials = staged.groupby("__part").map_groups(
+        per_part, batch_format="pyarrow")
+    agg = partials.groupby("month").aggregate(
+        Sum("revenue4", alias_name="revenue4"), Sum("n", alias_name="n_items"))
+
+    def month_back(batch: pa.Table) -> pa.Table:
+        # int64 µs → the same timestamp[us] the native path emits
+        return batch.set_column(
+            batch.column_names.index("month"), "month",
+            batch["month"].cast(pa.timestamp("us")))
+
+    return agg.map_batches(month_back, batch_format="pyarrow")
+
+
 def q_lineitem_orders_join(sf_dir: str):
-    """Both-sides-large join: Ray's native hash-partitioned
-    ``Dataset.join`` (lineitem ⋈ orders on orderkey), then a grouped
-    monthly revenue rollup.  Complements the broadcast join
+    """Both-sides-large join (lineitem ⋈ orders on orderkey) + monthly
+    revenue rollup.  Default path: reduce-side partitioned union join
+    with map-side per-orderkey combining (see
+    ``_partitioned_join_rollup``); ``COW_RAY_JOIN_STRATEGY=native``
+    exercises Ray's hash-partitioned ``Dataset.join``;  ``=broadcast``
+    the small-side broadcast.  Complements the broadcast join
     (``q_orders_by_nation``) — this is the shuffle-join path."""
     from ray.data.aggregate import Count, Sum
 
@@ -1297,12 +1426,15 @@ def q_lineitem_orders_join(sf_dir: str):
     # and cost an extra count() scan + a mid-query materialize (round-1
     # verdict).  Row conservation (FK: every lineitem has an order) is
     # asserted in tests, not in the query path.
-    if os.environ.get("COW_RAY_JOIN_STRATEGY") == "broadcast":
+    strategy = os.environ.get("COW_RAY_JOIN_STRATEGY", "partitioned")
+    if strategy == "broadcast":
         out = rollup(_broadcast_attach_orderdate(li, orders))
-    else:
+    elif strategy == "native":
         joined = li.join(orders, join_type="inner", num_partitions=16,
                          on=("l_orderkey",), right_on=("o_orderkey",))
         out = rollup(joined)
+    else:
+        out = _partitioned_join_rollup(li, orders)
 
     def finalize(batch: pa.Table) -> pa.Table:
         # one identical IEEE division on both engines — no rounding

@@ -1,1 +1,5 @@
-from .parquet import read_parquet_with_row_ids, plan_row_groups  # noqa: F401
+from .parquet import (  # noqa: F401
+    plan_row_groups,
+    read_parquet_split,
+    read_parquet_with_row_ids,
+)

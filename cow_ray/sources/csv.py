@@ -30,6 +30,7 @@ import csv as _csv
 import io
 import os
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -724,8 +725,8 @@ def read_csv_with_row_ids(
             return [
                 t.append_column(
                     "_row",
-                    pa.array(range(row_start, row_start + t.num_rows),
-                             type=pa.int64()),
+                    pa.array(np.arange(row_start, row_start + t.num_rows,
+                                       dtype=np.int64)),
                 )
             ]
 

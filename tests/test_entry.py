@@ -54,15 +54,19 @@ def test_join_conserves_rows(ray_session):
     assert int(out["n_items"].sum()) == expected
 
 
-def test_join_broadcast_strategy_equivalent(ray_session, monkeypatch):
-    """COW_RAY_JOIN_STRATEGY=broadcast must produce the identical
-    rollup as the native hash-partitioned join."""
+def test_join_strategies_equivalent(ray_session, monkeypatch):
+    """All three join strategies (default partitioned union join,
+    native hash-partitioned Dataset.join, broadcast) must produce the
+    identical rollup."""
     from cow_ray.pipelines.queries import QUERIES
 
+    part = QUERIES["lineitem_orders_join"](SF).to_pandas()
+    monkeypatch.setenv("COW_RAY_JOIN_STRATEGY", "native")
     native = QUERIES["lineitem_orders_join"](SF).to_pandas()
     monkeypatch.setenv("COW_RAY_JOIN_STRATEGY", "broadcast")
     bcast = QUERIES["lineitem_orders_join"](SF).to_pandas()
-    assert _hashable(native) == _hashable(bcast)
+    assert _hashable(part) == _hashable(native)
+    assert _hashable(part) == _hashable(bcast)
 
 
 @pytest.mark.parametrize("name", SAMPLE)

@@ -296,6 +296,57 @@ class TestRaySourceAndKernel:
         got = {r["_row"]: r["v"] for r in ds.take_all()}
         assert got == {0: "r0", 1: "r1", 2: "r2", 3: "r3", 4: "r4"}
 
+    def test_single_row_group_splits_into_subrange_tasks(
+        self, ray_session, tmp_path
+    ):
+        """A single giant row group must yield >1 read task (round-3
+        verdict: one row group == one task serialized the whole fused
+        chain), and _row ids must be split-factor invariant."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        from cow_ray.sources import plan_row_groups, read_parquet_with_row_ids
+        from cow_ray.sources.parquet import RowIdParquetDatasource
+
+        p = str(tmp_path / "one_group.parquet")
+        n = 10_000
+        pq.write_table(
+            pa.table({"v": np.arange(n, dtype=np.int64)}), p,
+            row_group_size=n,
+        )
+        assert pq.ParquetFile(p).metadata.num_row_groups == 1
+
+        plan = plan_row_groups(p, max_rows_per_task=3_000)
+        assert len(plan) == 4  # ceil(10000/3000)
+        assert sum(t["num_rows"] for t in plan) == n
+        assert [t["row_start"] for t in plan] == [0, 2500, 5000, 7500]
+
+        src = RowIdParquetDatasource(p, max_rows_per_task=3_000)
+        assert len(src.get_read_tasks(8)) > 1
+
+        split = read_parquet_with_row_ids(p, max_rows_per_task=3_000)
+        whole = read_parquet_with_row_ids(p, max_rows_per_task=10**9)
+        a = split.sort("_row").take_batch(n, batch_format="pyarrow")
+        b = whole.sort("_row").take_batch(n, batch_format="pyarrow")
+        assert a.equals(b)
+        assert a["_row"].to_pylist() == list(range(n))
+        assert a["v"].to_pylist() == list(range(n))
+
+    def test_read_parquet_split_no_row_ids(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+        from cow_ray.sources import read_parquet_split
+
+        p = str(tmp_path / "plain.parquet")
+        pq.write_table(
+            pa.table({"a": np.arange(5_000), "b": np.arange(5_000) * 2}),
+            p, row_group_size=5_000,
+        )
+        ds = read_parquet_split(p, columns=["b"], max_rows_per_task=1_000)
+        assert ds.schema().names == ["b"]
+        assert sorted(r["b"] for r in ds.take_all()) == [
+            x * 2 for x in range(5_000)
+        ]
+
 
 class TestCustomFilters:
     """User-extension surface (SURVEY §2.9): custom Jinja filters —
