@@ -23,15 +23,6 @@ moves each table exactly once.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-
-
-def _typed_nulls(dtype: np.dtype, n: int):
-    if dtype.kind == "M":
-        return np.full(n, np.datetime64("NaT"), dtype=dtype)
-    if dtype.kind in "fiu":
-        return np.full(n, np.nan, dtype=np.float64)
-    return np.full(n, None, dtype=object)
 
 
 def asof_join(
@@ -108,33 +99,50 @@ def asof_join(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
-        """One whole hash partition (many keys): sort both sides once
-        by (key, ts[, payload]), find per-key blocks with searchsorted,
-        build ONE gather index over the rights, then a single typed
-        gather per payload column — no per-key pandas slicing."""
-        lefts = g[g["__side"] == 0]
-        rights = g[g["__side"] == 1]
-        out = lefts[left_cols].copy()
-        if lefts.empty or rights.empty:
+    out_fields = [(c, ltypes[c]) for c in left_cols] + [
+        (c, rtypes[c]) for c in right_payload
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        """One whole hash partition (many keys), pure Arrow + numpy:
+        sort both sides once ((key, ts[, payload]) via
+        ``pc.sort_indices``), find per-key blocks with searchsorted,
+        build ONE gather index over the rights, then a single
+        ``pc.take`` + ``pc.if_else`` per payload column — no per-key
+        slicing, no Arrow↔pandas round-trip (round-3 verdict #4: the
+        pandas layer here was pure conversion overhead)."""
+        import pyarrow.compute as pc
+
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        lefts = g.filter(pa.array(side == 0))
+        rights = g.filter(pa.array(side == 1))
+        if lefts.num_rows == 0 or rights.num_rows == 0:
             # keep the output schema IDENTICAL across partitions — a
             # rights-only partition must still emit (0 rows of) the
             # payload columns or downstream schema-dependent ops wobble
-            for c in right_payload:
-                out[c] = _typed_nulls(g[c].to_numpy().dtype, len(out))
-            return out
+            cols = [lefts[c] for c in left_cols] + [
+                pa.nulls(lefts.num_rows, rtypes[c]) for c in right_payload
+            ]
+            return pa.table(cols, schema=out_schema)
         # deterministic tie-break: at equal right ts the LAST row in
-        # (ts, payload...) order wins = max payload
-        rights = rights.sort_values(["__k", "__t"] + right_payload,
-                                    kind="stable")
-        lorder = np.argsort(lefts["__k"].to_numpy(), kind="stable")
-        lefts = lefts.iloc[lorder]
-        out = out.iloc[lorder]
-        rk = rights["__k"].to_numpy()
-        rt = rights["__t"].to_numpy()
-        lk = lefts["__k"].to_numpy()
-        lt = lefts["__t"].to_numpy()
-        gidx = np.full(len(lefts), -1, dtype=np.int64)
+        # (ts, payload...) order wins = max payload (total order over
+        # (k, ts, payload...), so sort stability is irrelevant)
+        ridx = pc.sort_indices(
+            rights,
+            sort_keys=[("__k", "ascending"), ("__t", "ascending")]
+            + [(c, "ascending") for c in right_payload],
+        )
+        rights = rights.take(ridx)
+        lidx = pc.sort_indices(lefts, sort_keys=[("__k", "ascending")])
+        lefts = lefts.take(lidx)
+        rk = rights["__k"].to_numpy(zero_copy_only=False)
+        rt = rights["__t"].to_numpy(zero_copy_only=False)
+        lk = lefts["__k"].to_numpy(zero_copy_only=False)
+        lt = lefts["__t"].to_numpy(zero_copy_only=False)
+        gidx = np.full(len(lk), -1, dtype=np.int64)
         # per-key loop with vectorized searchsorted inside — keys per
         # partition are bounded by the hash split; the heavy per-row
         # work stays in numpy
@@ -157,20 +165,21 @@ def asof_join(
                 idx = np.searchsorted(rt[rs:re_], lt[s:e],
                                       side="right") - 1
                 gidx[s:e] = np.where(idx >= 0, rs + idx, -1)
-        hit = gidx >= 0
-        safe = np.clip(gidx, 0, len(rights) - 1)
+        hit = pa.array(gidx >= 0)
+        safe = pa.array(np.clip(gidx, 0, rights.num_rows - 1))
+        cols = [lefts[c] for c in left_cols]
         for c in right_payload:
-            vals = rights[c].to_numpy()[safe]
-            # dtype-preserving nulls (an object column would wobble the
-            # output schema block to block)
-            if vals.dtype.kind == "M":
-                out[c] = np.where(hit, vals, np.datetime64("NaT"))
-            elif vals.dtype.kind in "fiu":
-                out[c] = np.where(hit, vals.astype(np.float64), np.nan)
-            else:
-                out[c] = np.where(hit, vals, None)
-        return out
+            taken = pc.take(
+                rights[c].combine_chunks()
+                if isinstance(rights[c], pa.ChunkedArray)
+                else rights[c],
+                safe,
+            )
+            # Arrow nulls where no right row qualifies — types survive
+            # exactly (the pandas version floated int payloads)
+            cols.append(pc.if_else(hit, taken, pa.scalar(None, type=rtypes[c])))
+        return pa.table(cols, schema=out_schema)
 
     return combined.groupby("__part").map_groups(
-        merge_part, batch_format="pandas"
+        merge_part, batch_format="pyarrow"
     )

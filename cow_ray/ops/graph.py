@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from ray.data.aggregate import Sum
 
 
 def _hash_part(keys: np.ndarray, mod: int) -> np.ndarray:
@@ -101,15 +102,49 @@ def _stage_sym(col_a: str, col_b: str, num_partitions: int):
     return sym
 
 
+def _fp_partial(a: np.ndarray, b: np.ndarray) -> np.int64:
+    """Wrapped-u64 mix-sum over directed (a, b) rows — the edge-set
+    fingerprint partial (order-independent, exact)."""
+    h = _mix64(a.astype(np.uint64) * np.uint64(0x100000001B3)
+               ^ _mix64(b.astype(np.uint64)))
+    return h.sum(dtype=np.uint64).astype(np.int64)
+
+
+def _with_fp_cols(src: np.ndarray, dst: np.ndarray) -> pa.Table:
+    """(id_a, id_b) edges + fused fingerprint-partial columns: row 0
+    carries this block's (wrapped mix-sum, row count), the rest 0 —
+    so convergence detection is ONE tiny Sum aggregate over the
+    already-materialized round output instead of a separate
+    re-execution per round (round-3 verdict #3: the extra fingerprint
+    passes were most of the per-round fixed cost at toy edge counts)."""
+    n = src.size
+    fp = np.zeros(n, dtype=np.int64)
+    cnt = np.zeros(n, dtype=np.int64)
+    if n:
+        fp[0] = _fp_partial(src, dst)
+        cnt[0] = n
+    return pa.table(
+        {"id_a": pa.array(src), "id_b": pa.array(dst),
+         "fp": pa.array(fp), "n": pa.array(cnt)}
+    )
+
+
+_OUT_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()),
+     ("fp", pa.int64()), ("n", pa.int64())]
+)
+
+
 def _star_op(large: bool):
     """Vectorized large-/small-star rewiring over one hash partition
-    (full neighborhoods co-located by the node-keyed groupby)."""
-
-    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    (full neighborhoods co-located by the node-keyed groupby).  The
+    small-star half (the one whose output is materialized per round)
+    emits fused fingerprint partials; the large-star half is consumed
+    immediately and carries plain edges."""
 
     def op(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return out_schema.empty_table()
+            return _OUT_SCHEMA.empty_table()
         node = _np_col(group, "node")
         nbr = _np_col(group, "nbr")
         order = np.lexsort((nbr, node))
@@ -129,9 +164,7 @@ def _star_op(large: bool):
             src = np.concatenate([nbr[mask], node[starts]])
             dst = np.concatenate([m[mask], m_per_node])
         keep = src != dst
-        return pa.table(
-            {"id_a": pa.array(src[keep]), "id_b": pa.array(dst[keep])}
-        )
+        return _with_fp_cols(src[keep], dst[keep])
 
     return op
 
@@ -145,33 +178,13 @@ def _half_round(edges, large: bool, num_partitions: int):
     )
 
 
-_FP_SCHEMA = pa.schema([("fp", pa.int64()), ("n", pa.int64())])
-
-
-def _fingerprint(edges) -> tuple[int, int]:
-    """Exact order-independent edge-set fingerprint: (wrapped u64
-    mix-sum over directed (a,b) rows, row count).  Driver sees two
-    scalars only."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _FP_SCHEMA.empty_table()
-        a = _np_col(batch, "id_a").astype(np.uint64)
-        b = _np_col(batch, "id_b").astype(np.uint64)
-        h = _mix64(a * np.uint64(0x100000001B3) ^ _mix64(b))
-        s = np.uint64(0)
-        s = h.sum(dtype=np.uint64)
-        return pa.table(
-            {
-                "fp": pa.array([np.int64(s.astype(np.int64))]),
-                "n": pa.array([np.int64(batch.num_rows)]),
-            }
-        )
-
-    part = edges.map_batches(partial, batch_format="pyarrow")
-    fp = part.sum("fp", ignore_nulls=True) or 0
-    n = part.sum("n", ignore_nulls=True) or 0
-    return (int(fp) % (1 << 64), int(n))
+def _fp_of(edges) -> tuple[int, int]:
+    """Fold the fused (fp, n) partial columns: one Sum aggregate over
+    the materialized edge set → two driver scalars.  int64 wrap-around
+    IS the intended mod-2^64 arithmetic."""
+    agg = edges.aggregate(Sum("fp", alias_name="fp"),
+                          Sum("n", alias_name="n"))
+    return (int(agg["fp"] or 0) % (1 << 64), int(agg["n"] or 0))
 
 
 def connected_components(edges, col_a: str = "id_a", col_b: str = "id_b",
@@ -186,19 +199,14 @@ def connected_components(edges, col_a: str = "id_a", col_b: str = "id_b",
     """
     import ray.data
 
-    # normalize input to (id_a, id_b) directed rows
+    # normalize input to (id_a, id_b) directed rows + fused fp partials
     def norm(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.schema(
-                [("id_a", pa.int64()), ("id_b", pa.int64())]
-            ).empty_table()
-        return pa.table(
-            {"id_a": pa.array(_np_col(batch, col_a)),
-             "id_b": pa.array(_np_col(batch, col_b))}
-        )
+            return _OUT_SCHEMA.empty_table()
+        return _with_fp_cols(_np_col(batch, col_a), _np_col(batch, col_b))
 
     cur = edges.map_batches(norm, batch_format="pyarrow").materialize()
-    fp_prev = _fingerprint(cur)
+    fp_prev = _fp_of(cur)
     if fp_prev[1] == 0:
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], type=pa.int64()),
@@ -207,7 +215,7 @@ def connected_components(edges, col_a: str = "id_a", col_b: str = "id_b",
     for _ in range(max_iter):
         cur = _half_round(cur, True, num_partitions)
         cur = _half_round(cur, False, num_partitions).materialize()
-        fp = _fingerprint(cur)
+        fp = _fp_of(cur)
         if fp == fp_prev:
             break
         fp_prev = fp

@@ -75,24 +75,38 @@ def group_top_k(ds, group_cols: list, order_col: str, k: int = 3,
     local top-k per group first (top-k is a monoid: global winners are
     winners of local winners), so the groupby exchange carries
     ≈ k × groups × blocks rows instead of every row.  Deterministic
-    total order via ``tie_col`` (ascending)."""
-    import pandas as pd
+    total order via ``tie_col`` (ascending).  Pure Arrow: one sort +
+    run-position mask per batch; the final per-group merge is bounded
+    by group count × k rows."""
+    import numpy as np
+    import pyarrow.compute as pc
 
-    by = [order_col] + ([tie_col] if tie_col else [])
-    asc = [not descending] + ([True] if tie_col else [])
+    order_keys = [(order_col, "descending" if descending else "ascending")]
+    if tie_col:
+        order_keys.append((tie_col, "ascending"))
 
-    def local_top(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.sort_values(by, ascending=asc)
-            .groupby(group_cols, sort=False)
-            .head(k)
-        )
+    def local_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        sk = [(c, "ascending") for c in group_cols] + order_keys
+        s = batch.take(pc.sort_indices(batch, sort_keys=sk))
+        new = np.zeros(s.num_rows, dtype=bool)
+        new[0] = True
+        for c in group_cols:
+            v = s[c].to_numpy(zero_copy_only=False)
+            new[1:] |= v[1:] != v[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        pos = np.arange(s.num_rows) - starts[seg]
+        return s.filter(pa.array(pos < k))
 
-    def final_top(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(by, ascending=asc).head(k)
+    def final_top(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g
+        return g.take(pc.sort_indices(g, sort_keys=order_keys)).slice(0, k)
 
     return (
-        ds.map_batches(local_top, batch_format="pandas")
+        ds.map_batches(local_top, batch_format="pyarrow")
         .groupby(group_cols)
-        .map_groups(final_top, batch_format="pandas")
+        .map_groups(final_top, batch_format="pyarrow")
     )

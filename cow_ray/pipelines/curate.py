@@ -5,9 +5,10 @@ table — the shape a 100-TB pretraining-corpus job runs per shard.
 Every stage is a streaming ``map_batches`` except the two keyed
 exchanges, both bounded:
 
-* exact dedup groups by content fingerprint AFTER a batch-local
-  keep-min prune, so the shuffle carries one row per distinct
-  fingerprint per block;
+* exact dedup hash-partitions on the content fingerprint AFTER a
+  batch-local keep-min prune (one row per distinct fingerprint per
+  block crosses the wire), then one vectorized keep-min pass per
+  partition — partition-level, never per-key ``map_groups``;
 * near-dup removal reuses :mod:`cow_ray.ops.dedup` (MinHash → banded
   LSH bucket groupby → exact-Jaccard verification), then clusters the
   verified pairs transitively and keeps the lowest id per component —
@@ -59,7 +60,6 @@ def curate_corpus(
     the same semantics as :func:`cow_ray.ops.textstats.quality_scores`
     (floor-ppm discipline, so the DuckDB oracle reproduces membership
     bit-identically)."""
-    import pandas as pd
 
     def gate(batch: pa.Table) -> pa.Table:
         t = pc.fill_null(batch[text_col], "")
@@ -84,27 +84,46 @@ def curate_corpus(
     out = ds.map_batches(gate, batch_format="pyarrow")
 
     if dedup_exact:
-        def fingerprint(batch: pa.Table) -> pa.Table:
+        from ..stages.canonicalize import hash_mod
+
+        def keep_min_per_fp(t: pa.Table) -> pa.Table:
+            # vectorized "min id per fingerprint": sort by (__fp, id),
+            # keep the first row of each __fp run — one Arrow sort +
+            # one numpy run-boundary scan, no per-key Python
+            if t.num_rows == 0:
+                return t
+            idx = pc.sort_indices(
+                t, sort_keys=[("__fp", "ascending"), (id_col, "ascending")]
+            )
+            s = t.take(idx)
+            fp = s["__fp"].to_numpy(zero_copy_only=False)
+            first = np.r_[True, fp[1:] != fp[:-1]]
+            return s.filter(pa.array(first))
+
+        def fingerprint_and_prune(batch: pa.Table) -> pa.Table:
+            # md5 hex is the deliberate cross-engine contract (DuckDB
+            # md5() reproduces membership bit-identically)
             fps = [
                 hashlib.md5((v or "").encode("utf-8")).hexdigest()
                 for v in batch[text_col].to_pylist()
             ]
-            return batch.append_column("__fp", pa.array(fps,
-                                                        type=pa.string()))
+            t = batch.append_column("__fp", pa.array(fps, type=pa.string()))
+            t = keep_min_per_fp(t)  # batch-local prune before the shuffle
+            return t.append_column("__part", hash_mod(t["__fp"], 64))
 
-        def local_keep(df: pd.DataFrame) -> pd.DataFrame:
-            return df.sort_values(id_col).drop_duplicates("__fp",
-                                                          keep="first")
-
-        def global_keep(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values(id_col).head(1)
+        def part_keep(g: pa.Table) -> pa.Table:
+            # whole hash partition at once (the q_events_first pattern —
+            # round-3 verdict #1: a per-fingerprint map_groups here runs
+            # one Python call per DISTINCT fp, ~100 µs each → hours at
+            # billions of fingerprints)
+            if g.num_rows == 0:
+                return g.drop_columns(["__fp", "__part"])
+            return keep_min_per_fp(g).drop_columns(["__fp", "__part"])
 
         out = (
-            out.map_batches(fingerprint, batch_format="pyarrow")
-            .map_batches(local_keep, batch_format="pandas")
-            .groupby("__fp")
-            .map_groups(global_keep, batch_format="pandas")
-            .drop_columns(["__fp"])
+            out.map_batches(fingerprint_and_prune, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(part_keep, batch_format="pyarrow")
         )
 
     if near_dup:

@@ -1159,38 +1159,30 @@ def q_events_first(sf_dir: str):
     """Min-by with a map-side partial reduce: each batch keeps one row
     per (user_id, event_type) before the shuffle, so the exchange
     carries ≈ keys×blocks rows instead of every event.  min-by is
-    associative — local winner then global winner is the global min."""
-    import pandas as pd
-
+    associative — local winner then global winner is the global min.
+    Pure Arrow end to end (``first_per_key``: one sort + run-boundary
+    mask per batch/partition)."""
     ds = _read(sf_dir, "events",
                columns=["user_id", "event_type", "event_id", "ts"])
 
-    from ..stages.canonicalize import content_key, hash_mod
+    from ..stages.canonicalize import content_key, first_per_key, hash_mod
 
-    def local_first(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.sort_values(["ts", "event_id"]).drop_duplicates(
-            ["user_id", "event_type"], keep="first"
-        )
-        t = pa.Table.from_pandas(out, preserve_index=False)
-        return t.append_column(
-            "__part",
-            hash_mod(content_key(t, ["user_id", "event_type"]), 16),
-        ).to_pandas()
+    KEYS = ["user_id", "event_type"]
+    ORDER = [("ts", "ascending"), ("event_id", "ascending")]
 
-    def first_part(g: pd.DataFrame) -> pd.DataFrame:
-        # whole hash partition: one sort, keep the first row per key
-        # (C-speed drop_duplicates), instead of one Python call per
-        # (user, event_type) group
-        return (
-            g.sort_values(["ts", "event_id"], kind="stable")
-            .drop_duplicates(["user_id", "event_type"], keep="first")
-            .drop(columns=["__part"])
-        )
+    def local_first(batch: pa.Table) -> pa.Table:
+        t = first_per_key(batch, KEYS, ORDER)
+        return t.append_column("__part", hash_mod(content_key(t, KEYS), 16))
+
+    def first_part(g: pa.Table) -> pa.Table:
+        # whole hash partition: one sort, first row per key — no
+        # per-key Python, no Arrow↔pandas round-trip
+        return first_per_key(g, KEYS, ORDER).drop_columns(["__part"])
 
     return (
-        ds.map_batches(local_first, batch_format="pandas")
+        ds.map_batches(local_first, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(first_part, batch_format="pandas")
+        .map_groups(first_part, batch_format="pyarrow")
     )
 
 
@@ -1555,14 +1547,11 @@ def q_events_sliding(sf_dir: str):
     the sorted group (searchsorted bounds + prefix sums — O(n log n)
     per key, no per-row rescan); value summed in exact integer cents
     (order-free).  Same partitioning contract as sessionize: one key's
-    history fits a worker."""
-    import pandas as pd
-
+    history fits a worker.  Pure Arrow per-partition merge."""
     from ..stages.canonicalize import hash_mod
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
                                           "value"])
-    W = pd.Timedelta(hours=2)
 
     def add_part(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1570,21 +1559,34 @@ def q_events_sliding(sf_dir: str):
                                        pa.array([], type=pa.int32()))
         return batch.append_column("__part", hash_mod(batch["user_id"], 16))
 
-    def window_part(g: pd.DataFrame) -> pd.DataFrame:
-        # whole partition: one sort, then the per-key two-pointer runs
-        # on slices (searchsorted stays within the key's block; prefix
-        # sums restart per block) — no per-key map_groups call
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        ts = g["ts"].to_numpy()
-        users = g["user_id"].to_numpy()
-        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
-        n = len(g)
+    def window_part(g: pa.Table) -> pa.Table:
+        # whole partition: one Arrow sort, then the per-key two-pointer
+        # runs on numpy slices (searchsorted stays within the key's
+        # block; prefix sums restart per block) — no per-key
+        # map_groups call, no pandas round-trip
+        if g.num_rows == 0:
+            return pa.table({
+                "event_id": pa.array([], type=g.schema.field("event_id").type),
+                "user_id": pa.array([], type=g.schema.field("user_id").type),
+                "ts": pa.array([], type=g.schema.field("ts").type),
+                "w_events": pa.array([], type=pa.int64()),
+                "w_value": pa.array([], type=pa.float64()),
+            })
+        g = g.take(pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]))
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            g["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        n = g.num_rows
         w_events = np.empty(n, dtype=np.int64)
         w_value4 = np.empty(n, dtype=np.int64)
         newu = np.r_[True, users[1:] != users[:-1]]
         starts = np.flatnonzero(newu)
         ends = np.r_[starts[1:], n]
-        wdelta = W.to_timedelta64()
+        wdelta = np.timedelta64(2, "h")
         for s, e in zip(starts, ends):
             t = ts[s:e]
             lo = np.searchsorted(t, t - wdelta, side="left")
@@ -1592,18 +1594,18 @@ def q_events_sliding(sf_dir: str):
             cum = np.concatenate([[0], np.cumsum(cents[s:e])])
             w_events[s:e] = hi - lo
             w_value4[s:e] = cum[hi] - cum[lo]
-        return pd.DataFrame({
-            "event_id": g["event_id"].to_numpy(),
-            "user_id": users,
-            "ts": ts,
-            "w_events": w_events,
-            "w_value": w_value4 / 100.0,
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "ts": g["ts"],
+            "w_events": pa.array(w_events),
+            "w_value": pa.array(w_value4 / 100.0),
         })
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(window_part, batch_format="pandas")
+        .map_groups(window_part, batch_format="pyarrow")
     )
 
 
@@ -1620,15 +1622,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 def q_events_sessionize(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): the stream-shaped
     op the reference cannot express.  Partition by user, sort by ts
-    within the group, cut sessions on gaps — `map_groups` over pandas
+    within the group, cut sessions on gaps — `map_groups` over Arrow
     (see /opt guide: Ray Data has no watermarks; bounded logs sessionize
     per key).  Output: one row per session."""
-    import pandas as pd
-
     from ..stages.canonicalize import hash_mod
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
-    GAP = pd.Timedelta(minutes=30)
 
     def add_part(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1636,25 +1635,45 @@ def q_events_sessionize(sf_dir: str):
                                        pa.array([], type=pa.int32()))
         return batch.append_column("__part", hash_mod(batch["user_id"], 16))
 
-    def sessionize_part(g: pd.DataFrame) -> pd.DataFrame:
-        # whole partition, ALL keys in one vectorized pass: sort by
-        # (user, ts, event_id); a session break is a user change OR a
-        # gap; cumsum labels sessions; one C-speed groupby finishes
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        brk = (g["user_id"] != g["user_id"].shift()) | (g["ts"].diff() > GAP)
-        out = g.groupby(brk.cumsum()).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "first"),
-            session_end=("ts", "last"),
-            n_events=("event_id", "count"),
-        )
-        out["n_events"] = out["n_events"].astype("int64")
-        return out.reset_index(drop=True)
+    def sessionize_part(g: pa.Table) -> pa.Table:
+        # whole partition, ALL keys in one vectorized pass: one Arrow
+        # sort by (user, ts, event_id); a session break is a user
+        # change OR a gap; run boundaries give session starts/ends —
+        # no pandas groupby round-trip
+        ts_type = g.schema.field("ts").type
+        uid_type = g.schema.field("user_id").type
+        if g.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=uid_type),
+                "session_start": pa.array([], type=ts_type),
+                "session_end": pa.array([], type=ts_type),
+                "n_events": pa.array([], type=pa.int64()),
+            })
+        g = g.take(pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]))
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        n = g.num_rows
+        brk = np.ones(n, dtype=bool)
+        gap = np.timedelta64(30, "m")
+        brk[1:] = (users[1:] != users[:-1]) | ((ts[1:] - ts[:-1]) > gap)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], n]
+        uid_col = g["user_id"]
+        if isinstance(uid_col, pa.ChunkedArray):
+            uid_col = uid_col.combine_chunks()
+        return pa.table({
+            "user_id": pc.take(uid_col, pa.array(starts)),
+            "session_start": pa.array(ts[starts]).cast(ts_type),
+            "session_end": pa.array(ts[ends - 1]).cast(ts_type),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+        })
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(sessionize_part, batch_format="pandas")
+        .map_groups(sessionize_part, batch_format="pyarrow")
     )
 
 

@@ -53,6 +53,26 @@ def content_key(table: pa.Table, cols: list[str]) -> pa.Array:
     return pc.binary_join_element_wise(*parts, KEY_SEP)
 
 
+def first_per_key(table: pa.Table, key_cols: list[str],
+                  order_keys: list[tuple]) -> pa.Table:
+    """Vectorized "first row per key after ordering" (min-by): ONE
+    Arrow sort by (key_cols..., order_keys...) then a numpy
+    run-boundary mask — the pure-Arrow replacement for the
+    sort_values + drop_duplicates pandas round-trip (round-3 verdict
+    #4).  Works per batch (map-side partial) and per hash partition
+    (global merge) identically because min-by is associative."""
+    if table.num_rows == 0:
+        return table
+    sk = [(c, "ascending") for c in key_cols] + list(order_keys)
+    s = table.take(pc.sort_indices(table, sort_keys=sk))
+    new = np.zeros(s.num_rows, dtype=bool)
+    new[0] = True
+    for c in key_cols:
+        v = s[c].to_numpy(zero_copy_only=False)
+        new[1:] |= v[1:] != v[:-1]
+    return s.filter(pa.array(new))
+
+
 def hash_mod(arr: pa.Array | pa.ChunkedArray, mod: int, seed: int = 0) -> pa.Array:
     """Stable vectorized 64-bit hash (polars) modulo ``mod`` →
     int32 partition ids.  Deterministic across processes/runs for a
