@@ -194,6 +194,43 @@ def minhash_stage_walls(sf_dir: str) -> dict[str, float]:
     return walls
 
 
+def simhash_stage_walls(sf_dir: str) -> dict[str, float]:
+    """Per-stage walls for the simhash family (signature / band-emit /
+    partition pair+verify / pair-distinct) — round-3 verdict: the
+    0.55→1.04 s dedup_simhash_docs reading needed to be
+    self-diagnosing like minhash's."""
+    import ray.data
+
+    from cow_ray.ops.dedup import (SimHasher, pair_distinct,
+                                   simhash_band_emitter,
+                                   simhash_part_pairs)
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), override_num_blocks=16
+    )
+    walls: dict[str, float] = {}
+    t0 = time.time()
+    sigs = docs.map_batches(
+        SimHasher(), batch_format="pyarrow"
+    ).select_columns(["doc_id", "simhash"]).materialize()
+    walls["signature"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    bands = sigs.map_batches(
+        simhash_band_emitter(3, 16), batch_format="pyarrow"
+    ).materialize()
+    walls["band_emit"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    cand = bands.groupby("__part").map_groups(
+        simhash_part_pairs(3, 1000), batch_format="pyarrow"
+    ).materialize()
+    walls["bucket_pairs"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n = pair_distinct(cand.drop_columns(["hamming"]), num_parts=16).count()
+    walls["pair_distinct"] = round(time.time() - t0, 3)
+    walls["n_pairs"] = n
+    return walls
+
+
 def bench_once(headline_only: bool = False) -> dict:
     import ray
 
@@ -247,7 +284,8 @@ def bench_once(headline_only: bool = False) -> dict:
     all_secs = [round(r["sec"], 3) for r in runs]
     queries = {} if headline_only else run_queries(SF_DIR)
     stages = {} if headline_only else {
-        "dedup_minhash": minhash_stage_walls(SF_DIR)
+        "dedup_minhash": minhash_stage_walls(SF_DIR),
+        "dedup_simhash": simhash_stage_walls(SF_DIR),
     }
 
     result = {

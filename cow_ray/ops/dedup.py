@@ -729,12 +729,51 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
     Same scale shape as :func:`minhash_lsh_candidates`: two keyed
     exchanges on small int keys, vectorized partition kernels, bucket
     cap on degenerate identical-signature clusters."""
+    sigs = ds.map_batches(SimHasher(text_col), batch_format="pyarrow")
+    cand = sigs.map_batches(
+        simhash_band_emitter(max_hamming, num_parts, id_col),
+        batch_format="pyarrow",
+    ).groupby("__part").map_groups(
+        simhash_part_pairs(max_hamming, bucket_cap, id_col),
+        batch_format="pyarrow",
+    )
+
+    # global distinct (a pair can agree on bands in different parts)
+    from ..ops.graph import _hash_part
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__p2", pa.array([], type=pa.int32()))
+        key = (batch["id_a"].to_numpy(zero_copy_only=False)
+               * np.int64(0x9E3779B1)
+               + batch["id_b"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "__p2", pa.array(_hash_part(key, num_parts))
+        )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        return (
+            group.drop_columns(["__p2"])
+            .group_by(["id_a", "id_b"], use_threads=False)
+            .aggregate([("hamming", "min"), ("capped", "max")])
+            .select(["id_a", "id_b", "hamming_min", "capped_max"])
+            .rename_columns(["id_a", "id_b", "hamming", "capped"])
+        )
+
+    return cand.map_batches(prep, batch_format="pyarrow").groupby(
+        "__p2"
+    ).map_groups(per_part, batch_format="pyarrow")
+
+
+def simhash_band_emitter(max_hamming: int, num_parts: int,
+                         id_col: str = "doc_id"):
+    """Module-level factory (bench times each stage separately): maps
+    a (id, simhash) batch to one row per (band, band_value) keyed on a
+    hash partition — the pigeonhole banding exchange."""
     n_bands = max_hamming + 1
     if n_bands > 64:
         raise ValueError("max_hamming must be < 64")
     width = 64 // n_bands
-
-    sigs = ds.map_batches(SimHasher(text_col), batch_format="pyarrow")
 
     def emit_bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -771,6 +810,13 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
              "sig": pa.array(np.repeat(sv, n_bands))}
         )
 
+    return emit_bands
+
+
+def simhash_part_pairs(max_hamming: int, bucket_cap: int = 1000,
+                       id_col: str = "doc_id"):
+    """Module-level factory: per-partition pair emission + SWAR
+    popcount verification for the simhash banding exchange."""
     out_schema = pa.schema(
         [("id_a", pa.int64()), ("id_b", pa.int64()),
          ("hamming", pa.int64()), ("capped", pa.int32())]
@@ -823,34 +869,4 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
             .rename_columns(["id_a", "id_b", "hamming", "capped"])
         )
 
-    cand = sigs.map_batches(emit_bands, batch_format="pyarrow").groupby(
-        "__part"
-    ).map_groups(part_pairs, batch_format="pyarrow")
-
-    # global distinct (a pair can agree on bands in different parts)
-    from ..ops.graph import _hash_part
-
-    def prep(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("__p2", pa.array([], type=pa.int32()))
-        key = (batch["id_a"].to_numpy(zero_copy_only=False)
-               * np.int64(0x9E3779B1)
-               + batch["id_b"].to_numpy(zero_copy_only=False))
-        return batch.append_column(
-            "__p2", pa.array(_hash_part(key, num_parts))
-        )
-
-    def per_part(group: pa.Table) -> pa.Table:
-        return (
-            group.drop_columns(["__p2"])
-            .group_by(["id_a", "id_b"], use_threads=False)
-            .aggregate([("hamming", "min"), ("capped", "max")])
-            .select(["id_a", "id_b", "hamming_min", "capped_max"])
-            .rename_columns(["id_a", "id_b", "hamming", "capped"])
-        )
-
-    return (
-        cand.map_batches(prep, batch_format="pyarrow")
-        .groupby("__p2")
-        .map_groups(per_part, batch_format="pyarrow")
-    )
+    return part_pairs

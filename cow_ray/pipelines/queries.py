@@ -1582,7 +1582,7 @@ def q_events_sliding(sf_dir: str):
         ).astype(np.int64)
         n = g.num_rows
         w_events = np.empty(n, dtype=np.int64)
-        w_value4 = np.empty(n, dtype=np.int64)
+        w_cents = np.empty(n, dtype=np.int64)
         newu = np.r_[True, users[1:] != users[:-1]]
         starts = np.flatnonzero(newu)
         ends = np.r_[starts[1:], n]
@@ -1593,13 +1593,13 @@ def q_events_sliding(sf_dir: str):
             hi = np.searchsorted(t, t, side="right")
             cum = np.concatenate([[0], np.cumsum(cents[s:e])])
             w_events[s:e] = hi - lo
-            w_value4[s:e] = cum[hi] - cum[lo]
+            w_cents[s:e] = cum[hi] - cum[lo]
         return pa.table({
             "event_id": g["event_id"],
             "user_id": g["user_id"],
             "ts": g["ts"],
             "w_events": pa.array(w_events),
-            "w_value": pa.array(w_value4 / 100.0),
+            "w_value": pa.array(w_cents / 100.0),
         })
 
     return (

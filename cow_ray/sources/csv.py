@@ -145,18 +145,27 @@ def _coherence(enc: str, text: str) -> float:
 # cross-CJK inputs can still misdetect — chardet-grade language models
 # are out of scope; the detected name is reported for override.
 
-_CJK_CANDIDATES = ("shift_jis", "euc_kr", "gb2312")
+_CJK_CANDIDATES = ("shift_jis", "euc_jp", "euc_kr", "gb2312", "big5")
+_JP_BLOCKS = ((0x3040, 0x30FF), (0x4E00, 0x9FFF), (0xFF61, 0xFF9F),
+              (0x3000, 0x303F))
 _CJK_BLOCKS = {
-    "shift_jis": ((0x3040, 0x30FF), (0x4E00, 0x9FFF), (0xFF61, 0xFF9F),
-                  (0x3000, 0x303F)),
+    "shift_jis": _JP_BLOCKS,
+    "euc_jp": _JP_BLOCKS,
     "euc_kr": ((0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x4E00, 0x9FFF),
                (0x3000, 0x303F)),
     "gb2312": ((0x4E00, 0x9FFF), (0x3000, 0x303F), (0xFF00, 0xFF65)),
+    # traditional Chinese: CJK unified + compatibility punctuation
+    "big5": ((0x4E00, 0x9FFF), (0x3000, 0x303F), (0xFF00, 0xFF65)),
 }
+_JP_COMMON = set("のにはをたがでてとしれさあるいうんます年月日本語今")
 _CJK_COMMON = {
-    "shift_jis": set("のにはをたがでてとしれさあるいうんます年月日本語今"),
+    "shift_jis": _JP_COMMON,
+    "euc_jp": _JP_COMMON,
     "euc_kr": set("이다의는을를에가하고지서도로는한국어입니년월일"),
     "gb2312": set("的一是不了人我在有他这中大来上国年月日文本天"),
+    # same frequency idea in TRADITIONAL forms (這/來/國 vs 这/来/国)
+    # — this asymmetry is what breaks the gb2312-vs-big5 tie
+    "big5": set("的一是不了人我在有他這中大來上國年月日文本天"),
 }
 
 
@@ -174,15 +183,48 @@ def _high_runs_mostly_even(head: bytes, max_scan: int = 1 << 16) -> bool:
     return (lens % 2 == 0).mean() >= 0.75
 
 
+def _byte_gates(head: bytes, max_scan: int = 1 << 16) -> tuple[float, float]:
+    """Cheap byte-level preconditions so non-CJK files never pay a full
+    decode+score pass (ADVICE r3: Cyrillic/Greek files paid a 1 MB
+    shift_jis decode per detection):
+
+    * ``sjis_lead`` — fraction of high bytes in 0x81-0x9F, the
+      Shift-JIS lead-byte range that single-byte Cyrillic/Greek text
+      barely touches (cp1251/koi8/iso-8859-7 letters live ≥ 0xB0);
+    * ``mixed_trail`` — fraction of high bytes immediately followed by
+      an ASCII 0x40-0x7E byte: Big5/Shift-JIS trail bytes reach into
+      ASCII mid-word, while Cyrillic words are unbroken high-byte runs.
+    """
+    import numpy as np
+
+    arr = np.frombuffer(head[:max_scan], dtype=np.uint8)
+    hi = arr >= 0x80
+    n_hi = int(hi.sum())
+    if n_hi < 20:
+        return 0.0, 0.0
+    sjis_lead = float(((arr >= 0x81) & (arr <= 0x9F)).sum()) / n_hi
+    nxt_ascii = np.zeros(arr.size, dtype=bool)
+    nxt_ascii[:-1] = (arr[1:] >= 0x40) & (arr[1:] <= 0x7E)
+    mixed_trail = float((hi & nxt_ascii).sum()) / n_hi
+    return sjis_lead, mixed_trail
+
+
 def _cjk_detect(head: bytes) -> str | None:
     # EUC-family pairs are both-high → the even-run gate applies;
-    # Shift-JIS trail bytes reach into ASCII (0x40-0x7E) and break the
-    # run structure, so its guard is kana presence instead (real
-    # Japanese text is kana-dense; mojibake from a wrong guess is not)
+    # Shift-JIS / Big5 trail bytes reach into ASCII (0x40-0x7E) and
+    # break the run structure, so their gates are byte-level
+    # (lead-range / mixed-trail fractions) plus, for the Japanese
+    # candidates, kana presence (real Japanese text is kana-dense;
+    # mojibake from a wrong guess is not)
     even_runs = _high_runs_mostly_even(head)
+    sjis_lead, mixed_trail = _byte_gates(head)
     best, best_score = None, 0.0
     for enc in _CJK_CANDIDATES:
-        if enc in ("euc_kr", "gb2312") and not even_runs:
+        if enc in ("euc_jp", "euc_kr", "gb2312") and not even_runs:
+            continue
+        if enc == "shift_jis" and sjis_lead < 0.05:
+            continue
+        if enc == "big5" and mixed_trail < 0.05 and not even_runs:
             continue
         try:
             text = head.decode(enc)
@@ -211,7 +253,7 @@ def _cjk_detect(head: bytes) -> str | None:
             continue
         if in_blk / non_ascii < 0.7:
             continue
-        if enc == "shift_jis" and kana < max(3, in_blk * 0.15):
+        if enc in ("shift_jis", "euc_jp") and kana < max(3, in_blk * 0.15):
             continue
         score = in_blk + 4 * common - 3 * (non_ascii - in_blk)
         if score > best_score:

@@ -216,6 +216,17 @@ def canonicalize_surface_forms(
     def per_part(group: pa.Table) -> pa.Table:
         import numpy as np
 
+        if group.num_rows == 0:
+            # same guard as every other map_groups UDF in the repo —
+            # empty groups currently never reach the UDF, but a 0-row
+            # table would make the starts=[0] take() below raise
+            empty = group.drop_columns(["__part"]).select(
+                ["surface_key", entity_col]
+            )
+            return empty.append_column(
+                "n", pa.array([], type=pa.int64())
+            ).append_column("n_total", pa.array([], type=pa.int64()))
+
         agg = (
             group.drop_columns(["__part"])
             .group_by(["surface_key", entity_col], use_threads=False)

@@ -445,6 +445,12 @@ class TestEncodingDetection:
                   "2,сегодня хорошая погода в москве\n",
         "cp1251": "id,text\n1,русский текст про погоду и море\n"
                   "2,сегодня хорошая погода в москве\n",
+        # round-4: Big5 (traditional forms 這/來/國 break the gb2312
+        # tie) and EUC-JP (kana-dense; even-run EUC structure)
+        "big5": "id,text\n1,這是一個中文文本。今天天氣很好。\n"
+                "2,我們在台北工作。中國的年月日。他來了,大家都在。\n",
+        "euc_jp": "id,text\n1,日本語のテキストです。今日は天気がいい"
+                  "ですね。\n2,東京で働いています。日本の年月日。\n",
     }
 
     def test_families_detected(self, tmp_path):
