@@ -1,12 +1,14 @@
 """Multimodal column plumbing: images / audio / video as opaque
 ``binary`` columns with typed metadata.
 
-The container has no image/audio codecs (no PIL/ffmpeg), so the decode
-kernels are **stubs by contract** (BASELINE instructions): the
-Ray-side plumbing — schemas, actor-pool signatures, batch sizing,
-output layout — is real and tested with the deterministic fake codec;
-swapping in a real decoder is a one-method change
-(``_decode_impl``).
+The container has no entropy-coded codecs (no PIL/ffmpeg).  Round 4:
+self-describing uncompressed formats (BMP, PPM, WAV) decode through
+REAL pure-numpy codecs (:mod:`cow_ray.ops.codecs`), dispatched by
+magic bytes; JPEG/PNG/MP3-class payloads remain **stubs by contract**
+(BASELINE instructions) behind the deterministic fake codec /
+``FakeCodecError``.  The Ray-side plumbing — schemas, actor-pool
+signatures, batch sizing, output layout — is identical on both paths;
+swapping in PIL/ffmpeg is a one-method change (``_decode_impl``).
 
 Conventions:
 
@@ -54,10 +56,16 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
 class DecodeImage:
     """Actor-pool UDF: payload → decoded pixels → mean-pool feature
-    vector (``list<float>``, length 3*grid*grid).  ``use_fake_codec``
-    keeps the stage runnable in codec-less environments; with it off,
-    the stage raises ``NotImplementedError`` at the decode call — the
-    documented stub."""
+    vector (``list<float>``, length 3*grid*grid) + decoded
+    ``dec_width``/``dec_height`` columns.
+
+    Decode path (round-4): payloads whose magic bytes identify a
+    self-describing uncompressed format (BMP, PPM) go through the REAL
+    pure-numpy codecs in :mod:`cow_ray.ops.codecs` — no PIL needed.
+    Anything else falls back to the deterministic fake codec when
+    ``use_fake_codec`` is on, and raises the documented
+    ``FakeCodecError`` otherwise (JPEG/PNG need entropy coders this
+    environment doesn't ship)."""
 
     def __init__(self, grid: int = 4, use_fake_codec: bool = True,
                  payload_col: str = "payload"):
@@ -66,10 +74,18 @@ class DecodeImage:
         self.payload_col = payload_col
 
     def _decode_impl(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        from .codecs import decode_bmp, decode_ppm, sniff_media
+
+        kind = sniff_media(payload or b"")
+        if kind == "bmp":
+            return decode_bmp(payload)
+        if kind == "ppm":
+            return decode_ppm(payload)
         if self.use_fake_codec:
             return _fake_decode_image(payload, width, height)
         raise FakeCodecError(
-            "no image codec in this environment; construct with "
+            "payload is not BMP/PPM and no entropy-coded image codec "
+            "exists in this environment; construct with "
             "use_fake_codec=True or plug a real decoder into _decode_impl"
         )
 
@@ -86,7 +102,7 @@ class DecodeImage:
         return (out / 255.0).reshape(-1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+        feats, dw, dh = [], [], []
         for payload, w, h in zip(
             batch[self.payload_col].to_pylist(),
             batch["width"].to_pylist(),
@@ -94,9 +110,15 @@ class DecodeImage:
         ):
             img = self._decode_impl(payload, w, h)
             feats.append(self._features(img).tolist())
+            dh.append(img.shape[0])
+            dw.append(img.shape[1])
         batch = batch.drop_columns([self.payload_col])  # bytes stop here
-        return batch.append_column(
-            "features", pa.array(feats, type=pa.list_(pa.float64()))
+        return (
+            batch.append_column(
+                "features", pa.array(feats, type=pa.list_(pa.float64()))
+            )
+            .append_column("dec_width", pa.array(dw, type=pa.int32()))
+            .append_column("dec_height", pa.array(dh, type=pa.int32()))
         )
 
 
@@ -184,29 +206,48 @@ class DecodeAudio:
         self.use_fake_codec = use_fake_codec
         self.payload_col = payload_col
 
-    def _decode_impl(self, payload: bytes, n_samples: int) -> np.ndarray:
+    def _decode_impl(self, payload: bytes,
+                     n_samples: int) -> tuple[np.ndarray, int | None]:
+        """→ (pcm, sample_rate_from_payload_or_None).  RIFF/WAVE
+        payloads decode through the REAL pure-numpy codec (round-4,
+        :mod:`cow_ray.ops.codecs`); everything else uses the fake
+        codec (metadata sample rate) or raises the documented error."""
+        from .codecs import decode_wav, sniff_media
+
+        if sniff_media(payload or b"") == "wav":
+            pcm, rate = decode_wav(payload)
+            return pcm, rate
         if self.use_fake_codec:
-            return _fake_decode_audio(payload, n_samples)
+            return _fake_decode_audio(payload, n_samples), None
         raise FakeCodecError(
-            "no audio codec in this environment; subclass DecodeAudio "
-            "and override _decode_impl with soundfile/ffmpeg"
+            "payload is not WAV and no compressed-audio codec exists "
+            "in this environment; subclass DecodeAudio and override "
+            "_decode_impl with soundfile/ffmpeg"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+        feats, dec_sr, dec_dur = [], [], []
         for payload, sr, n in zip(
             batch[self.payload_col].to_pylist(),
             batch["sample_rate"].to_pylist(),
             batch["n_samples"].to_pylist(),
         ):
-            pcm = self._decode_impl(payload, int(n or 0))
+            pcm, rate = self._decode_impl(payload, int(n or 0))
+            rate = int(rate or sr or 16000)
             feats.append(
-                spectral_features(pcm, int(sr or 16000),
-                                  self.n_bands).tolist()
+                spectral_features(pcm, rate, self.n_bands).tolist()
             )
+            dec_sr.append(rate)
+            dec_dur.append(len(pcm) / rate if rate else 0.0)
         batch = batch.drop_columns([self.payload_col])  # bytes stop here
-        return batch.append_column(
-            "features", pa.array(feats, type=pa.list_(pa.float64()))
+        return (
+            batch.append_column(
+                "features", pa.array(feats, type=pa.list_(pa.float64()))
+            )
+            .append_column("dec_sample_rate", pa.array(dec_sr,
+                                                       type=pa.int32()))
+            .append_column("dec_duration_s", pa.array(dec_dur,
+                                                      type=pa.float64()))
         )
 
 
