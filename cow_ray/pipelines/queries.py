@@ -128,6 +128,39 @@ def _read(sf_dir: str, table: str, columns=None):
     )
 
 
+def _tiny_rollup(partials, keys: list[str], sum_cols: list[str],
+                 out_names: list[str] | None = None):
+    """Final merge for grouped sums whose KEY CARDINALITY IS BOUNDED
+    (return flags, nations, bands, languages, months — never
+    data-sized).  The map side has already combined per batch, so what
+    remains is ``distinct_keys × num_blocks`` partial rows (KBs).
+    Ray's sort-based ``groupby().aggregate()`` would still pay its
+    full all-to-all fixed cost (~2-4 s measured at any input size);
+    coalescing the partials into ONE block and merging with a single
+    vectorized Arrow ``group_by`` costs ~0.2 s.  At 100 TB the shape
+    is unchanged: the coalesced table stays keys×blocks rows.
+
+    Only exact-in-any-order sums belong here: integers, or floats
+    whose per-batch partials are integer-valued (e.g. TPC-H
+    quantities) — the coalesced row order varies run to run.
+    """
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        agg = batch.group_by(keys, use_threads=False).aggregate(
+            [(c, "sum") for c in sum_cols])
+        # select by NAME before renaming: pyarrow has moved key-vs-
+        # aggregate column ordering across versions
+        agg = agg.select(keys + [f"{c}_sum" for c in sum_cols])
+        return agg.rename_columns(keys + list(out_names or sum_cols))
+
+    # batch_size=None: the merge must see the whole coalesced block as
+    # ONE batch — a split batch would emit duplicate key rows
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None)
+
+
 # ------------------------------------------------------------ KG queries
 
 
@@ -358,13 +391,28 @@ SELECT doc_id,
 
 
 def q_lang_hist(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    def partial(batch: pa.Table) -> pa.Table:
+        # map-side combine: langs × blocks partial rows, not every doc
+        t = pa.table({
+            "lang": batch["lang"],
+            "n_chars": batch["n_chars"],
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        agg = t.group_by(["lang"], use_threads=False).aggregate(
+            [("n", "sum"), ("n_chars", "sum")])
+        return agg.select(["lang", "n_sum", "n_chars_sum"]).rename_columns(
+            ["lang", "n", "n_chars"])
 
-    return (
-        _docs(sf_dir)
-        .groupby("lang")
-        .aggregate(Count(alias_name="n_docs"),
-                   Sum("n_chars", alias_name="total_chars"))
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "n_chars"],  # prune at the read
+    )
+    return _tiny_rollup(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        keys=["lang"], sum_cols=["n", "n_chars"],
+        out_names=["n_docs", "total_chars"],
     )
 
 
@@ -866,53 +914,59 @@ def q_ann_ivf_pq_topk(sf_dir: str):
 
 
 def q_q1_pricing_summary(sf_dir: str):
-    from ray.data.aggregate import Count, Mean, Sum
-
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
                         "l_extendedprice", "l_discount"])
 
-    def revenue(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         # exact integer money units (price is 2-decimal, discount
         # 2-decimal → the product is exact in 10^-4 units): integer
         # sums are accumulation-order-free, so the hash is stable
         # across block orders — a float64 sum of the products was
-        # observed flaky on the equivalent join query
+        # observed flaky on the equivalent join query.  l_quantity is
+        # integer-valued (TPC-H 1..50) so its float64 sum is exact too.
+        # Map-side combine: 4 keys × blocks partial rows leave the task.
         e = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         d = batch["l_discount"].to_numpy(zero_copy_only=False)
         base_c = np.rint(e * 100.0).astype(np.int64)
         disc4 = base_c * np.rint((1.0 - d) * 100.0).astype(np.int64)
-        return pa.table({
+        t = pa.table({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
-            "l_quantity": batch["l_quantity"],
+            "qty": batch["l_quantity"],
             "base_c": pa.array(base_c),
             "disc4": pa.array(disc4),
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
         })
+        agg = t.group_by(["l_returnflag", "l_linestatus"],
+                         use_threads=False).aggregate(
+            [("qty", "sum"), ("base_c", "sum"), ("disc4", "sum"),
+             ("n", "sum")])
+        return agg.select(
+            ["l_returnflag", "l_linestatus", "qty_sum", "base_c_sum",
+             "disc4_sum", "n_sum"]
+        ).rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "base_c", "disc4", "n"])
 
-    out = (
-        ds.map_batches(revenue, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("base_c", alias_name="base_c"),
-            Sum("disc4", alias_name="disc4"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
-        )
+    out = _tiny_rollup(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols=["qty", "base_c", "disc4", "n"],
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
-            "sum_qty": batch["sum_qty"],
+            "sum_qty": batch["qty"],
             "sum_base": pc.divide(pc.cast(batch["base_c"], pa.float64()),
                                   pa.scalar(100.0)),
             "sum_disc_price": pc.divide(pc.cast(batch["disc4"], pa.float64()),
                                         pa.scalar(10000.0)),
-            "avg_qty": batch["avg_qty"],
-            "count_order": batch["count_order"],
+            # sum/count is the same one IEEE division DuckDB performs
+            "avg_qty": pc.divide(batch["qty"],
+                                 pc.cast(batch["n"], pa.float64())),
+            "count_order": batch["n"],
         })
 
     return out.map_batches(finalize, batch_format="pyarrow")
@@ -997,7 +1051,6 @@ def q_orders_by_nation(sf_dir: str):
     is built on the driver and shipped once via ray.put; the orders fact
     table never shuffles."""
     import ray
-    from ray.data.aggregate import Sum
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_nationkey"])
@@ -1065,12 +1118,11 @@ def q_orders_by_nation(sf_dir: str):
         return agg.select(["nation", "count_all", "cents_sum"]
                           ).rename_columns(["nation", "n", "cents"])
 
-    out = (
+    out = _tiny_rollup(
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow", concurrency=2)
-        .groupby("nation")
-        .aggregate(Sum("n", alias_name="n_orders"),
-                   Sum("cents", alias_name="cents"))
+        .map_batches(partial, batch_format="pyarrow", concurrency=2),
+        keys=["nation"], sum_cols=["n", "cents"],
+        out_names=["n_orders", "cents"],
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -1270,8 +1322,6 @@ def _partitioned_join_rollup(li, orders, num_parts: int = 16):
     combine the native join can't do.  ``COW_RAY_JOIN_STRATEGY=native``
     keeps the native path exercisable.
     """
-    from ray.data.aggregate import Sum
-
     from ..ops.graph import _hash_part
 
     staged_schema = pa.schema(
@@ -1363,16 +1413,40 @@ def _partitioned_join_rollup(li, orders, num_parts: int = 16):
 
     partials = staged.groupby("__part").map_groups(
         per_part, batch_format="pyarrow")
-    agg = partials.groupby("month").aggregate(
-        Sum("revenue4", alias_name="revenue4"), Sum("n", alias_name="n_items"))
 
-    def month_back(batch: pa.Table) -> pa.Table:
-        # int64 µs → the same timestamp[us] the native path emits
-        return batch.set_column(
-            batch.column_names.index("month"), "month",
-            batch["month"].cast(pa.timestamp("us")))
+    final_schema = pa.schema(
+        [("month", pa.timestamp("us")), ("revenue4", pa.int64()),
+         ("n_items", pa.int64())]
+    )
 
-    return agg.map_batches(month_back, batch_format="pyarrow")
+    def month_merge(batch: pa.Table) -> pa.Table:
+        # final cross-partition merge.  Input is bounded by
+        # num_parts × distinct months (16×84 here; P×months at any
+        # scale — KBs, never data-sized), so ONE coalesced block +
+        # a vectorized regroup replaces a whole sort-aggregate
+        # exchange (Ray's second all-to-all was ~2-4 s of fixed cost
+        # for ~1.3k rows of work).
+        if batch.num_rows == 0:
+            return final_schema.empty_table()
+        m = batch["month"].to_numpy(zero_copy_only=False)
+        o = np.argsort(m, kind="stable")
+        ms = m[o]
+        starts = np.flatnonzero(np.r_[True, ms[1:] != ms[:-1]])
+        return pa.table(
+            {
+                # int64 µs → the same timestamp[us] the native path emits
+                "month": pa.array(ms[starts]).cast(pa.timestamp("us")),
+                "revenue4": pa.array(np.add.reduceat(
+                    batch["revenue4"].to_numpy(zero_copy_only=False)[o], starts)),
+                "n_items": pa.array(np.add.reduceat(
+                    batch["n"].to_numpy(zero_copy_only=False)[o], starts)),
+            }
+        )
+
+    # batch_size=None: the merge must see the whole coalesced block as
+    # ONE batch — a split batch would emit duplicate month rows
+    return partials.repartition(1).map_batches(
+        month_merge, batch_format="pyarrow", batch_size=None)
 
 
 def q_lineitem_orders_join(sf_dir: str):
@@ -1478,8 +1552,6 @@ def q_lineitem_qty_bands(sf_dir: str):
     a broadcast interval table + per-batch binary search (the fact
     table never shuffles), then a banded rollup with a map-side
     combiner."""
-    from ray.data.aggregate import Sum
-
     from ..ops.interval import interval_join
 
     ds = interval_join(
@@ -1495,10 +1567,9 @@ def q_lineitem_qty_bands(sf_dir: str):
         return agg.select(["band", "count_all"]).rename_columns(
             ["band", "n"])
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("band")
-        .aggregate(Sum("n", alias_name="n_items"))
+    return _tiny_rollup(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["band"], sum_cols=["n"], out_names=["n_items"],
     )
 
 
