@@ -442,26 +442,190 @@ def verify_candidates(cand_ds, docs_by_id: dict[int, str], threshold: float = 0.
 def verify_candidates_distributed(cand_ds, docs_ds, threshold: float = 0.8,
                                   k: int = 5, id_col: str = "doc_id",
                                   text_col: str = "text",
-                                  num_parts: int = 16):
+                                  num_parts: int = 16,
+                                  strategy: str = "auto",
+                                  max_bcast_pairs: int = 4_000_000):
     """Distributed exact-Jaccard verification of candidate pairs —
-    the no-broadcast path for candidate sets too big for a driver
-    texts dict (``verify_candidates`` is the small/fast path).
+    the no-texts-broadcast path for corpora too big for a driver texts
+    dict (``verify_candidates`` is the small/fast path).
 
-    Two reduce-side exchanges, both on small int keys:
+    Two backends, routed by ``strategy``:
 
-    1. texts onto pair sides: stage each pair twice (keyed by id_a and
-       id_b) unioned with the docs (keyed by id), partition on
-       ``hash(key) % num_parts``, join per partition with a vectorized
-       searchsorted lookup — each doc's text crosses the wire once;
-    2. reassemble pairs: partition the (pair, side, text) rows on a
-       pair hash, pivot the two sides back together per partition and
-       compute the exact char-k-gram Jaccard per pair.
+    * ``"bcast"`` — broadcast the candidate PAIR LIST (ids only, tiny
+      next to the corpus), emit each candidate doc's text to its
+      pairs' partitions map-side, and verify in ONE keyed exchange.
+      The corpus side is semijoin-pruned for free: a doc that is in no
+      pair emits nothing.  Bounded by ``max_bcast_pairs`` (~64 MB of
+      ids at the default) — the pair list rides ``ray.put`` once.
+    * ``"exchange"`` — no driver pull at all: two reduce-side
+      exchanges on small int keys (texts onto pair sides via a union +
+      per-partition searchsorted join, then a pair-keyed pivot).  The
+      unbounded-candidates fallback.
+    * ``"auto"`` (default) — ``bcast`` when the materialized candidate
+      count fits ``max_bcast_pairs``, else ``exchange``.
 
-    Returns (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold.
-    A Bloom-filter pushdown on candidate ids would shrink exchange 1
-    to candidate texts only; at the current fan-in the single pass is
-    the simpler scan.
+    Returns (id_a, id_b, jaccard) for DISTINCT pairs with jaccard ≥
+    threshold; a pair id absent from the corpus verifies against the
+    empty text (both-absent ⇒ jaccard 1.0), identically in both
+    backends.
     """
+    if strategy not in ("auto", "bcast", "exchange"):
+        raise ValueError(f"unknown verify strategy {strategy!r}")
+    if strategy == "exchange":
+        return _verify_exchange(cand_ds, docs_ds, threshold, k, id_col,
+                                text_col, num_parts)
+    cand_mat = cand_ds.materialize()
+    n_cand = cand_mat.count()
+    if n_cand > max_bcast_pairs:
+        if strategy == "bcast":
+            raise ValueError(
+                f"{n_cand} candidate pairs exceed max_bcast_pairs="
+                f"{max_bcast_pairs}; use strategy='exchange'")
+        return _verify_exchange(cand_mat, docs_ds, threshold, k, id_col,
+                                text_col, num_parts)
+    a_parts, b_parts = [], []
+    for b in cand_mat.select_columns(["id_a", "id_b"]).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        a_parts.append(b["id_a"].to_numpy(zero_copy_only=False))
+        b_parts.append(b["id_b"].to_numpy(zero_copy_only=False))
+    if not a_parts or not sum(len(a) for a in a_parts):
+        import ray.data
+
+        return ray.data.from_arrow(pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()),
+             ("jaccard", pa.float64())]).empty_table())
+    pa_arr = np.concatenate(a_parts).astype(np.int64)
+    pb_arr = np.concatenate(b_parts).astype(np.int64)
+    o = np.lexsort((pb_arr, pa_arr))
+    pa_arr, pb_arr = pa_arr[o], pb_arr[o]
+    keep = np.r_[True, (pa_arr[1:] != pa_arr[:-1])
+                 | (pb_arr[1:] != pb_arr[:-1])]
+    return _verify_bcast(pa_arr[keep], pb_arr[keep], docs_ds, threshold,
+                         k, id_col, text_col, num_parts)
+
+
+def _verify_bcast(pair_a: np.ndarray, pair_b: np.ndarray, docs_ds,
+                  threshold: float, k: int, id_col: str, text_col: str,
+                  num_parts: int):
+    """One-exchange verify: the distinct pair list is broadcast via
+    ``ray.put``; each corpus task looks its doc ids up in the sorted
+    pair-membership index (searchsorted) and ships the doc's text
+    ONCE PER PARTITION that needs it — not once per pair (LSH emits
+    many pairs per hot doc; per-pair duplication was measured 30×
+    heavier at sf0.1).  Docs in no pair emit nothing (map-side
+    semijoin).  Driver-built seed rows carry (pair, id_a, id_b) to
+    their partition, so every pair verifies even when both texts are
+    missing from the corpus.  Per partition, each doc is shingled
+    exactly once and pairs intersect the cached shingle sets."""
+    import ray
+    import ray.data
+
+    from ..ops.graph import _hash_part
+
+    n_pairs = len(pair_a)
+    ids = np.concatenate([pair_a, pair_b])
+    pno = np.concatenate([np.arange(n_pairs, dtype=np.int64)] * 2)
+    o = np.argsort(ids, kind="stable")
+    bundle_ref = ray.put({"ids": ids[o], "pno": pno[o]})
+    pno_all = np.arange(n_pairs, dtype=np.int64)
+    minus1 = np.full(n_pairs, -1, dtype=np.int64)
+    seed = pa.table(
+        {"__part": pa.array(_hash_part(pno_all, num_parts)),
+         "__pno": pa.array(pno_all),
+         "id_a": pa.array(pair_a),
+         "id_b": pa.array(pair_b),
+         "did": pa.array(minus1),
+         "text": pa.array([""] * n_pairs, type=pa.large_string())})
+
+    staged_schema = pa.schema(
+        [("__part", pa.int32()), ("__pno", pa.int64()),
+         ("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("did", pa.int64()), ("text", pa.large_string())])
+
+    def emit_docs(batch: pa.Table) -> pa.Table:
+        # plain task (not an actor pool): the only state is the
+        # broadcast bundle, and ray.get of an already-local plasma
+        # object is ~µs — warm general-pool workers beat an actor
+        # cold start
+        bb = ray.get(bundle_ref)
+        dids = batch[id_col]
+        if isinstance(dids, pa.ChunkedArray):
+            dids = dids.combine_chunks()
+        dids_np = dids.to_numpy(zero_copy_only=False).astype(np.int64)
+        left = np.searchsorted(bb["ids"], dids_np, "left")
+        right = np.searchsorted(bb["ids"], dids_np, "right")
+        counts = right - left
+        total = int(counts.sum())
+        if total == 0:
+            return staged_schema.empty_table()
+        rep = np.repeat(np.arange(len(dids_np)), counts)
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        hit_part = _hash_part(bb["pno"][np.repeat(left, counts) + offs],
+                              num_parts)
+        # one row per DISTINCT (doc, partition)
+        key = rep.astype(np.int64) * num_parts + hit_part
+        uniq = np.unique(key, return_index=True)[1]
+        drep = rep[uniq]
+        texts = pc.cast(pc.fill_null(batch[text_col], ""),
+                        pa.large_string()).take(pa.array(drep))
+        z = np.full(len(uniq), -1, dtype=np.int64)
+        return pa.table(
+            {"__part": pa.array(hit_part[uniq]),
+             "__pno": pa.array(z),
+             "id_a": pa.array(z),
+             "id_b": pa.array(z),
+             "did": pa.array(dids_np[drep]),
+             "text": texts})
+
+    staged = ray.data.from_arrow(seed).union(
+        docs_ds.select_columns([id_col, text_col]).map_batches(
+            emit_docs, batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("jaccard", pa.float64())])
+
+    def verify_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        did = group["did"].to_numpy(zero_copy_only=False)
+        is_doc = did >= 0
+        tcol = group["text"]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        shingles: dict[int, np.ndarray] = {}
+        for i in np.flatnonzero(is_doc):
+            d = int(did[i])
+            if d not in shingles:
+                shingles[d] = _shingle_hashes(tcol[i].as_py() or "", k)
+        empty = _shingle_hashes("", k)
+        ia = group["id_a"].to_numpy(zero_copy_only=False)
+        ib = group["id_b"].to_numpy(zero_copy_only=False)
+        rows = np.flatnonzero(~is_doc)
+        out_a = ia[rows]
+        out_b = ib[rows]
+        out_j = np.empty(len(rows), dtype=np.float64)
+        for j, r in enumerate(rows):
+            a = shingles.get(int(ia[r]), empty)
+            b = shingles.get(int(ib[r]), empty)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            out_j[j] = round(inter / union if union else 1.0, 6)
+        t = pa.table(
+            {"id_a": pa.array(out_a), "id_b": pa.array(out_b),
+             "jaccard": pa.array(out_j)})
+        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+    return staged.groupby("__part").map_groups(verify_part,
+                                               batch_format="pyarrow")
+
+
+def _verify_exchange(cand_ds, docs_ds, threshold: float, k: int,
+                     id_col: str, text_col: str, num_parts: int):
+    """Two-exchange backend (no driver pull): texts onto pair sides
+    via union + per-partition searchsorted join, then a pair-keyed
+    pivot computing the exact char-k-gram Jaccard."""
     from ..ops.graph import _hash_part
 
     staged_schema = pa.schema(

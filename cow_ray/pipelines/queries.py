@@ -674,6 +674,60 @@ SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
 """
 
 
+def q_decontam_docs(sf_dir: str):
+    """Benchmark n-gram decontamination (Brown et al. 2020, appx C
+    semantics): docs with ``doc_id % 13 == 0`` play the benchmark;
+    every other doc reports its count of distinct word-4-grams shared
+    with the benchmark.  Scale shape: the benchmark gram set is folded
+    to a sorted hash array and broadcast ONCE via ``ray.put``; the
+    corpus side is a single ``map_batches`` scan — no shuffle."""
+    import ray
+
+    from ..ops.decontam import build_ngram_index, decontaminate
+
+    docs = _docs(sf_dir, blocks=8)
+
+    def split(bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 13 == 0) if bench else (ids % 13 != 0)
+            return batch.filter(pa.array(m))
+
+        return f
+
+    idx = build_ngram_index(
+        docs.map_batches(split(True), batch_format="pyarrow"), n=4)
+    out = decontaminate(
+        docs.map_batches(split(False), batch_format="pyarrow"),
+        ray.put(idx), n=4, mode="annotate")
+
+    def hits_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch["n_hit"], 0)).select(["doc_id", "n_hit"])
+
+    return out.map_batches(hits_only, batch_format="pyarrow")
+
+
+SQL_DECONTAM_DOCS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                     x -> x <> '') AS t
+    FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+    FROM toks, LATERAL (SELECT unnest(range(1, len(t)-2)) AS i) r
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 13 = 0)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+       CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hit
+  FROM grams g JOIN bench b USING (gram)
+ WHERE g.doc_id % 13 <> 0
+ GROUP BY g.doc_id
+"""
+
+
 def q_curate_docs(sf_dir: str):
     """Composed curation pipeline (SQL-expressible subset): language +
     length + punctuation-ppm gates, then exact dedup keeping the
@@ -1845,6 +1899,7 @@ QUERIES = {
     "stratified_docs": q_stratified_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
     "token_doc_freq": q_token_doc_freq,
+    "decontam_docs": q_decontam_docs,
     "curate_docs": q_curate_docs,
     "curate_docs_neardup": q_curate_docs_neardup,
     "dedup_exact_docs": q_dedup_exact_docs,
@@ -1892,6 +1947,7 @@ ORACLES = {
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "token_doc_freq": SQL_TOKEN_DOC_FREQ,
+    "decontam_docs": SQL_DECONTAM_DOCS,
     "curate_docs": SQL_CURATE_DOCS,
     "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
     "emb_near_dup": SQL_EMB_NEAR_DUP,

@@ -1,0 +1,148 @@
+"""JSONL source: chunk-invariant parsing, deterministic _row, blank
+lines, schema/column projection, gzip shards."""
+
+import gzip
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from cow_ray.sources.jsonl import (
+    _count_record_starts,
+    read_jsonl_with_row_ids,
+)
+
+
+def write_jsonl(path, records, trailing_newline=True):
+    body = "\n".join(json.dumps(r) for r in records)
+    if trailing_newline:
+        body += "\n"
+    with open(path, "w") as f:
+        f.write(body)
+
+
+def records(n, start=0):
+    return [
+        {"doc_id": i, "text": f"doc {i} " + "x" * (i % 17),
+         "lang": ["en", "de", "fr"][i % 3]}
+        for i in range(start, start + n)
+    ]
+
+
+class TestCountKernel:
+    def count_whole(self, data: bytes) -> int:
+        return _count_record_starts(data, True)
+
+    def test_basic(self):
+        assert self.count_whole(b'{"a":1}\n{"a":2}\n') == 2
+        assert self.count_whole(b'{"a":1}\n{"a":2}') == 2  # no trailer
+        assert self.count_whole(b"") == 0
+        assert self.count_whole(b"\n\n\n") == 0
+        assert self.count_whole(b'\n\n{"a":1}\n\n{"a":2}\n\n\n') == 2
+
+    def test_window_tiling_matches_whole(self):
+        """Counting over 1-byte-overlapping windows == whole-buffer
+        count for every cut position and window size."""
+        data = b'\n{"a":1}\n\n{"bb":2}\n{"c":3}'
+        whole = self.count_whole(data)
+        for w in range(1, len(data) + 1):
+            cuts = list(range(0, len(data), w)) + [len(data)]
+            total = 0
+            for s, e in zip(cuts, cuts[1:]):
+                win = data[max(s - 1, 0):e]
+                total += _count_record_starts(win, s == 0)
+            assert total == whole, w
+
+
+class TestReadJsonl:
+    def test_roundtrip_with_row_ids(self, ray_session, tmp_path):
+        recs = records(50)
+        p = str(tmp_path / "a.jsonl")
+        write_jsonl(p, recs)
+        out = read_jsonl_with_row_ids(p).take_all()
+        assert len(out) == 50
+        by_row = sorted(out, key=lambda r: r["_row"])
+        for i, r in enumerate(by_row):
+            assert r["_row"] == i
+            assert r["doc_id"] == i and r["lang"] == recs[i]["lang"]
+
+    @pytest.mark.parametrize("chunk_bytes", [16, 37, 128, 4096])
+    def test_chunk_invariance(self, ray_session, tmp_path, chunk_bytes):
+        """Result is identical whatever the chunk size — the ownership
+        rule never duplicates or drops a boundary record."""
+        recs = records(40)
+        p = str(tmp_path / f"c{chunk_bytes}.jsonl")
+        write_jsonl(p, recs, trailing_newline=(chunk_bytes % 2 == 0))
+        out = read_jsonl_with_row_ids(
+            p, target_chunk_bytes=chunk_bytes).take_all()
+        assert sorted(r["doc_id"] for r in out) == list(range(40))
+        assert sorted(r["_row"] for r in out) == list(range(40))
+        id_by_row = {r["_row"]: r["doc_id"] for r in out}
+        assert all(id_by_row[i] == i for i in range(40))
+
+    def test_blank_lines_and_leading_newlines(self, ray_session,
+                                              tmp_path):
+        p = str(tmp_path / "b.jsonl")
+        with open(p, "w") as f:
+            f.write('\n\n{"doc_id": 0}\n\n\n{"doc_id": 1}\n\n')
+        out = sorted(read_jsonl_with_row_ids(p).take_all(),
+                     key=lambda r: r["_row"])
+        assert [r["doc_id"] for r in out] == [0, 1]
+        assert [r["_row"] for r in out] == [0, 1]
+
+    def test_multi_file_and_gz_unified_row_space(self, ray_session,
+                                                 tmp_path):
+        a = records(20)
+        b = records(15, start=20)
+        c = records(10, start=35)
+        pa_ = str(tmp_path / "a.jsonl")
+        pb = str(tmp_path / "b.jsonl.gz")
+        pc = str(tmp_path / "c.jsonl")
+        write_jsonl(pa_, a)
+        with gzip.open(pb, "wt") as f:
+            for r in b:
+                f.write(json.dumps(r) + "\n")
+        write_jsonl(pc, c, trailing_newline=False)
+        out = sorted(
+            read_jsonl_with_row_ids(
+                [pa_, pb, pc], target_chunk_bytes=200).take_all(),
+            key=lambda r: r["_row"])
+        assert [r["_row"] for r in out] == list(range(45))
+        assert [r["doc_id"] for r in out] == list(range(45))
+
+    def test_schema_projection_and_missing_keys(self, ray_session,
+                                                tmp_path):
+        p = str(tmp_path / "h.jsonl")
+        with open(p, "w") as f:
+            f.write('{"doc_id": 0, "text": "a", "extra": 9}\n')
+            f.write('{"doc_id": 1}\n')
+        schema = pa.schema([("doc_id", pa.int64()),
+                            ("text", pa.string())])
+        out = sorted(
+            read_jsonl_with_row_ids(p, schema=schema).take_all(),
+            key=lambda r: r["_row"])
+        assert set(out[0]) == {"doc_id", "text", "_row"}
+        assert out[0]["text"] == "a" and out[1]["text"] is None
+
+    def test_columns_selection(self, ray_session, tmp_path):
+        p = str(tmp_path / "s.jsonl")
+        write_jsonl(p, records(5))
+        out = read_jsonl_with_row_ids(p, columns=["doc_id"]).take_all()
+        assert set(out[0]) == {"doc_id", "_row"}
+
+    def test_empty_file(self, ray_session, tmp_path):
+        p = str(tmp_path / "e.jsonl")
+        open(p, "w").close()
+        assert read_jsonl_with_row_ids(p).count() == 0
+
+    def test_determinism_across_reads(self, ray_session, tmp_path):
+        p = str(tmp_path / "d.jsonl")
+        write_jsonl(p, records(30))
+        r1 = sorted(read_jsonl_with_row_ids(
+            p, target_chunk_bytes=64).take_all(),
+            key=lambda r: r["_row"])
+        r2 = sorted(read_jsonl_with_row_ids(
+            p, target_chunk_bytes=64).take_all(),
+            key=lambda r: r["_row"])
+        assert r1 == r2

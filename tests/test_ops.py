@@ -323,6 +323,55 @@ class TestGraph:
         )
         assert got == want and len(got) >= 2
 
+    def test_verify_strategies_agree_incl_missing_docs(self,
+                                                       ray_session):
+        """bcast (one exchange, broadcast pair list) and exchange (two
+        exchanges, no driver pull) must produce identical rows — incl.
+        pairs with one or both ids absent from the corpus (absent ⇒
+        empty text; both-absent ⇒ jaccard 1.0)."""
+        import ray.data
+
+        from cow_ray.ops.dedup import verify_candidates_distributed
+
+        docs = ray.data.from_items([
+            {"doc_id": 0, "text": "alpha beta gamma delta epsilon"},
+            {"doc_id": 1, "text": "alpha beta gamma delta zeta"},
+            {"doc_id": 2, "text": "unrelated content entirely here"},
+        ])
+        cand = ray.data.from_items([
+            {"id_a": 0, "id_b": 1},
+            {"id_a": 0, "id_b": 7},    # 7 missing → one side empty
+            {"id_a": 8, "id_b": 9},    # both missing → jaccard 1.0
+            {"id_a": 1, "id_b": 2},
+        ])
+        res = {}
+        for strat in ("bcast", "exchange"):
+            res[strat] = sorted(
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in verify_candidates_distributed(
+                    cand, docs, threshold=0.0,
+                    strategy=strat).take_all())
+        assert res["bcast"] == res["exchange"]
+        assert (8, 9, 1.0) in res["bcast"]
+        assert len(res["bcast"]) == 4
+
+    def test_verify_bcast_guard_raises(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.dedup import verify_candidates_distributed
+
+        docs = ray.data.from_items([{"doc_id": 0, "text": "x"}])
+        cand = ray.data.from_items(
+            [{"id_a": 0, "id_b": i} for i in range(1, 5)])
+        with pytest.raises(ValueError, match="max_bcast_pairs"):
+            verify_candidates_distributed(cand, docs, strategy="bcast",
+                                          max_bcast_pairs=2)
+        # auto falls back to the exchange backend instead of raising
+        out = verify_candidates_distributed(
+            cand, docs, threshold=0.0, strategy="auto",
+            max_bcast_pairs=2).take_all()
+        assert len(out) == 4
+
     def test_curate_distributed_mode_above_pair_guard(
             self, ray_session, monkeypatch):
         """With the pair guard forced to 0, auto routing must take the
