@@ -132,7 +132,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "sample_docs", "top_docs_per_lang", "token_doc_freq",
         "curate_docs", "scrub_docs", "chunk_docs", "decontam_docs",
         "dedup_exact_docs", "dedup_minhash_docs", "dedup_simhash_docs",
-        "dedup_simhash_pairs", "doc_dup_spans", "neardup_verified_docs",
+        "dedup_simhash_pairs", "doc_dup_spans", "despanned_docs",
+        "neardup_verified_docs",
         "doc_fingerprint", "doc_repetition", "doc_c4_quality",
         "doc_bpe_tokens", "ann_topk", "ann_ivf_pq_topk", "emb_near_dup",
         "near_dup_components",

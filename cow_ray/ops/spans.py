@@ -213,3 +213,121 @@ def duplicate_spans(ds, *, k: int = 20, w: int = 30, min_len: int | None = None,
                                             batch_format="pyarrow")
     return hits.groupby("__dpart").map_groups(merge_spans,
                                               batch_format="pyarrow")
+
+
+_CLEAN_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("text", pa.large_string()),
+     ("n_spans_removed", pa.int32()), ("n_bytes_removed", pa.int64())]
+)
+
+_STAGE_SCHEMA = pa.schema(
+    [("__jpart", pa.int32()), ("kind", pa.int8()), ("doc_id", pa.int64()),
+     ("s", pa.int32()), ("e", pa.int32()), ("text", pa.large_string())]
+)
+
+
+def remove_duplicate_spans(ds, *, k: int = 20, w: int = 30,
+                           min_len: int | None = None,
+                           num_parts: int = 16, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           cross_doc_only: bool = True):
+    """The REMOVAL step of Lee et al. ACL'22: cut every detected
+    duplicate span out of each document.  One extra keyed exchange on
+    a doc-id hash: spans meet their documents reduce-side (every doc
+    crosses the wire once — inherent, the text must meet its cut
+    list; a broadcast-spans variant would shrink this when the span
+    list is small, at the cost of a driver pull).
+
+    Span offsets are UTF-8 BYTE positions from the fingerprinter;
+    boundaries are snapped OUTWARD to character boundaries so the
+    cleaned text is always valid UTF-8 (a snap moves ≤3 bytes — noise
+    against the ``w + k - 1`` span floor).
+
+    Removes ALL occurrences of a duplicated span: the winnowing
+    detector is symmetric and has no canonical-keeper notion (Lee et
+    al. likewise cut every repeat of a cluster beyond the first found
+    in suffix order; choosing a keeper needs a global order the
+    distributed form deliberately avoids).  Default
+    ``cross_doc_only=True`` leaves pure within-doc repetition intact.
+
+    Output: (doc_id, text, n_spans_removed, n_bytes_removed) for
+    EVERY input document (untouched docs pass through with 0s)."""
+    spans = duplicate_spans(
+        ds, k=k, w=w, min_len=min_len, num_parts=num_parts,
+        id_col=id_col, text_col=text_col, cross_doc_only=cross_doc_only)
+
+    def stage_docs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _STAGE_SCHEMA.empty_table()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        z32 = np.zeros(len(ids), dtype=np.int32)
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"__jpart": pa.array(_hash_part(ids, num_parts)),
+             "kind": pa.array(np.zeros(len(ids), dtype=np.int8)),
+             "doc_id": pa.array(ids),
+             "s": pa.array(z32), "e": pa.array(z32),
+             "text": pc.cast(pc.fill_null(batch[text_col], ""),
+                             pa.large_string())})
+
+    def stage_spans(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _STAGE_SCHEMA.empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"__jpart": pa.array(_hash_part(ids, num_parts)),
+             "kind": pa.array(np.ones(len(ids), dtype=np.int8)),
+             "doc_id": pa.array(ids),
+             "s": batch["span_start"], "e": batch["span_end"],
+             "text": pa.array([""] * len(ids), type=pa.large_string())})
+
+    def cut(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _CLEAN_SCHEMA.empty_table()
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        s_arr = group["s"].to_numpy(zero_copy_only=False)
+        e_arr = group["e"].to_numpy(zero_copy_only=False)
+        tcol = group["text"]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        # span rows sorted by doc for a searchsorted range lookup
+        sp = np.flatnonzero(kind == 1)
+        sp = sp[np.argsort(did[sp], kind="stable")]
+        sp_did = did[sp]
+        out_id, out_txt, out_n, out_b = [], [], [], []
+        for i in np.flatnonzero(kind == 0):
+            d = int(did[i])
+            lo = np.searchsorted(sp_did, d, "left")
+            hi = np.searchsorted(sp_did, d, "right")
+            text = tcol[i].as_py() or ""
+            if lo == hi:
+                out_id.append(d); out_txt.append(text)
+                out_n.append(0); out_b.append(0)
+                continue
+            data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            keep = np.ones(len(data), dtype=bool)
+            n_sp = 0
+            for j in sp[lo:hi]:
+                s, e = int(s_arr[j]), int(e_arr[j])
+                while s > 0 and (data[s] & 0xC0) == 0x80:
+                    s -= 1  # snap start left to a char boundary
+                while e < len(data) and (data[e] & 0xC0) == 0x80:
+                    e += 1  # snap end right past continuations
+                keep[s:e] = False
+                n_sp += 1
+            cleaned = data[keep].tobytes().decode("utf-8")
+            out_id.append(d); out_txt.append(cleaned)
+            out_n.append(n_sp)
+            out_b.append(int(len(data) - keep.sum()))
+        return pa.table(
+            {"doc_id": pa.array(np.array(out_id, dtype=np.int64)),
+             "text": pa.array(out_txt, type=pa.large_string()),
+             "n_spans_removed": pa.array(np.array(out_n, np.int32)),
+             "n_bytes_removed": pa.array(np.array(out_b, np.int64))})
+
+    staged = ds.map_batches(stage_docs, batch_format="pyarrow").union(
+        spans.map_batches(stage_spans, batch_format="pyarrow"))
+    return staged.groupby("__jpart").map_groups(cut,
+                                                batch_format="pyarrow")

@@ -834,6 +834,28 @@ def q_doc_dup_spans(sf_dir: str):
     return duplicate_spans(_docs(sf_dir, blocks=8), k=20, w=30)
 
 
+def q_despanned_docs(sf_dir: str):
+    """Duplicate-span REMOVAL (Lee et al. ACL'22 removal step): every
+    cross-doc duplicated span is cut from every document, span
+    offsets snapped to UTF-8 boundaries — rows-only: span extents are
+    a hash construction, not SQL.  Exactness is pinned in tests
+    against manual removal on planted boilerplate."""
+    from ..ops.spans import remove_duplicate_spans
+
+    out = remove_duplicate_spans(_docs(sf_dir, blocks=8), k=20, w=30,
+                                 cross_doc_only=True)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "n_spans_removed": batch["n_spans_removed"],
+             "n_bytes_removed": batch["n_bytes_removed"],
+             "n_chars_clean": pc.cast(
+                 pc.utf8_length(batch["text"]), pa.int64())})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def q_emb_near_dup(sf_dir: str):
     from ..ops.similarity import cosine_near_dup_pairs
 
@@ -1908,6 +1930,7 @@ QUERIES = {
     "dedup_simhash_docs": q_dedup_simhash_docs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "doc_dup_spans": q_doc_dup_spans,
+    "despanned_docs": q_despanned_docs,
     "emb_near_dup": q_emb_near_dup,
     "near_dup_components": q_near_dup_components,
     "ann_topk": q_ann_topk,

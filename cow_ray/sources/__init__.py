@@ -1,3 +1,4 @@
+from .jsonl import read_jsonl_with_row_ids  # noqa: F401
 from .parquet import (  # noqa: F401
     plan_row_groups,
     read_parquet_split,

@@ -1321,6 +1321,62 @@ class TestDuplicateSpans:
             # duplicated content exists corpus-wide
             assert len(spans) > 0
 
+    def test_remove_spans_matches_manual_cut(self, ray_session):
+        """Removal must equal cutting the detector's own spans out by
+        hand, and untouched docs pass through byte-identical."""
+        from cow_ray.ops.spans import (
+            duplicate_spans,
+            remove_duplicate_spans,
+        )
+
+        ds, rows, boiler = self._docs()
+        spans = duplicate_spans(ds, k=self.K, w=self.W, num_parts=4,
+                                cross_doc_only=True).to_pandas()
+        cleaned = {r["doc_id"]: r for r in remove_duplicate_spans(
+            ds, k=self.K, w=self.W, num_parts=4,
+            cross_doc_only=True).take_all()}
+        assert set(cleaned) == {0, 1, 2}
+        for r in rows:
+            d = r["doc_id"]
+            data = bytearray(r["text"].encode("utf-8"))
+            keep = [True] * len(data)
+            g = spans[spans["doc_id"] == d]
+            for _, sp in g.iterrows():
+                for i in range(sp["span_start"], sp["span_end"]):
+                    keep[i] = False
+            want = bytes(b for b, m in zip(data, keep) if m).decode()
+            assert cleaned[d]["text"] == want, d
+            assert cleaned[d]["n_spans_removed"] == len(g)
+            assert cleaned[d]["n_bytes_removed"] == keep.count(False)
+        # the planted boilerplate is actually gone
+        assert boiler not in cleaned[0]["text"]
+        assert boiler not in cleaned[1]["text"]
+        # the unique doc is untouched
+        assert cleaned[2]["text"] == rows[2]["text"]
+
+    def test_remove_spans_utf8_boundary_snap(self, ray_session):
+        """Span byte offsets landing inside multibyte chars must snap
+        outward — the cleaned text always decodes."""
+        import ray.data
+
+        from cow_ray.ops.spans import remove_duplicate_spans
+
+        boiler = "DUPLICATED-BOILERPLATE-SEGMENT-" * 3
+        rows = [
+            {"doc_id": 0, "text": "émile café " + boiler + " naïve über"},
+            {"doc_id": 1, "text": "zürich søren " + boiler + " çünkü"},
+        ]
+        out = remove_duplicate_spans(
+            ray.data.from_items(rows), k=self.K, w=self.W, num_parts=4,
+            cross_doc_only=True).take_all()
+        got = {r["doc_id"]: r for r in out}
+        for d in (0, 1):
+            txt = got[d]["text"]
+            txt.encode("utf-8").decode("utf-8")  # valid round-trip
+            assert "DUPLICATED-BOILERPLATE" not in txt
+            assert got[d]["n_spans_removed"] >= 1
+        assert "émile" in got[0]["text"] and "çünkü" in got[1]["text"]
+
 
 class TestCodecs:
     """Pure-numpy BMP/PPM/WAV codecs (ops/codecs.py) and their
