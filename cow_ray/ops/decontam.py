@@ -84,22 +84,21 @@ def build_ngram_index(ds, text_col: str = "text", n: int = 4,
     stream — ``max_grams`` (default 32M ≈ 256 MB) guards the pull; a
     real eval suite is orders of magnitude below it."""
 
-    class Grams:
-        def __init__(self):
-            self.h = _GramHasher(n)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            txt = pc.fill_null(batch[text_col], "").to_pylist()
-            if txt:
-                g = np.unique(np.concatenate(
-                    [self.h.doc_grams(t) for t in txt]))
-            else:
-                g = np.empty(0, dtype=np.uint64)
-            return pa.table({"gram": pa.array(g, type=pa.uint64())})
+    def grams(batch: pa.Table) -> pa.Table:
+        # plain task: the token memo only needs batch lifetime to pay
+        # off (zipfian within a batch), and warm general-pool workers
+        # beat an actor pool's cold start
+        h = _GramHasher(n)
+        txt = pc.fill_null(batch[text_col], "").to_pylist()
+        if txt:
+            g = np.unique(np.concatenate([h.doc_grams(t) for t in txt]))
+        else:
+            g = np.empty(0, dtype=np.uint64)
+        return pa.table({"gram": pa.array(g, type=pa.uint64())})
 
     parts, total = [], 0
     per_batch = ds.select_columns([text_col]).map_batches(
-        Grams, batch_format="pyarrow", concurrency=(1, 8))
+        grams, batch_format="pyarrow")
     for b in per_batch.iter_batches(batch_format="pyarrow",
                                     batch_size=None):
         a = b["gram"].to_numpy(zero_copy_only=False)
@@ -147,8 +146,7 @@ def _bloom_hits(grams: np.ndarray, bloom: dict) -> np.ndarray:
 
 
 def decontaminate(ds, index, text_col: str = "text", n: int = 4,
-                  mode: str = "annotate", out_col: str = "n_hit",
-                  concurrency=(1, 16)):
+                  mode: str = "annotate", out_col: str = "n_hit"):
     """Flag (``mode="annotate"``: adds ``out_col`` = count of distinct
     benchmark grams present) or drop (``mode="drop"``: keeps only
     clean rows) contaminated documents.
@@ -160,42 +158,36 @@ def decontaminate(ds, index, text_col: str = "text", n: int = 4,
     if mode not in ("annotate", "drop"):
         raise ValueError(f"unknown decontaminate mode {mode!r}")
 
-    class Decon:
-        def __init__(self):
-            self.h = _GramHasher(n)
-            self.idx = None
+    def decon(batch: pa.Table) -> pa.Table:
+        # plain task, not an actor pool: ray.get of an already-local
+        # plasma object is ~µs, the token memo pays off within one
+        # batch, and warm general-pool workers beat actor cold start
+        idx = index
+        try:
+            import ray
 
-        def _resolve(self):
-            idx = index
-            try:
-                import ray
+            if isinstance(idx, ray.ObjectRef):
+                idx = ray.get(idx)
+        except ImportError:
+            pass
 
-                if isinstance(idx, ray.ObjectRef):
-                    idx = ray.get(idx)
-            except ImportError:
-                pass
-            self.idx = idx
-
-        def _hits(self, grams: np.ndarray) -> int:
-            if isinstance(self.idx, dict):
-                return int(_bloom_hits(grams, self.idx).sum())
-            if not len(self.idx) or not len(grams):
+        def hits_of(grams: np.ndarray) -> int:
+            if isinstance(idx, dict):
+                return int(_bloom_hits(grams, idx).sum())
+            if not len(idx) or not len(grams):
                 return 0
-            pos = np.searchsorted(self.idx, grams)
-            pos[pos == len(self.idx)] = 0
-            return int((self.idx[pos] == grams).sum())
+            pos = np.searchsorted(idx, grams)
+            pos[pos == len(idx)] = 0
+            return int((idx[pos] == grams).sum())
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if self.idx is None:
-                self._resolve()
-            txt = pc.fill_null(batch[text_col], "").to_pylist()
-            hits = np.fromiter(
-                (self._hits(self.h.doc_grams(t)) for t in txt),
-                dtype=np.int64, count=len(txt))
-            if mode == "drop":
-                return batch.filter(pa.array(hits == 0))
-            return batch.append_column(
-                out_col, pa.array(hits, type=pa.int64()))
+        h = _GramHasher(n)
+        txt = pc.fill_null(batch[text_col], "").to_pylist()
+        hits = np.fromiter(
+            (hits_of(h.doc_grams(t)) for t in txt),
+            dtype=np.int64, count=len(txt))
+        if mode == "drop":
+            return batch.filter(pa.array(hits == 0))
+        return batch.append_column(
+            out_col, pa.array(hits, type=pa.int64()))
 
-    return ds.map_batches(Decon, batch_format="pyarrow",
-                          concurrency=concurrency)
+    return ds.map_batches(decon, batch_format="pyarrow")

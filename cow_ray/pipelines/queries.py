@@ -768,8 +768,10 @@ def q_curate_docs_neardup(sf_dir: str):
 
 def q_neardup_verified_docs(sf_dir: str):
     """MinHash-LSH candidates verified by exact n-gram Jaccard through
-    the DISTRIBUTED reduce-side text join (no driver broadcast) —
-    rows-only: character-k-gram Jaccard is not practical DuckDB SQL."""
+    the distributed verify (auto-routed: broadcast-pairs one-exchange
+    backend under the pair guard, two-exchange reduce-side join above
+    it; no TEXTS broadcast either way) — rows-only: character-k-gram
+    Jaccard is not practical DuckDB SQL."""
     from ..ops.dedup import (
         minhash_lsh_candidates,
         verify_candidates_distributed,
@@ -832,6 +834,17 @@ def q_doc_dup_spans(sf_dir: str):
     from ..ops.spans import duplicate_spans
 
     return duplicate_spans(_docs(sf_dir, blocks=8), k=20, w=30)
+
+
+def q_packed_docs(sf_dir: str):
+    """Deterministic sequence packing (first-fit-decreasing into
+    512-BPE-token training examples; Raffel et al. 2020 §2.2 pack
+    semantics) — rows-only: the FFD bin assignment is algorithmic,
+    not SQL; invariants (budget, disjoint ids, FFD bound) are pinned
+    in tests."""
+    from ..ops.pack import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, blocks=8), budget=512)
 
 
 def q_despanned_docs(sf_dir: str):
@@ -1931,6 +1944,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "doc_dup_spans": q_doc_dup_spans,
     "despanned_docs": q_despanned_docs,
+    "packed_docs": q_packed_docs,
     "emb_near_dup": q_emb_near_dup,
     "near_dup_components": q_near_dup_components,
     "ann_topk": q_ann_topk,
