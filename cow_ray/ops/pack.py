@@ -13,9 +13,10 @@ Scale shape: ONE keyed exchange.  Token counts are computed map-side
 with the oracled BPE proxy counter (``ops/textstats.BPE_RE``) — the
 text itself never crosses the wire, only (id, n_tokens).  Docs
 hash-partition by id; each partition runs FFD over its own docs
-(vectorized sort, per-doc heap loop bounded by partition size), so
-pack quality is per-partition-FFD — the distributed trade: a global
-FFD would need a global sort of all token counts.  Pack ids embed the
+(vectorized sort, then a max-segment-tree first-fit — O(n log n), not
+the naive O(n²) bin probe), so pack quality is per-partition-FFD —
+the distributed trade: a global FFD would need a global sort of all
+token counts.  Pack ids embed the
 partition (``part << 40 | local``), disjoint by construction.
 
 Determinism: FFD over (n_tokens DESC, doc_id ASC) with first-fit over
@@ -68,22 +69,40 @@ def pack_sequences(ds, *, budget: int = 2048, num_parts: int = 16,
         toks = group["n_tokens"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, -toks))  # tokens DESC, id ASC
         ids, toks = ids[order], toks[order]
-        # first-fit over bins in creation order; bins are scanned via a
-        # "first bin with enough room" linear probe kept short by the
-        # decreasing order (classic FFD behaviour)
-        bin_room: list[int] = []
-        assign = np.empty(len(ids), dtype=np.int64)
-        for i, t in enumerate(toks):
-            t = int(t)
-            for b, room in enumerate(bin_room):
-                if room >= t:
-                    assign[i] = b
-                    bin_room[b] = room - t
-                    break
+        # first-fit over bins in creation order via a max-segment-tree
+        # on per-bin room: "leftmost leaf with room >= t" descends in
+        # O(log n), so a partition packs in O(n log n) — a linear bin
+        # probe is O(n^2) on packing-hostile inputs and does not
+        # survive data-sized partitions
+        n = len(ids)
+        size = 1
+        while size < max(n, 1):
+            size <<= 1
+        tree = np.zeros(2 * size, dtype=np.int64)  # max room/subtree
+        assign = np.empty(n, dtype=np.int64)
+        n_bins = 0
+        for i in range(n):
+            t = int(toks[i])
+            # n_bins guard: a 0-token doc must not descend into an
+            # unopened leaf (room 0 "fits" it) before any bin exists
+            if n_bins > 0 and tree[1] >= t:
+                node = 1
+                while node < size:  # leftmost child with room >= t
+                    node = 2 * node if tree[2 * node] >= t \
+                        else 2 * node + 1
+                b = node - size
+                room = tree[node] - t
             else:
-                assign[i] = len(bin_room)
-                bin_room.append(max(budget - t, 0))
-        n_bins = len(bin_room)
+                b = n_bins
+                n_bins += 1
+                node = size + b
+                room = max(budget - t, 0)  # oversized doc → own pack
+            assign[i] = b
+            tree[node] = room
+            node >>= 1
+            while node:
+                tree[node] = max(tree[2 * node], tree[2 * node + 1])
+                node >>= 1
         pack_tokens = np.zeros(n_bins, dtype=np.int64)
         pack_docs = np.zeros(n_bins, dtype=np.int32)
         np.add.at(pack_tokens, assign, toks)

@@ -75,6 +75,29 @@ class TestPackSequences:
         opt = int(np.ceil(sum(sizes) / 60))
         assert n_bins <= int(np.ceil(11 / 9 * opt)) + 1
 
+    def test_segment_tree_matches_naive_ffd(self, ray_session):
+        """The O(n log n) segment-tree first-fit must produce the
+        EXACT assignment of the textbook linear-probe FFD."""
+        rng = np.random.default_rng(5)
+        sizes = rng.integers(1, 40, size=120).tolist() + [0, 0]
+        budget = 48
+        rows = self._run(ray_session, sizes, budget=budget, num_parts=1)
+        got = {r["doc_id"]: r["pack_id"] & ((1 << 40) - 1) for r in rows}
+        # naive reference FFD over (tokens DESC, id ASC)
+        order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+        room, want = [], {}
+        for i in order:
+            t = sizes[i]
+            for b in range(len(room)):
+                if room[b] >= t:
+                    want[i] = b
+                    room[b] -= t
+                    break
+            else:
+                want[i] = len(room)
+                room.append(max(budget - t, 0))
+        assert got == want
+
     def test_budget_validation(self, ray_session):
         import ray.data
 
