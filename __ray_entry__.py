@@ -59,11 +59,13 @@ def oracle_sql() -> dict[str, str]:
     column names/semantics).  Keys absent here (linker mentions,
     minhash/simhash signatures + their candidate/verified pair sets,
     rolling fp, LSH/IVF/IVF-PQ ANN, langid, multimodal image/audio,
-    HLL sketch, bigram entropy, near-dup curation) are genuinely
+    HLL sketch, bigram entropy, near-dup curation, winnowing dup
+    spans + span removal, FFD sequence packing) are genuinely
     non-SQL-expressible or not hash-stable cross-engine (float
     log-sums) → rows-only check.  Note connected components IS oracled
     (recursive CTE), as are the Gopher/C4/BPE text-quality signals
-    (exact integer ppm arithmetic; shared RE2 engine)."""
+    (exact integer ppm arithmetic; shared RE2 engine) and benchmark
+    n-gram decontamination (list-lateral gram join)."""
     from cow_ray.pipelines.queries import ORACLES
 
     return dict(ORACLES)
