@@ -68,6 +68,7 @@ def cmd_convert(args) -> int:
     _init_ray(args.parallelism)
     import ray
 
+    from .build import is_jsonl
     from .pipelines.convert import ConvertConfig, convert_pages
     from .sources.csv import convert_csv
 
@@ -111,6 +112,15 @@ def cmd_convert(args) -> int:
             _, m = convert_csv(f, frules, sub, config=cfg)
             total_parts.extend(m)
         manifests = total_parts
+    elif len(inputs) > 1 and all(is_jsonl(f) for f in inputs):
+        # JSONL shard glob: ONE job, unified global _row space
+        if rules is None:
+            raise SystemExit(
+                "a multi-shard JSONL glob needs --rules (one shared "
+                "rule document)")
+        from .sources.jsonl import convert_jsonl
+
+        _, manifests = convert_jsonl(inputs, rules, args.out, config=cfg)
     elif len(inputs) > 1:
         # multi-file parquet: one job over the file list, shared rules
         if rules is None:
@@ -123,6 +133,10 @@ def cmd_convert(args) -> int:
         )
     elif single.endswith(".csv"):
         _, manifests = convert_csv(single, rules, args.out, config=cfg)
+    elif is_jsonl(single):
+        from .sources.jsonl import convert_jsonl
+
+        _, manifests = convert_jsonl(single, rules, args.out, config=cfg)
     else:
         _, manifests = convert_pages(
             single, rules, args.out, gazetteer=gazetteer,

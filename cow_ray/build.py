@@ -11,6 +11,12 @@ import json
 import os
 
 
+def is_jsonl(path: str) -> bool:
+    """True for ``.jsonl`` / ``.ndjson`` files, optionally ``.gz``."""
+    p = path[:-3] if path.endswith(".gz") else path
+    return p.endswith((".jsonl", ".ndjson"))
+
+
 def build_rules(
     infile: str,
     base: str = "https://example.com/id/",
@@ -35,6 +41,11 @@ def build_rules(
         import pyarrow.parquet as pq
 
         header = pq.read_schema(infile).names
+        dialect = {}
+    elif is_jsonl(infile):
+        from .sources.jsonl import jsonl_header
+
+        header = jsonl_header(infile)
         dialect = {}
     else:
         from .sources.csv import detect_encoding, read_header, sniff_delimiter

@@ -263,3 +263,86 @@ def read_jsonl_with_row_ids(
             return tasks
 
     return ray.data.read_datasource(_JsonlSource())
+
+
+def convert_jsonl(
+    jsonl_path: str | list[str],
+    rule_doc,
+    out_dir: str | None = None,
+    *,
+    config=None,
+    schema: pa.Schema | None = None,
+):
+    """``convert`` over the corpus wire format: JSONL shard(s) + one
+    rule document → triple store — the same contract as
+    ``sources.csv.convert_csv`` (a list of shards converts as ONE job
+    with a unified global ``_row`` space).  Values keep their JSON
+    types (ints stay ints, like the parquet path); absent keys arrive
+    as nulls and flow through the rule document's null semantics."""
+    from ..pipelines.convert import ConvertConfig
+    from ..rules import RuleDoc, parse_rules
+    from ..triples import EmitTriples
+
+    doc = rule_doc if isinstance(rule_doc, RuleDoc) else parse_rules(rule_doc)
+    ds = read_jsonl_with_row_ids(jsonl_path, schema=schema)
+    cfg = config or ConvertConfig()
+    triples = ds.map_batches(
+        EmitTriples(doc, error_markers=out_dir is not None),
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+    )
+    if out_dir is None:
+        return triples, None
+    from ..nanopub import Nanopub, job_hash
+    from ..stages.materialize import materialize_triples
+
+    file_list = (list(jsonl_path)
+                 if isinstance(jsonl_path, (list, tuple)) else [jsonl_path])
+    jh = job_hash(doc.doc_hash, file_list)
+    np_ = Nanopub(doc.base, doc.dataset_name, jh)
+    manifests = materialize_triples(
+        triples, out_dir, num_parts=cfg.num_parts, job=jh, nanopub=np_,
+        resume=cfg.resume, dedup=cfg.dedup, input_desc=";".join(file_list),
+    )
+    import pyarrow.compute as pc
+
+    from ..triples import MARKER_KIND
+
+    def strip_markers(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(
+                pc.fill_null(pc.equal(batch["obj_kind"], MARKER_KIND),
+                             False)
+            )
+        )
+
+    return triples.map_batches(strip_markers, batch_format="pyarrow"), \
+        manifests
+
+
+def jsonl_header(path: str, sample_records: int = 100) -> list[str]:
+    """Field names of a JSONL file in first-seen order over the first
+    ``sample_records`` records — the skeleton-builder probe (driver
+    side, reads only the head of one shard)."""
+    import json as _json
+
+    opener = gzip.open if path.endswith(".gz") else open
+    header: list[str] = []
+    seen = set()
+    with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+        n = 0
+        for line in f:
+            if not line.strip():
+                continue
+            try:
+                rec = _json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(rec, dict):
+                for k in rec:
+                    if k not in seen:
+                        seen.add(k)
+                        header.append(k)
+            n += 1
+            if n >= sample_records:
+                break
+    return header

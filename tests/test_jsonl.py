@@ -146,3 +146,45 @@ class TestReadJsonl:
             p, target_chunk_bytes=64).take_all(),
             key=lambda r: r["_row"])
         assert r1 == r2
+
+
+class TestConvertJsonl:
+    def test_jsonl_convert_matches_csv_convert(self, ray_session,
+                                               tmp_path):
+        """The reference example serialized as JSONL (string values,
+        same row order) must emit the exact same triple set as the CSV
+        path under the same rules."""
+        import csv as _csv
+        import json as _json
+
+        from cow_ray.sources.csv import convert_csv
+        from cow_ray.sources.jsonl import convert_jsonl
+
+        with open("examples/imf_gdppc.csv", newline="") as f:
+            rows = list(_csv.DictReader(f, delimiter=";"))
+        p = str(tmp_path / "imf.jsonl")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        rules = _json.load(open("examples/imf_gdppc.csv-rules.json"))
+
+        def triple_set(ds):
+            return sorted(
+                (r["subj"], r["pred"], r["obj_lex"], r["obj_kind"])
+                for r in ds.take_all())
+
+        want, _ = convert_csv("examples/imf_gdppc.csv", rules)
+        got, _ = convert_jsonl(p, rules)
+        assert triple_set(got) == triple_set(want)
+        assert len(triple_set(got)) == 24  # the CLI golden count
+
+    def test_build_skeleton_from_jsonl(self, tmp_path):
+        from cow_ray.build import build_rules
+
+        p = str(tmp_path / "t.jsonl")
+        with open(p, "w") as f:
+            f.write('{"a": 1, "b": "x"}\n{"a": 2, "c": null}\n')
+        doc = build_rules(p, base="https://example.com/id")
+        names = [c["name"] for c in doc["tableSchema"]["columns"]]
+        assert names == ["a", "b", "c"]  # first-seen order, unioned
+        assert doc["tableSchema"]["primaryKey"] == "a"
