@@ -88,3 +88,125 @@ def approx_distinct_multi(ds, cols: list[str], p: int = 12) -> dict[str, float]:
 def approx_distinct(ds, col: str, p: int = 12) -> float:
     """Distributed approximate distinct count of a string column."""
     return approx_distinct_multi(ds, [col], p)[col]
+
+
+# ---------- heavy hitters (Misra-Gries candidates + exact recount) ----------
+
+
+def mg_sketch(items, k: int) -> dict:
+    """Misra-Gries frequent-items summary with ``k`` counters (Misra &
+    Gries, "Finding repeated elements", Sci. Comput. Program. 1982).
+    Guarantee: any item with true frequency > n/(k+1) is present in
+    the returned dict; counts are undercounts by at most n/(k+1)."""
+    counters: dict = {}
+    for x in items:
+        if x in counters:
+            counters[x] += 1
+        elif len(counters) < k:
+            counters[x] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def heavy_doc_tokens(ds, *, phi_inv: int = 20, text_col: str = "text",
+                     id_col: str = "doc_id", slack: int = 2,
+                     max_candidates: int = 100_000):
+    """EXACT tokens whose document frequency is ≥ ``1/phi_inv`` of the
+    corpus (df · phi_inv ≥ N — integer arithmetic, so the DuckDB
+    oracle hashes identically), found WITHOUT a token-level shuffle:
+
+    1. candidate pass — each batch runs a Misra-Gries summary with
+       ``k = phi_inv · slack`` counters over its per-doc DISTINCT
+       tokens and emits its ≤ k keys.  The UNION of per-batch sketch
+       keys is a superset of any merged-sketch survivor set (a global
+       φ-heavy token is > 1/(k+1)-heavy in at least one batch, by
+       averaging), so no false negatives; size ≤ batches × k, bounded
+       by construction and guarded by ``max_candidates``.
+    2. exact pass — the candidate list broadcasts via ``ray.put``;
+       each batch emits per-candidate partial df counts + its doc
+       count, merged by one coalesced vectorized rollup (KBs).
+
+    The exchange never carries token-level data — pass 1 returns
+    sketch keys, pass 2 returns ``candidates × batches`` partial rows.
+    Tokenization matches ``token_doc_freq`` (``[a-z0-9']+`` on the
+    lowered text) for oracle parity."""
+    import re
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    k = phi_inv * slack
+    word_re = re.compile(r"[a-z0-9']+")
+
+    def doc_tokens(t: str | None):
+        return set(word_re.findall((t or "").lower()))
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        stream = (tok for t in
+                  pc.fill_null(batch[text_col], "").to_pylist()
+                  for tok in doc_tokens(t))
+        return pa.table(
+            {"token": pa.array(list(mg_sketch(stream, k)),
+                               type=pa.large_string())})
+
+    cand: set[str] = set()
+    for b in ds.select_columns([text_col]).map_batches(
+            sketch_batch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        cand.update(b["token"].to_pylist())
+        if len(cand) > max_candidates:
+            raise RuntimeError(
+                f"heavy-hitter candidate union exceeds {max_candidates}"
+                " — raise phi_inv or lower slack")
+    cand_list = sorted(cand)
+    cand_ref = ray.put(cand_list)
+    partial_schema = pa.schema(
+        [("token", pa.large_string()), ("df", pa.int64()),
+         ("n_docs", pa.int64())])
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cl = ray.get(cand_ref)
+        cset = set(cl)
+        df: dict = {}
+        texts = pc.fill_null(batch[text_col], "").to_pylist()
+        for t in texts:
+            for tok in doc_tokens(t) & cset:
+                df[tok] = df.get(tok, 0) + 1
+        toks = sorted(df)
+        return pa.table(
+            {"token": pa.array(toks + ["\x00__n__"],
+                               type=pa.large_string()),
+             "df": pa.array([df[t] for t in toks] + [0],
+                            type=pa.int64()),
+             "n_docs": pa.array([0] * len(toks) + [len(texts)],
+                                type=pa.int64())})
+
+    partials = ds.select_columns([text_col]).map_batches(
+        recount, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([("token", pa.large_string()),
+                              ("df", pa.int64())]).empty_table()
+        agg = batch.group_by(["token"], use_threads=False).aggregate(
+            [("df", "sum"), ("n_docs", "sum")])
+        n = pc.sum(agg["n_docs_sum"]).as_py() or 0
+        agg = agg.filter(pc.and_(
+            pc.not_equal(agg["token"], "\x00__n__"),
+            pc.greater_equal(pc.multiply(agg["df_sum"], phi_inv),
+                             pa.scalar(n, type=pa.int64()))))
+        agg = agg.sort_by("token")
+        return pa.table({"token": agg["token"],
+                         "df": pc.cast(agg["df_sum"], pa.int64())})
+
+    # batch_size=None: the rollup must see the coalesced block whole
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None)

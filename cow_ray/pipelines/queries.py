@@ -674,6 +674,31 @@ SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
 """
 
 
+def q_heavy_tokens(sf_dir: str):
+    """Exact φ-heavy-hitter tokens (document frequency ≥ 1/20 of the
+    corpus) via Misra-Gries candidate sketches + one broadcast exact
+    recount — NO token-level shuffle ever leaves the workers (the only
+    exchange is ≤ batches × k sketch keys + candidate partials)."""
+    from ..ops.sketch import heavy_doc_tokens
+
+    return heavy_doc_tokens(_docs(sf_dir, blocks=8), phi_inv=20)
+
+
+SQL_HEAVY_TOKENS = """
+WITH tok AS (
+  SELECT DISTINCT d.doc_id, t.token
+    FROM documents d,
+         unnest(string_split_regex(lower(d.text), '[^a-z0-9'']+'))
+         AS t(token)
+   WHERE t.token <> ''
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM tok GROUP BY token
+HAVING count(*) * 20 >= (SELECT count(*) FROM documents)
+ ORDER BY token
+"""
+
+
 def q_decontam_docs(sf_dir: str):
     """Benchmark n-gram decontamination (Brown et al. 2020, appx C
     semantics): docs with ``doc_id % 13 == 0`` play the benchmark;
@@ -1934,6 +1959,7 @@ QUERIES = {
     "stratified_docs": q_stratified_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
     "token_doc_freq": q_token_doc_freq,
+    "heavy_tokens": q_heavy_tokens,
     "decontam_docs": q_decontam_docs,
     "curate_docs": q_curate_docs,
     "curate_docs_neardup": q_curate_docs_neardup,
@@ -1984,6 +2010,7 @@ ORACLES = {
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "token_doc_freq": SQL_TOKEN_DOC_FREQ,
+    "heavy_tokens": SQL_HEAVY_TOKENS,
     "decontam_docs": SQL_DECONTAM_DOCS,
     "curate_docs": SQL_CURATE_DOCS,
     "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,

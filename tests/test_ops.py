@@ -973,6 +973,58 @@ class TestSketch:
         assert abs(hll_estimate(merged) - 10_000) / 10_000 < 0.05
 
 
+class TestHeavyHitters:
+    def test_mg_sketch_guarantee(self):
+        """Misra-Gries invariant: every item with true frequency
+        strictly above n/(k+1) survives in the k-counter summary."""
+        from cow_ray.ops.sketch import mg_sketch
+
+        items = ["hot"] * 40 + ["warm"] * 25 + [f"cold{i}" for i in range(100)]
+        # deterministic interleave so heavy items face decrements
+        items = [items[i] for i in range(0, len(items), 2)] + \
+                [items[i] for i in range(1, len(items), 2)]
+        k = 8
+        summary = mg_sketch(items, k)
+        n = len(items)
+        assert len(summary) <= k
+        for tok, true_f in (("hot", 40), ("warm", 25)):
+            if true_f > n / (k + 1):
+                assert tok in summary
+                assert summary[tok] <= true_f  # undercount only
+
+    def test_heavy_doc_tokens_exact(self, ray_session):
+        """heavy_doc_tokens returns EXACTLY the tokens whose doc
+        frequency clears the φ threshold, with exact counts —
+        checked against a brute-force pass over the same corpus."""
+        import re
+        from collections import Counter
+
+        import ray.data
+
+        from cow_ray.ops.sketch import heavy_doc_tokens
+
+        rows = []
+        for i in range(400):
+            text = f"common filler{i % 97} alpha" if i % 3 == 0 \
+                else f"rare{i} common beta gamma{i % 53}"
+            rows.append({"doc_id": i, "text": text})
+        rows.append({"doc_id": 400, "text": None})
+        ds = ray.data.from_items(rows).repartition(7)
+        out = heavy_doc_tokens(ds, phi_inv=10, text_col="text",
+                               id_col="doc_id").take_all()
+        got = {r["token"]: r["df"] for r in out}
+
+        word_re = re.compile(r"[a-z0-9']+")
+        df = Counter()
+        for r in rows:
+            for tok in set(word_re.findall((r["text"] or "").lower())):
+                df[tok] += 1
+        want = {t: c for t, c in df.items() if c * 10 >= len(rows)}
+        assert got == want
+        # result order is deterministic (sorted by token)
+        assert [r["token"] for r in out] == sorted(got)
+
+
 class TestSimhashNearDup:
     def test_pigeonhole_pairs_match_brute_force(self, ray_session):
         """simhash_near_dup_pairs must find EXACTLY the pairs within
