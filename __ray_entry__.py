@@ -60,7 +60,8 @@ def oracle_sql() -> dict[str, str]:
     minhash/simhash signatures + their candidate/verified pair sets,
     rolling fp, LSH/IVF/IVF-PQ ANN, langid, multimodal image/audio,
     HLL sketch, bigram entropy, near-dup curation, winnowing dup
-    spans + span removal, FFD sequence packing) are genuinely
+    spans + span removal, FFD sequence packing, unigram-LM
+    perplexity) are genuinely
     non-SQL-expressible or not hash-stable cross-engine (float
     log-sums) → rows-only check.  Note connected components IS oracled
     (recursive CTE), as are the Gopher/C4/BPE text-quality signals

@@ -1,0 +1,214 @@
+"""Unigram language-model perplexity scoring for corpus quality.
+
+Semantics follow the published LLM-corpus practice (Wenzek et al.,
+"CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+Data", LREC 2020; also Brown et al. 2020 §2.2's quality filtering):
+train a language model on the corpus (CCNet uses a KenLM 5-gram; this
+is the documented unigram simplification — no external LM deps in the
+env), then score every document's perplexity and bucket/filter on it.
+Reference parity note: the reference engine has no LM scoring; this is
+part of the §"beyond the reference" LLM-pipeline family, like
+`ops/decontam.py`.
+
+Scale shape (the part that matters at 100 TB):
+
+* training is ONE vocabulary-keyed exchange: per-batch vectorized
+  token counts (Arrow ``split_pattern_regex`` + ``group_by`` — the
+  map-side partial collapses a Zipfian batch to its distinct tokens),
+  hash-partitioned on token, per-partition sum + top-``vocab_size``
+  truncation.  The driver pull is bounded by ``num_parts × vocab_size``
+  rows (partitions are disjoint by token, so the global top-V is the
+  top-V of the per-partition top-Vs); corpus total-token counts ride
+  along as exact per-partition sentinel sums, so OOV mass is priced
+  correctly no matter how hard the tail is truncated.
+* scoring is a single ``map_batches`` scan: the logprob table
+  (sorted uint64 token hashes + float64 logprobs) broadcasts ONCE via
+  ``ray.put``; lookups are ``np.searchsorted`` on the hash array and
+  per-doc means are one segmented ``np.add.reduceat``.  No shuffle
+  touches the corpus side.
+
+Token→uint64 hashing uses the same polars 64-bit hash as
+`stages/canonicalize.hash_mod` — internal only (the table is built and
+consumed inside one job; never compared across engines), with the
+usual negligible-collision caveat.  Tokenization matches the repo-wide
+DuckDB-parity contract: maximal ``[a-z0-9']+`` runs of lowered text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# sentinel token carrying each partition's PRE-truncation total count
+_TOTAL_KEY = "\x00__total__"
+
+
+def _hash64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Stable vectorized 64-bit token hash (polars; same primitive as
+    canonicalize.hash_mod)."""
+    import polars as pl
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return (pl.from_arrow(pa.chunked_array([arr.cast(pa.large_string())]))
+            .hash(seed=0).to_numpy().astype(np.uint64))
+
+
+def _tokenize(batch: pa.Table, text_col: str):
+    """(flat tokens, per-doc lengths) with the repo tokenization
+    contract — all Arrow kernels."""
+    col = batch[text_col]
+    if pa.types.is_null(col.type):  # all-None batch
+        col = col.cast(pa.large_string())
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(col, "")), pattern="[^a-z0-9']+")
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    if len(flat) and not pc.all(keep).as_py():
+        # recompute per-doc lengths over the non-empty tokens only
+        n = batch.num_rows
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        doc_idx = doc_idx[keep.to_numpy(zero_copy_only=False)]
+        lens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        flat = flat.filter(keep)
+    return flat, lens
+
+
+def train_unigram_lm(ds, text_col: str = "text",
+                     vocab_size: int = 65_536, num_parts: int = 32) -> dict:
+    """Distributed exact top-``vocab_size`` unigram counts + corpus
+    total, folded to a broadcast-ready logprob table ``{"hash":
+    sorted uint64[V], "logp": float64[V], "unk": float}``.
+
+    In-vocab: ``log(c / total)`` (MLE).  OOV: ``log(0.5 / total)`` —
+    strictly below the rarest possible vocab entry (count 1), so
+    truncation never *rewards* unseen tokens."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _tokenize(batch, text_col)
+        t = (pa.table({"token": flat})
+             .group_by(["token"], use_threads=False)
+             .aggregate([([], "count_all")])
+             .rename_columns(["token", "c"]))
+        if t.num_rows == 0:
+            return pa.table({"token": pa.array([], type=pa.large_string()),
+                             "c": pa.array([], type=pa.int64()),
+                             "__part": pa.array([], type=pa.int32())})
+        from ..stages.canonicalize import hash_mod
+
+        return pa.table({
+            "token": t["token"].cast(pa.large_string()),
+            "c": pc.cast(t["c"], pa.int64()),
+            "__part": hash_mod(t["token"], num_parts),
+        })
+
+    def per_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"token": pa.array([], type=pa.large_string()),
+                             "c": pa.array([], type=pa.int64())})
+        agg = (group.select(["token", "c"])
+               .group_by(["token"], use_threads=False)
+               .aggregate([("c", "sum")])
+               .rename_columns(["token", "c"]))
+        total = int(pc.sum(agg["c"]).as_py() or 0)
+        top = (agg.sort_by([("c", "descending"), ("token", "ascending")])
+               .slice(0, vocab_size))
+        return pa.table({
+            "token": pa.concat_arrays(
+                [top["token"].combine_chunks().cast(pa.large_string()),
+                 pa.array([_TOTAL_KEY], type=pa.large_string())]),
+            "c": pa.concat_arrays(
+                [top["c"].combine_chunks().cast(pa.int64()),
+                 pa.array([total], type=pa.int64())]),
+        })
+
+    parts = (ds.select_columns([text_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("__part")
+             .map_groups(per_part, batch_format="pyarrow"))
+    toks: list = []
+    counts: list = []
+    total = 0
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        tl = b["token"].to_pylist()
+        cl = b["c"].to_pylist()
+        for t, c in zip(tl, cl):
+            if t == _TOTAL_KEY:
+                total += c
+            else:
+                toks.append(t)
+                counts.append(c)
+    if total == 0:
+        return {"hash": np.empty(0, dtype=np.uint64),
+                "logp": np.empty(0, dtype=np.float64),
+                "unk": 0.0, "total": 0, "vocab": 0}
+    counts = np.asarray(counts, dtype=np.int64)
+    # global top-V: partitions are token-disjoint, so per-partition
+    # sums are final and a driver-side head over ≤ parts × V rows is
+    # exact (ties broken by token for determinism)
+    order = np.lexsort((np.asarray(toks, dtype=object), -counts))
+    order = order[:vocab_size]
+    tok_arr = pa.array([toks[i] for i in order], type=pa.large_string())
+    h = _hash64(tok_arr)
+    sort = np.argsort(h, kind="stable")
+    return {"hash": h[sort],
+            "logp": np.log(counts[order][sort] / total),
+            "unk": float(np.log(0.5 / total)),
+            "total": int(total), "vocab": len(order)}
+
+
+def perplexity_scores(ds, lm, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Per-document unigram perplexity ``exp(-mean log p(tok))`` as a
+    single broadcast-lookup scan.  ``lm`` is a table from
+    ``train_unigram_lm`` or a ``ray.ObjectRef`` to one — pass the ref
+    for real corpora so the table ships to plasma once, not once per
+    task pickle.  Output: ``(id_col, n_tokens, ppl)``; 0-token docs get
+    ``ppl = null``."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        # plain task, not an actor pool: ray.get of an already-local
+        # plasma object is ~µs and warm general-pool workers beat
+        # actor cold start (see ops/decontam.py)
+        tab = lm
+        try:
+            import ray
+
+            if isinstance(tab, ray.ObjectRef):
+                tab = ray.get(tab)
+        except ImportError:  # pragma: no cover - ray always present
+            pass
+        flat, lens = _tokenize(batch, text_col)
+        n = batch.num_rows
+        if len(flat) == 0:
+            return pa.table({
+                id_col: batch[id_col],
+                "n_tokens": pa.array(np.zeros(n, dtype=np.int64)),
+                "ppl": pa.nulls(n, type=pa.float64()),
+            })
+        h = _hash64(flat)
+        vocab_h, logp = tab["hash"], tab["logp"]
+        if len(vocab_h) == 0:
+            lp = np.full(len(h), tab["unk"])
+        else:
+            pos = np.searchsorted(vocab_h, h)
+            in_v = pos < len(vocab_h)
+            pos_c = np.where(in_v, pos, 0)
+            lp = np.where(in_v & (vocab_h[pos_c] == h),
+                          logp[pos_c], tab["unk"])
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.add.reduceat(lp, starts)
+        sums[lens == 0] = 0.0  # reduceat repeats on empty segments
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppl = np.exp(-sums / lens)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(lens.astype(np.int64)),
+            "ppl": pa.array(np.where(lens > 0, ppl, np.nan),
+                            mask=(lens == 0)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

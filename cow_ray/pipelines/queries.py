@@ -674,6 +674,22 @@ SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
 """
 
 
+def q_doc_perplexity(sf_dir: str):
+    """CCNet-style unigram-LM perplexity scoring (Wenzek et al. 2020
+    semantics, documented unigram simplification): train exact top-V
+    unigram counts in one vocabulary-keyed exchange, broadcast the
+    logprob table via ``ray.put``, score every doc in one scan.
+    Rows-only: float log-sums are not hash-stable cross-engine (same
+    declared class as langid)."""
+    import ray
+
+    from ..ops.lm import perplexity_scores, train_unigram_lm
+
+    docs = _docs(sf_dir, blocks=8)
+    lm = train_unigram_lm(docs, vocab_size=4096)
+    return perplexity_scores(docs, ray.put(lm))
+
+
 def q_heavy_tokens(sf_dir: str):
     """Exact φ-heavy-hitter tokens (document frequency ≥ 1/20 of the
     corpus) via Misra-Gries candidate sketches + one broadcast exact
@@ -1960,6 +1976,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "token_doc_freq": q_token_doc_freq,
     "heavy_tokens": q_heavy_tokens,
+    "doc_perplexity": q_doc_perplexity,
     "decontam_docs": q_decontam_docs,
     "curate_docs": q_curate_docs,
     "curate_docs_neardup": q_curate_docs_neardup,

@@ -1025,6 +1025,92 @@ class TestHeavyHitters:
         assert [r["token"] for r in out] == sorted(got)
 
 
+class TestUnigramLM:
+    def _brute(self, rows, vocab_size):
+        """Pure-Python oracle: exact top-V unigram MLE + unk floor."""
+        import math
+        import re
+        from collections import Counter
+
+        word_re = re.compile(r"[a-z0-9']+")
+        c = Counter()
+        for r in rows:
+            c.update(word_re.findall((r["text"] or "").lower()))
+        total = sum(c.values())
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+        logp = {t: math.log(n / total) for t, n in top}
+        unk = math.log(0.5 / total)
+        out = {}
+        for r in rows:
+            toks = word_re.findall((r["text"] or "").lower())
+            if not toks:
+                out[r["doc_id"]] = (0, None)
+                continue
+            s = sum(logp.get(t, unk) for t in toks)
+            out[r["doc_id"]] = (len(toks), math.exp(-s / len(toks)))
+        return out
+
+    def test_perplexity_matches_brute_force(self, ray_session):
+        import math
+
+        import ray
+        import ray.data
+
+        from cow_ray.ops.lm import perplexity_scores, train_unigram_lm
+
+        rows = [
+            {"doc_id": 0, "text": "the cat sat on the mat"},
+            {"doc_id": 1, "text": "the the the the"},
+            {"doc_id": 2, "text": "zyxgleeb snorfle quux"},  # all OOV-ish
+            {"doc_id": 3, "text": ""},
+            {"doc_id": 4, "text": None},
+            {"doc_id": 5, "text": "cat mat dog dog dog bird"},
+        ] + [{"doc_id": 6 + i, "text": f"common word{i % 5} tail{i}"}
+             for i in range(60)]
+        ds = ray.data.from_items(rows).repartition(5)
+        lm = train_unigram_lm(ds, vocab_size=16)
+        got = {r["doc_id"]: (r["n_tokens"], r["ppl"])
+               for r in perplexity_scores(ds, ray.put(lm)).take_all()}
+        want = self._brute(rows, 16)
+        assert set(got) == set(want)
+        for did, (n, ppl) in want.items():
+            gn, gp = got[did]
+            assert gn == n
+            if ppl is None:
+                assert gp is None
+            else:
+                assert math.isclose(gp, ppl, rel_tol=1e-9), (did, gp, ppl)
+
+    def test_truncation_and_totals(self, ray_session):
+        """OOV mass must be priced against the PRE-truncation total:
+        vocab_size=1 keeps only the top token, but `total` counts
+        every token in the corpus."""
+        import math
+
+        import ray.data
+
+        from cow_ray.ops.lm import train_unigram_lm
+
+        ds = ray.data.from_items(
+            [{"doc_id": 0, "text": "a a a b c"}]).repartition(1)
+        lm = train_unigram_lm(ds, vocab_size=1)
+        assert lm["total"] == 5 and lm["vocab"] == 1
+        assert math.isclose(lm["logp"][0], math.log(3 / 5))
+        assert math.isclose(lm["unk"], math.log(0.5 / 5))
+
+    def test_empty_corpus(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.lm import perplexity_scores, train_unigram_lm
+
+        ds = ray.data.from_items(
+            [{"doc_id": 1, "text": ""}, {"doc_id": 2, "text": None}])
+        lm = train_unigram_lm(ds)
+        assert lm["total"] == 0
+        out = perplexity_scores(ds, lm).take_all()
+        assert {r["doc_id"]: r["ppl"] for r in out} == {1: None, 2: None}
+
+
 class TestSimhashNearDup:
     def test_pigeonhole_pairs_match_brute_force(self, ray_session):
         """simhash_near_dup_pairs must find EXACTLY the pairs within
