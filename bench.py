@@ -138,6 +138,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "neardup_verified_docs",
         "doc_fingerprint", "doc_repetition", "doc_c4_quality",
         "doc_bpe_tokens", "ann_topk", "ann_ivf_pq_topk", "emb_near_dup",
+        "emb_kmeans", "semdedup_embeddings",
         "near_dup_components",
         "q1_pricing_summary", "top_parts_by_qty", "orders_by_nation",
         "lineitem_qty_bands", "events_sliding",

@@ -922,6 +922,30 @@ def q_emb_near_dup(sf_dir: str):
     return out.select_columns(["id_a", "id_b"])
 
 
+def q_emb_kmeans(sf_dir: str):
+    """Distributed Lloyd's over the embedding table (rows-only:
+    iterative — not SQL-expressible; pinned against a single-process
+    numpy reference + bitwise run-to-run determinism in
+    tests/test_cluster.py)."""
+    from ..ops.cluster import kmeans, kmeans_assign
+
+    ds = _read(sf_dir, "embeddings")
+    cent, _ = kmeans(ds, k=8, iters=6, seed=13)
+    return kmeans_assign(ds, cent, keep_vec=False).select_columns(
+        ["vec_id", "cluster"])
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup semantic dedup (rows-only: clustering is iterative;
+    keep-set pinned against a brute-force within-cluster union-find
+    oracle in tests/test_cluster.py).  0.45 matches emb_near_dup's
+    non-empty-at-every-sf threshold rationale above."""
+    from ..ops.cluster import semdedup
+
+    return semdedup(_read(sf_dir, "embeddings"), k=8, threshold=0.45,
+                    iters=6, seed=13)
+
+
 SQL_EMB_NEAR_DUP = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM embeddings a, embeddings b
@@ -1989,6 +2013,8 @@ QUERIES = {
     "despanned_docs": q_despanned_docs,
     "packed_docs": q_packed_docs,
     "emb_near_dup": q_emb_near_dup,
+    "emb_kmeans": q_emb_kmeans,
+    "semdedup_embeddings": q_semdedup_embeddings,
     "near_dup_components": q_near_dup_components,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
