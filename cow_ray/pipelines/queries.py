@@ -674,6 +674,65 @@ SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
 """
 
 
+BM25_TERMS = ["dup", "merge", "window"]  # mixed-df demo query
+
+
+def q_bm25_docs(sf_dir: str):
+    """Okapi BM25 top-10 ranked retrieval (ops/bm25.py).  Hash-exact
+    vs the SQL oracle: idf quantized to micros, contributions
+    accumulated in integer nanos (order-free), rank tie-broken by
+    doc_id."""
+    from ..ops.bm25 import bm25_topk
+
+    return bm25_topk(_docs(sf_dir, blocks=8), BM25_TERMS, k=10)
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+SQL_BM25_DOCS = f"""
+WITH toks AS (
+  SELECT d.doc_id, t.token
+    FROM documents d,
+         unnest(string_split_regex(lower(d.text), '[^a-z0-9'']+'))
+         AS t(token)
+   WHERE t.token <> ''
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         count(*) AS n_tokens
+    FROM toks
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ({_BM25_IN}) GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+        WHERE token IN ({_BM25_IN}) GROUP BY token),
+idf AS (
+  SELECT df.token,
+         floor(ln(1 + (s.n_docs - df.df + 0.5::DOUBLE)
+                      / (df.df + 0.5::DOUBLE)) * 1e6 + 0.5) / 1e6
+           AS idf
+    FROM df, stats s
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(CAST(floor(
+           idf.idf * tf.tf * (1.2::DOUBLE + 1)
+           / (tf.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE
+              + 0.75::DOUBLE * dl.dl
+                / (CAST(s.n_tokens AS DOUBLE) / s.n_docs)))
+           * 1e9 + 0.5) AS BIGINT)) AS score_n9
+    FROM tf
+    JOIN dl USING (doc_id)
+    JOIN idf ON idf.token = tf.token, stats s
+   GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(score_n9 AS DOUBLE) / 1e9 AS score,
+       CAST(row_number() OVER (ORDER BY score_n9 DESC, doc_id)
+            AS BIGINT) AS rank
+  FROM scored ORDER BY rank LIMIT 10
+"""
+
+
 def q_doc_perplexity(sf_dir: str):
     """CCNet-style unigram-LM perplexity scoring (Wenzek et al. 2020
     semantics, documented unigram simplification): train exact top-V
@@ -1999,6 +2058,7 @@ QUERIES = {
     "stratified_docs": q_stratified_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
     "token_doc_freq": q_token_doc_freq,
+    "bm25_docs": q_bm25_docs,
     "heavy_tokens": q_heavy_tokens,
     "doc_perplexity": q_doc_perplexity,
     "decontam_docs": q_decontam_docs,
@@ -2053,6 +2113,7 @@ ORACLES = {
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "token_doc_freq": SQL_TOKEN_DOC_FREQ,
+    "bm25_docs": SQL_BM25_DOCS,
     "heavy_tokens": SQL_HEAVY_TOKENS,
     "decontam_docs": SQL_DECONTAM_DOCS,
     "curate_docs": SQL_CURATE_DOCS,

@@ -1626,3 +1626,44 @@ class TestCodecs:
         assert abs(r["dec_duration_s"] - 1.0) < 1e-9
         feats = np_.asarray(r["features"])
         assert feats.argmax() == 0  # 440 Hz → band [0, 1000)
+
+
+class TestBM25:
+    def test_matches_duckdb_oracle(self, docs_ds):
+        """End-to-end equality with the SQL oracle (independent
+        engine) on the real table — scores exact, not approximate."""
+        import duckdb
+
+        from cow_ray.pipelines.queries import SQL_BM25_DOCS
+
+        from cow_ray.ops.bm25 import bm25_topk
+
+        got = bm25_topk(docs_ds, ["dup", "merge", "window"],
+                        k=10).take_all()
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{DOCS}')")
+        want = con.execute(SQL_BM25_DOCS).fetchall()
+        assert [(r["doc_id"], r["score"], r["rank"]) for r in got] \
+            == [tuple(w) for w in want]
+        assert len(got) == 10
+
+    def test_rare_term_outranks_common(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.bm25 import bm25_topk
+
+        rows = [{"doc_id": i, "text": "alpha beta " * 5} for i in
+                range(20)]
+        rows[7]["text"] = "alpha beta zebra " * 3  # only doc w/ zebra
+        ds = ray.data.from_items(rows).repartition(4)
+        out = bm25_topk(ds, ["zebra", "alpha"], k=3).take_all()
+        assert out[0]["doc_id"] == 7 and out[0]["rank"] == 1
+
+    def test_absent_term_and_empty_terms(self, docs_ds):
+        from cow_ray.ops.bm25 import bm25_topk
+
+        out = bm25_topk(docs_ds, ["merge", "qzxv"], k=5).take_all()
+        assert len(out) == 5  # absent term contributes nothing
+        with pytest.raises(ValueError):
+            bm25_topk(docs_ds, [])
