@@ -674,6 +674,135 @@ SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
 """
 
 
+def _synth_url_batch(batch):
+    """Deterministic messy-URL fixture derived from doc_id — the SQL
+    oracle builds the identical strings (SQL_URL_SYNTH), so the URL
+    ops are tested on mixed-case hosts, default/odd ports, tracking
+    params at head/mid positions, and second-level public suffixes."""
+    import pyarrow as pa
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    s = ids.astype("U20")
+    scheme = np.where(ids % 2 == 0, "https", "http")
+    m4 = ids % 4
+    host = np.select(
+        [m4 == 0, m4 == 1, m4 == 2],
+        ["WWW.Example.COM", "News.Example.co.uk",
+         np.char.add(np.char.add("cdn.site", (ids % 7).astype("U4")),
+                     ".org")],
+        "blog.EXAMPLE.net")
+    port = np.select(
+        [(ids % 5 == 0) & (ids % 2 == 0), ids % 5 == 0, ids % 10 == 3],
+        [":443", ":80", ":8080"], "")
+    path = np.char.add("/A/", s)
+    query = np.select(
+        [ids % 3 == 0, ids % 3 == 1],
+        [np.char.add("?utm_source=feed&id=", s),
+         np.char.add(np.char.add("?id=", s),
+                     "&utm_campaign=x&gclid=abc&page=2")], "")
+    url = scheme
+    for part in ["://", host, port, path, query]:
+        url = np.char.add(url, part)
+    return batch.append_column("url", pa.array(url.tolist(),
+                                               type=pa.string()))
+
+
+SQL_URL_SYNTH = """
+  SELECT doc_id, n_chars,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+         || '://'
+         || (CASE doc_id % 4
+             WHEN 0 THEN 'WWW.Example.COM'
+             WHEN 1 THEN 'News.Example.co.uk'
+             WHEN 2 THEN 'cdn.site' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.org'
+             ELSE 'blog.EXAMPLE.net' END)
+         || (CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 0 THEN ':443'
+                  WHEN doc_id % 5 = 0 THEN ':80'
+                  WHEN doc_id % 10 = 3 THEN ':8080' ELSE '' END)
+         || '/A/' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 3 = 1
+                  THEN '?id=' || CAST(doc_id AS VARCHAR)
+                       || '&utm_campaign=x&gclid=abc&page=2'
+                  ELSE '' END) AS url
+    FROM documents
+"""
+
+SQL_URL_NORM_FIELDS = """
+  SELECT doc_id, n_chars, url,
+         lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               '^([^:]*)', 1)) AS host,
+         regexp_extract(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               ':([0-9]+)$', 1) AS port,
+         regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+           AS path,
+         regexp_replace(regexp_replace(
+               regexp_extract(url, '\\?([^#]*)', 1),
+               '(?:^|&)(?:utm_[a-z0-9_]*|fbclid|gclid)=[^&]*', '',
+               'g'), '^&', '') AS cq
+    FROM synth
+"""
+
+
+def q_url_normalized(sf_dir: str):
+    """URL normalization parity query (ops/urls.py): per-row
+    (doc_id, norm_url, domain) over the synthesized messy URLs."""
+    from ..ops.urls import parse_urls
+
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "n_chars"]).map_batches(
+        _synth_url_batch, batch_format="pyarrow")
+    return parse_urls(ds).select_columns(["doc_id", "norm_url",
+                                          "domain"])
+
+
+SQL_URL_NORMALIZED = f"""
+WITH synth AS ({SQL_URL_SYNTH}),
+f AS ({SQL_URL_NORM_FIELDS})
+SELECT doc_id,
+       scheme || '://' || host
+       || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443')
+                THEN '' ELSE ':' || port END)
+       || path
+       || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS norm_url,
+       regexp_extract(host,
+         '([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|gov\\.uk|com\\.au|co\\.jp)|[^.]+\\.[^.]+)$',
+         1) AS domain
+  FROM f
+"""
+
+
+def q_url_domain_stats(sf_dir: str):
+    """Per-registered-domain rollup over the synthesized URLs:
+    (domain, n_pages, sum_chars)."""
+    from ..ops.urls import domain_stats
+
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "n_chars"]).map_batches(
+        _synth_url_batch, batch_format="pyarrow")
+    return domain_stats(ds, chars_col="n_chars")
+
+
+SQL_URL_DOMAIN_STATS = f"""
+WITH synth AS ({SQL_URL_SYNTH}),
+f AS ({SQL_URL_NORM_FIELDS})
+SELECT regexp_extract(host,
+         '([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|gov\\.uk|com\\.au|co\\.jp)|[^.]+\\.[^.]+)$',
+         1) AS domain,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM f GROUP BY domain
+"""
+
+
 BM25_TERMS = ["dup", "merge", "window"]  # mixed-df demo query
 
 
@@ -2059,6 +2188,8 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "token_doc_freq": q_token_doc_freq,
     "bm25_docs": q_bm25_docs,
+    "url_normalized": q_url_normalized,
+    "url_domain_stats": q_url_domain_stats,
     "heavy_tokens": q_heavy_tokens,
     "doc_perplexity": q_doc_perplexity,
     "decontam_docs": q_decontam_docs,
@@ -2114,6 +2245,8 @@ ORACLES = {
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "token_doc_freq": SQL_TOKEN_DOC_FREQ,
     "bm25_docs": SQL_BM25_DOCS,
+    "url_normalized": SQL_URL_NORMALIZED,
+    "url_domain_stats": SQL_URL_DOMAIN_STATS,
     "heavy_tokens": SQL_HEAVY_TOKENS,
     "decontam_docs": SQL_DECONTAM_DOCS,
     "curate_docs": SQL_CURATE_DOCS,

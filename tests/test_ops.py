@@ -1667,3 +1667,43 @@ class TestBM25:
         assert len(out) == 5  # absent term contributes nothing
         with pytest.raises(ValueError):
             bm25_topk(docs_ds, [])
+
+
+class TestUrls:
+    def test_parse_batch_edges(self):
+        from cow_ray.ops.urls import parse_batch
+
+        t = pa.table({"url": pa.array([
+            "https://WWW.Ex.COM:443/A/1?utm_source=f&id=1",
+            "http://x.co.uk:80/p?utm_a=1&utm_b=2",
+            "http://Host.NET:8080/P?id=3&gclid=z&page=2#frag",
+            "ftp://files.example.org/x",
+            "not a url",
+            "https://single",
+        ])})
+        out = parse_batch(t)
+        norm = out["norm_url"].to_pylist()
+        dom = out["domain"].to_pylist()
+        assert norm[0] == "https://www.ex.com/A/1?id=1"
+        assert norm[1] == "http://x.co.uk/p"          # all params tracked
+        assert norm[2] == "http://host.net:8080/P?id=3&page=2"
+        assert norm[3] == "ftp://files.example.org/x"  # port absent
+        assert norm[4] is None and dom[4] is None      # unparsed
+        assert norm[5] == "https://single"
+        assert dom[0] == "ex.com" and dom[1] == "x.co.uk"
+        assert dom[5] == ""  # single-label host has no registered dom
+
+    def test_domain_stats_counts(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.urls import domain_stats
+
+        rows = ([{"url": "https://a.example.com/1", "c": 2}] * 3
+                + [{"url": "http://b.example.co.uk/2", "c": 5}] * 2
+                + [{"url": "junk", "c": 1}])
+        ds = ray.data.from_items(rows).repartition(3)
+        got = {r["domain"]: (r["n_pages"], r["sum_chars"])
+               for r in domain_stats(ds, chars_col="c").take_all()}
+        assert got == {"example.com": (3, 6),
+                       "example.co.uk": (2, 10),
+                       "<unparsed>": (1, 1)}
