@@ -140,7 +140,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "doc_fingerprint", "doc_repetition", "doc_c4_quality",
         "doc_bpe_tokens", "ann_topk", "ann_ivf_pq_topk", "emb_near_dup",
         "emb_kmeans", "semdedup_embeddings",
-        "near_dup_components",
+        "near_dup_components", "pagerank_docs",
         "q1_pricing_summary", "top_parts_by_qty", "orders_by_nation",
         "lineitem_qty_bands", "events_sliding",
         "events_hourly", "events_first", "events_asof_orders",

@@ -386,3 +386,175 @@ def connected_components(edges, col_a: str = "id_a", col_b: str = "id_b",
 
     return staged.groupby("__part").map_groups(
         part_min, batch_format="pyarrow")
+
+
+
+# ---------------------------------------------------------------------------
+# PageRank (Page et al., 1999) — fixed-iteration, exact-integer variant
+# ---------------------------------------------------------------------------
+
+_RANK_SCHEMA = pa.schema([("node", pa.int64()), ("rank_n9", pa.int64()),
+                          ("rank", pa.float64())])
+
+
+def _pr_scatter(block: pa.Table, P: int, col_src: str, col_dst: str):
+    """One input block → P edge sub-tables bucketed by hash(src) and
+    P candidate-node sub-arrays bucketed by hash(node) (srcs and dsts
+    both contribute node candidates)."""
+    s = _np_col(block, col_src)
+    d = _np_col(block, col_dst)
+    ep = _hash_part(s, P)
+    order = np.argsort(ep, kind="stable")
+    s, d, ep = s[order], d[order], ep[order]
+    bounds = np.searchsorted(ep, np.arange(P + 1))
+    edge_parts = [
+        pa.table({"src": pa.array(s[bounds[p]:bounds[p + 1]]),
+                  "dst": pa.array(d[bounds[p]:bounds[p + 1]])})
+        for p in range(P)]
+    cand = np.unique(np.concatenate([s, d]))
+    np_part = _hash_part(cand, P)
+    node_parts = [pa.array(cand[np_part == p]) for p in range(P)]
+    return (*edge_parts, *node_parts)
+
+
+def _pr_build(n_edge_subs: int, *subs):
+    """Assemble one partition: concat edges, attach outdeg (all of a
+    src's edges are in its partition, so outdeg is local), distinct
+    sorted node list.  ``subs`` = edge sub-tables then node sub-arrays
+    (flat *args because Ray only resolves TOP-LEVEL ObjectRef
+    arguments — refs inside a list would arrive unresolved).
+    Returns (edges_table, nodes_array, n_nodes)."""
+    edge_subs = subs[:n_edge_subs]
+    node_subs = subs[n_edge_subs:]
+    et = pa.concat_tables([t for t in edge_subs if t.num_rows])\
+        if any(t.num_rows for t in edge_subs) else \
+        pa.table({"src": pa.array([], type=pa.int64()),
+                  "dst": pa.array([], type=pa.int64())})
+    s = _np_col(et, "src") if et.num_rows else np.array([], np.int64)
+    if s.size:
+        uniq, inv, cnt = np.unique(s, return_inverse=True,
+                                   return_counts=True)
+        outdeg = cnt[inv]
+    else:
+        outdeg = np.array([], dtype=np.int64)
+    nodes = (np.unique(np.concatenate([a.to_numpy() for a in node_subs]))
+             if node_subs else np.array([], dtype=np.int64))
+    et = pa.table({"src": pa.array(s),
+                   "dst": pa.array(_np_col(et, "dst") if et.num_rows
+                                   else np.array([], np.int64)),
+                   "outdeg": pa.array(outdeg)})
+    return et, nodes, int(nodes.size)
+
+
+def _pr_contrib(edges: pa.Table, nodes: np.ndarray, ranks: np.ndarray,
+                P: int):
+    """One iteration, map half for one partition: contribution
+    ``r[src] // outdeg`` per edge, combined by dst locally, bucketed
+    by hash(dst) → P (dst, c) sub-tables."""
+    empty = pa.table({"dst": pa.array([], type=pa.int64()),
+                      "c": pa.array([], type=pa.int64())})
+    if edges.num_rows == 0:
+        return tuple([empty] * P)
+    src = _np_col(edges, "src")
+    dst = _np_col(edges, "dst")
+    outdeg = _np_col(edges, "outdeg")
+    r_src = ranks[np.searchsorted(nodes, src)]
+    c = r_src // outdeg
+    du, inv = np.unique(dst, return_inverse=True)
+    cs = np.zeros(len(du), dtype=np.int64)
+    np.add.at(cs, inv, c)
+    dp = _hash_part(du, P)
+    return tuple(
+        pa.table({"dst": pa.array(du[dp == p]),
+                  "c": pa.array(cs[dp == p])}) for p in range(P))
+
+
+def _pr_update(nodes: np.ndarray, base: int, *contrib_subs):
+    """One iteration, reduce half for one partition: sum inbound
+    contributions per node, apply base + (85·s)//100.  Flat *args for
+    the same top-level-ref-resolution reason as ``_pr_build``."""
+    s = np.zeros(nodes.size, dtype=np.int64)
+    for t in contrib_subs:
+        if t.num_rows:
+            np.add.at(s, np.searchsorted(nodes, _np_col(t, "dst")),
+                      _np_col(t, "c"))
+    return base + (85 * s) // 100
+
+
+def pagerank(edges, iters: int = 5, col_src: str = "src",
+             col_dst: str = "dst", num_partitions: int = 16):
+    """Fixed-iteration PageRank over an edge Dataset, returning a
+    Dataset ``(node, rank_n9, rank)`` for every node in src ∪ dst.
+
+    Exact-integer contract (mirrored literally by the unrolled SQL
+    oracle ``pipelines.queries.SQL_PAGERANK_DOCS``, so results
+    hash-match across engines with ZERO float-reassociation risk):
+
+    * ranks live in int64 "nanos"; ``r0 = 10^9 // n``
+    * per-edge contribution = ``r[src] // outdeg[src]`` (floor div)
+    * ``r' = (150_000_000 // n) + (85 · Σ contrib) // 100``
+      (damping 0.85 as the 85/100 integer ratio; dangling mass is
+      dropped — documented variant)
+
+    Execution is the justified raw-Ray escape this module's docstring
+    reserves for iteration state the Dataset API cannot co-partition:
+    a Dataset ``groupby`` costs a fixed ~2 s exchange and PageRank
+    needs 2·iters of them (measured 55 s for 5 iterations at toy
+    scale).  Instead the edge list is hash-scattered by src ONCE into
+    ``P`` object-store partitions (outdeg local to each), node lists
+    by hash(node), and each iteration is 2·P small tasks passing
+    O(P²) *refs* through the driver — the Pregel/SpMV shape.  Data
+    never leaves the object store; driver traffic is refs and per-
+    partition counts only.  At cluster scale P scales with cores and
+    each partition is one task's working set.
+    """
+    import ray
+    import ray.data
+
+    P = num_partitions
+    scatter = ray.remote(num_returns=2 * P)(_pr_scatter)
+    build = ray.remote(num_returns=3)(_pr_build)
+    contrib = ray.remote(num_returns=P)(_pr_contrib)
+    update = ray.remote(_pr_update)
+
+    blocks = (edges.select_columns([col_src, col_dst])
+              .map_batches(lambda b: b, batch_format="pyarrow")
+              .materialize())
+    block_refs = []
+    for bundle in blocks.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    if not block_refs:
+        return ray.data.from_arrow(_RANK_SCHEMA.empty_table())
+
+    scat = [scatter.remote(br, P, col_src, col_dst)
+            for br in block_refs]  # each: 2P refs
+    edge_refs, node_refs, counts = [], [], []
+    for p in range(P):
+        e, nv, c = build.remote(
+            len(scat), *[s[p] for s in scat], *[s[P + p] for s in scat])
+        edge_refs.append(e)
+        node_refs.append(nv)
+        counts.append(c)
+    n = sum(ray.get(counts))
+    if n == 0:
+        return ray.data.from_arrow(_RANK_SCHEMA.empty_table())
+    r0 = 1_000_000_000 // n
+    base = 150_000_000 // n
+
+    init = ray.remote(lambda nv: np.full(nv.size, r0, dtype=np.int64))
+    rank_refs = [init.remote(nv) for nv in node_refs]
+
+    for _ in range(iters):
+        cref = [contrib.remote(edge_refs[p], node_refs[p], rank_refs[p],
+                               P) for p in range(P)]
+        rank_refs = [update.remote(node_refs[p], base,
+                                   *[cref[q][p] for q in range(P)])
+                     for p in range(P)]
+
+    finish = ray.remote(
+        lambda nv, r: pa.table({"node": pa.array(nv),
+                                "rank_n9": pa.array(r),
+                                "rank": pa.array(r / 1e9)}))
+    out_refs = [finish.remote(node_refs[p], rank_refs[p])
+                for p in range(P)]
+    return ray.data.from_arrow_refs(out_refs)

@@ -803,6 +803,62 @@ SELECT regexp_extract(host,
 """
 
 
+def q_pagerank_docs(sf_dir: str):
+    """Fixed-iteration PageRank (ops/graph.py pagerank) over a
+    deterministic synthetic link graph: doc i links to
+    (7i + 13j) mod n for j ∈ {1,2,3}.  Integer-nano arithmetic makes
+    the unrolled-CTE DuckDB oracle hash-exact."""
+    from ..ops.graph import pagerank
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    n = ds.count()
+
+    def mk_edges(batch):
+        import pyarrow as pa
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = np.repeat(ids, 3)
+        j = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array((7 * src + 13 * j) % n,
+                                         type=pa.int64())})
+
+    return pagerank(ds.map_batches(mk_edges, batch_format="pyarrow"),
+                    iters=5)
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    head = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT d.doc_id AS src, (7 * d.doc_id + 13 * j.j) % nn.n AS dst
+        FROM documents d CROSS JOIN (VALUES (1), (2), (3)) AS j(j)
+        CROSS JOIN nn),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node, 1000000000 // nn.n AS r FROM nodes CROSS JOIN nn)"""
+    its = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        its.append(f"""
+s{i} AS (SELECT e.dst AS node, sum(r{p}.r // deg.outdeg) AS s
+          FROM e JOIN r{p} ON r{p}.node = e.src
+                 JOIN deg ON deg.src = e.src
+         GROUP BY e.dst),
+r{i} AS (SELECT nd.node,
+               (150000000 // nn.n) + (85 * COALESCE(s{i}.s, 0)) // 100
+                 AS r
+          FROM nodes nd LEFT JOIN s{i} ON s{i}.node = nd.node
+          CROSS JOIN nn)""")
+    tail = f"""
+SELECT node, CAST(r AS BIGINT) AS rank_n9,
+       CAST(r AS DOUBLE) / 1e9 AS rank
+  FROM r{iters}"""
+    return head + "," + ",".join(its) + tail
+
+
+SQL_PAGERANK_DOCS = _pagerank_sql(5)
+
+
 BM25_TERMS = ["dup", "merge", "window"]  # mixed-df demo query
 
 
@@ -2207,6 +2263,7 @@ QUERIES = {
     "emb_kmeans": q_emb_kmeans,
     "semdedup_embeddings": q_semdedup_embeddings,
     "near_dup_components": q_near_dup_components,
+    "pagerank_docs": q_pagerank_docs,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2253,6 +2310,7 @@ ORACLES = {
     "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
     "emb_near_dup": SQL_EMB_NEAR_DUP,
     "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
+    "pagerank_docs": SQL_PAGERANK_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "q1_pricing_summary": SQL_Q1,
     "top_parts_by_qty": SQL_TOP_PARTS,

