@@ -72,14 +72,25 @@ def _init_centroids(ds, k: int, seed: int, sample_size: int,
     return x[pick].copy()
 
 
+DRIVER_PARTIALS_MAX = 64 << 20  # bytes of per-block partials
+
+
 def kmeans(ds, k: int = 8, iters: int = 10, seed: int = 13,
            sample_size: int = 2048, id_col: str = "vec_id",
            vec_col: str = "embedding", reduce_partitions: int = 16,
            cache: bool = True):
     """Full-data Lloyd's: returns ``(centroids (k,d) float64,
     inertia_history list[float])``.  Deterministic for a fixed input
-    (seeded init + ordered two-level float reduction).  Empty clusters
-    keep their previous centroid."""
+    (seeded init + ordered float reduction).  Empty clusters keep
+    their previous centroid.
+
+    Partial merge has two paths, both deterministic (partials sorted
+    by batch key before summing): when ``num_blocks × k×d`` partial
+    bytes fit ``DRIVER_PARTIALS_MAX`` (64 MB) the driver sums them
+    directly — a Dataset ``groupby`` costs a fixed ~2 s exchange and
+    SIX of them made the toy-scale query 21 s; above the guard the
+    two-level mod-partition reduce keeps the driver pull at
+    ``reduce_partitions`` rows."""
     import ray
 
     proj = ds.select_columns([id_col, vec_col])
@@ -87,7 +98,33 @@ def kmeans(ds, k: int = 8, iters: int = 10, seed: int = 13,
         proj = proj.materialize()
     cent = _init_centroids(proj, k, seed, sample_size, id_col, vec_col)
     k_eff, dim = cent.shape
+    per_block = k_eff * dim * 8 + k_eff * 8 + 32
+    driver_ok = (cache
+                 and proj.num_blocks() * per_block <= DRIVER_PARTIALS_MAX)
     history: list[float] = []
+
+    block_refs: list = []
+    if driver_ok:
+        # raw-task iteration over the materialized block refs (the
+        # graph.pagerank escape): per-iteration Dataset execution
+        # costs a fixed ~1 s even on tiny cached inputs, and Lloyd's
+        # pays it ``iters`` times; a plain task per block costs ms.
+        # Refs passed at top level are auto-resolved by Ray.
+        for bundle in proj.iter_internal_ref_bundles():
+            block_refs.extend(bundle.block_refs)
+
+        def _block_partial(block: pa.Table, c: np.ndarray):
+            if block.num_rows == 0:
+                return None
+            m = _as_matrix(block[vec_col])
+            ids = block[id_col].to_numpy(zero_copy_only=False)
+            a, d2 = _dist2_assign(m, c)
+            sums = np.zeros((k_eff, dim), dtype=np.float64)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=k_eff).astype(np.int64)
+            return (int(ids.min()), sums, counts, float(d2.sum()))
+
+        partial_task = ray.remote(_block_partial)
 
     def partials_of(handle):
         def partial(batch: pa.Table) -> pa.Table:
@@ -133,21 +170,29 @@ def kmeans(ds, k: int = 8, iters: int = 10, seed: int = 13,
 
     for _ in range(iters):
         handle = ray.put(cent)
-        p = proj.map_batches(partials_of(handle), batch_format="pyarrow")
-        p = p.add_column(
-            "part",
-            lambda b: pa.array(
-                (b["key"].to_numpy(zero_copy_only=False)
-                 % reduce_partitions).astype(np.int32)
-            ),
-            batch_format="pyarrow",
-        )
-        rows = (
-            p.groupby("part")
-            .map_groups(lambda g: merge_part(g.drop_columns(["part"])),
-                        batch_format="pyarrow")
-            .take_all()
-        )
+        if driver_ok:
+            got = ray.get([partial_task.remote(br, handle)
+                           for br in block_refs])
+            rows = [{"key": g[0], "sums": g[1].ravel(), "counts": g[2],
+                     "sse": g[3]} for g in got if g is not None]
+        else:
+            p = proj.map_batches(partials_of(handle),
+                                 batch_format="pyarrow")
+            p = p.add_column(
+                "part",
+                lambda b: pa.array(
+                    (b["key"].to_numpy(zero_copy_only=False)
+                     % reduce_partitions).astype(np.int32)
+                ),
+                batch_format="pyarrow",
+            )
+            rows = (
+                p.groupby("part")
+                .map_groups(
+                    lambda g: merge_part(g.drop_columns(["part"])),
+                    batch_format="pyarrow")
+                .take_all()
+            )
         rows.sort(key=lambda r: r["key"])
         sums = np.zeros((k_eff, dim), dtype=np.float64)
         counts = np.zeros(k_eff, dtype=np.int64)
@@ -217,6 +262,49 @@ def _cluster_pairs(group: pa.Table, *, id_col: str, vec_col: str,
                      "id_b": pa.array(b, type=pa.int64())})
 
 
+SEMDEDUP_LOCAL_MAX = 2_000_000  # rows ≈ one worker task's batch
+
+
+def _semdedup_local(threshold: float, id_col: str, vec_col: str,
+                    *blocks):
+    """Bounded single-TASK finisher (not a driver pull — same
+    contract as graph.connected_components' local solve): per-cluster
+    thresholded pairs → vectorized min-label components → min-id
+    keep.  Semantics identical to the distributed path."""
+    from .graph import _min_labels
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("cluster", pa.int32()),
+                            ("keep", pa.bool_())])
+    tabs = [b for b in blocks if b.num_rows]
+    if not tabs:
+        return out_schema.empty_table()
+    t = pa.concat_tables(tabs)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    cl = t["cluster"].to_numpy(zero_copy_only=False)
+    order = np.argsort(cl, kind="stable")
+    ea, eb = [], []
+    for c in np.unique(cl):
+        sel = order[np.searchsorted(cl[order], [c, c + 1])[0]:
+                    np.searchsorted(cl[order], [c, c + 1])[1]]
+        p = _cluster_pairs(t.take(sel), id_col=id_col, vec_col=vec_col,
+                           threshold=threshold)
+        ea.append(p["id_a"].to_numpy(zero_copy_only=False))
+        eb.append(p["id_b"].to_numpy(zero_copy_only=False))
+    a = np.concatenate(ea) if ea else np.array([], dtype=np.int64)
+    b = np.concatenate(eb) if eb else np.array([], dtype=np.int64)
+    keep = np.ones(len(ids), dtype=bool)
+    if a.size:
+        nodes, labels, converged = _min_labels(a, b, max_passes=64)
+        if not converged:
+            raise RuntimeError("semdedup local solve did not converge")
+        drop = nodes[labels != nodes]
+        keep = ~np.isin(ids, drop)
+    return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                     "cluster": pa.array(cl.astype(np.int32)),
+                     "keep": pa.array(keep)})
+
+
 def semdedup(ds, k: int = 8, threshold: float = 0.95, iters: int = 10,
              seed: int = 13, id_col: str = "vec_id",
              vec_col: str = "embedding", num_partitions: int = 16):
@@ -225,9 +313,17 @@ def semdedup(ds, k: int = 8, threshold: float = 0.95, iters: int = 10,
 
     Returns a Dataset of ``(id_col, cluster, keep)`` — ``keep=False``
     rows are the semantic duplicates a curation pipeline would drop.
-    Fully distributed: the drop set meets the assignment reduce-side
-    on one id-keyed exchange (no driver pull, no broadcast guard).
+    Fully distributed above ``SEMDEDUP_LOCAL_MAX`` rows: the drop set
+    meets the assignment reduce-side on one id-keyed exchange (no
+    driver pull, no broadcast guard).  At or below the guard the whole
+    pair/component/keep chain runs in ONE bounded Ray task over the
+    assigned blocks — two Dataset exchanges of pure fixed cost
+    (~5 s) collapse to ~0.2 s, and the row cap keeps the task's
+    working set at one batch.
     """
+    import ray
+    import ray.data
+
     from .graph import connected_components
     from ..stages.canonicalize import hash_mod
 
@@ -235,6 +331,14 @@ def semdedup(ds, k: int = 8, threshold: float = 0.95, iters: int = 10,
                      vec_col=vec_col)
     assigned = kmeans_assign(ds, cent, id_col=id_col, vec_col=vec_col
                              ).materialize()  # consumed twice below
+
+    if assigned.count() <= SEMDEDUP_LOCAL_MAX:
+        refs = []
+        for bundle in assigned.iter_internal_ref_bundles():
+            refs.extend(bundle.block_refs)
+        out = ray.remote(_semdedup_local).remote(
+            threshold, id_col, vec_col, *refs)
+        return ray.data.from_arrow_refs([out])
 
     pairs = (
         assigned.select_columns([id_col, vec_col, "cluster"])

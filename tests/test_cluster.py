@@ -171,3 +171,33 @@ class TestSemDeDup:
         out = semdedup(emb_ds, k=3, threshold=0.999, iters=3,
                        seed=5).take_all()
         assert {r["cluster"] for r in out} <= set(range(3))
+
+
+def test_two_level_reduce_path_matches(emb_ds, monkeypatch):
+    """Force the guarded two-level partial reduce (the >64MB-partials
+    scale path) and check it lands on the same centroids as the
+    raw-task driver-sum path (different float association order, so
+    allclose rather than bitwise)."""
+    import cow_ray.ops.cluster as cluster_mod
+
+    c_fast, h_fast = cluster_mod.kmeans(emb_ds, k=5, iters=4, seed=7)
+    monkeypatch.setattr(cluster_mod, "DRIVER_PARTIALS_MAX", 0)
+    c_slow, h_slow = cluster_mod.kmeans(emb_ds, k=5, iters=4, seed=7)
+    assert np.allclose(c_fast, c_slow, atol=1e-8)
+    assert np.allclose(h_fast, h_slow, rtol=1e-10)
+
+
+def test_semdedup_distributed_path_matches_local(emb_ds, monkeypatch):
+    """Force the distributed pair/CC/anti-join path (the above-guard
+    scale path) and check it emits exactly the local finisher's
+    keep set."""
+    import cow_ray.ops.cluster as cluster_mod
+
+    fast = sorted(
+        (r["vec_id"], r["keep"]) for r in cluster_mod.semdedup(
+            emb_ds, k=4, threshold=0.45, iters=3, seed=13).take_all())
+    monkeypatch.setattr(cluster_mod, "SEMDEDUP_LOCAL_MAX", 0)
+    slow = sorted(
+        (r["vec_id"], r["keep"]) for r in cluster_mod.semdedup(
+            emb_ds, k=4, threshold=0.45, iters=3, seed=13).take_all())
+    assert fast == slow and any(not k for _, k in fast)
