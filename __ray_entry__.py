@@ -61,12 +61,15 @@ def oracle_sql() -> dict[str, str]:
     rolling fp, LSH/IVF/IVF-PQ ANN, langid, multimodal image/audio,
     HLL sketch, bigram entropy, near-dup curation, winnowing dup
     spans + span removal, FFD sequence packing, unigram-LM
-    perplexity) are genuinely
+    perplexity, iterative k-means + SemDeDup) are genuinely
     non-SQL-expressible or not hash-stable cross-engine (float
     log-sums) → rows-only check.  Note connected components IS oracled
     (recursive CTE), as are the Gopher/C4/BPE text-quality signals
-    (exact integer ppm arithmetic; shared RE2 engine) and benchmark
-    n-gram decontamination (list-lateral gram join)."""
+    (exact integer ppm arithmetic; shared RE2 engine), benchmark
+    n-gram decontamination (list-lateral gram join), BM25 retrieval
+    (integer-nano score accumulation), URL normalization / domain
+    stats (shared RE2 semantics), and fixed-iteration PageRank
+    (integer ranks, unrolled CTE layers)."""
     from cow_ray.pipelines.queries import ORACLES
 
     return dict(ORACLES)

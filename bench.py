@@ -131,7 +131,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "text_token_stats", "text_quality",
         "sample_docs", "top_docs_per_lang", "token_doc_freq",
         "heavy_tokens", "doc_perplexity", "bm25_docs",
-        "url_normalized", "url_domain_stats",
+        "url_normalized", "url_domain_stats", "doc_len_quantiles",
         "curate_docs", "scrub_docs", "chunk_docs", "decontam_docs",
         "packed_docs",
         "dedup_exact_docs", "dedup_minhash_docs", "dedup_simhash_docs",

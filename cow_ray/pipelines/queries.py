@@ -859,6 +859,30 @@ SELECT node, CAST(r AS BIGINT) AS rank_n9,
 SQL_PAGERANK_DOCS = _pagerank_sql(5)
 
 
+def q_doc_len_quantiles(sf_dir: str):
+    """Exact distributed quantiles of document length
+    (ops/quantiles.py): all-integer per-mille ranks so the SQL oracle
+    hashes identically (float q·(n−1) floors wrong at 0.99)."""
+    from ..ops.quantiles import exact_quantiles
+
+    return exact_quantiles(_read(sf_dir, "documents"), "n_chars",
+                           q_permille=(250, 500, 750, 900, 990))
+
+
+SQL_DOC_LEN_QUANTILES = """
+WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents
+            GROUP BY v),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+nn AS (SELECT count(*) AS n FROM documents),
+qs AS (SELECT * FROM (VALUES (250), (500), (750), (900), (990))
+        t(qp))
+SELECT qs.qp::DOUBLE / 1000 AS q, min(cum.v) AS value
+  FROM cum CROSS JOIN qs CROSS JOIN nn
+ WHERE cum.cum > (qs.qp * (nn.n - 1)) // 1000
+ GROUP BY qs.qp
+"""
+
+
 BM25_TERMS = ["dup", "merge", "window"]  # mixed-df demo query
 
 
@@ -2246,6 +2270,7 @@ QUERIES = {
     "bm25_docs": q_bm25_docs,
     "url_normalized": q_url_normalized,
     "url_domain_stats": q_url_domain_stats,
+    "doc_len_quantiles": q_doc_len_quantiles,
     "heavy_tokens": q_heavy_tokens,
     "doc_perplexity": q_doc_perplexity,
     "decontam_docs": q_decontam_docs,
@@ -2304,6 +2329,7 @@ ORACLES = {
     "bm25_docs": SQL_BM25_DOCS,
     "url_normalized": SQL_URL_NORMALIZED,
     "url_domain_stats": SQL_URL_DOMAIN_STATS,
+    "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
     "heavy_tokens": SQL_HEAVY_TOKENS,
     "decontam_docs": SQL_DECONTAM_DOCS,
     "curate_docs": SQL_CURATE_DOCS,

@@ -1759,3 +1759,26 @@ class TestPageRank:
         b = sorted((r["node"], r["rank_n9"])
                    for r in pagerank(ds, iters=3).take_all())
         assert a == b and len(a) == 4
+
+
+class TestQuantiles:
+    def test_matches_numpy_exact(self, docs_ds):
+        import pyarrow.parquet as pq
+
+        from cow_ray.ops.quantiles import exact_quantiles
+
+        lens = np.sort(pq.read_table(DOCS)["n_chars"].to_numpy())
+        got = {r["q"]: r["value"] for r in exact_quantiles(
+            docs_ds, "n_chars",
+            q_permille=(0, 250, 500, 900, 990, 1000)).take_all()}
+        n = len(lens)
+        for qp in (0, 250, 500, 900, 990, 1000):
+            assert got[qp / 1000.0] == int(lens[(qp * (n - 1)) // 1000])
+
+    def test_distinct_guard(self, docs_ds):
+        from cow_ray.ops.quantiles import exact_quantiles
+
+        # the ValueError surfaces wrapped in Ray's task error
+        with pytest.raises(Exception, match="distinct"):
+            exact_quantiles(docs_ds, "n_chars",
+                            max_distinct=2).take_all()
