@@ -1,0 +1,148 @@
+"""Basic-graph-pattern matching over a triple Dataset — the query
+side of the KG-construction engine (SPARQL BGP semantics, Prud'hommeaux
+& Seaborne, W3C SPARQL 1.0/1.1: conjunctive triple patterns, bag
+semantics, inner-join on shared variables).
+
+A pattern is ``(s, p, o)`` where each term is a constant string or a
+variable ``"?name"``.  ``bgp_match`` folds left over the patterns:
+
+* each pattern becomes ONE filtered scan of the triple Dataset
+  (constants → vectorized equality masks; variables → projected and
+  renamed binding columns; a repeated variable inside one pattern →
+  an equality mask);
+* consecutive binding sets meet in a distributed hash join:
+  partition both sides on the FIRST shared variable (rows with equal
+  values co-locate), then a per-partition ``pyarrow.Table.join`` on
+  the full shared-variable set.  The exchange carries bindings, never
+  the triple store.
+
+Bag semantics mean results match a plain SQL self-join chain row for
+row — which is exactly how the DuckDB oracle is written
+(``pipelines.queries.SQL_KG_BGP``).  Join (re)ordering is the
+caller's responsibility, as in any BGP engine without a cost model:
+put selective patterns first.  Patterns with no shared variable with
+the accumulated bindings would be a cartesian product — refused
+loudly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_POS_COLS = ("subj", "pred", "obj_lex")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _match_pattern(triples, pattern, cols=_POS_COLS):
+    """One pattern → Dataset of binding columns (bag semantics)."""
+    consts = [(c, t) for c, t in zip(cols, pattern) if not _is_var(t)]
+    vars_ = [(c, t[1:]) for c, t in zip(cols, pattern) if _is_var(t)]
+    if not vars_:
+        raise ValueError(f"pattern {pattern} binds no variables")
+    # repeated variable inside the pattern → intra-row equality
+    names = [v for _, v in vars_]
+    dup_pairs = [(vars_[i][0], vars_[j][0])
+                 for i in range(len(vars_)) for j in range(i + 1,
+                                                           len(vars_))
+                 if vars_[i][1] == vars_[j][1]]
+    out_vars: list[tuple[str, str]] = []
+    seen = set()
+    for c, v in vars_:
+        if v not in seen:
+            out_vars.append((c, v))
+            seen.add(v)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        mask = None
+        for c, t in consts:
+            m = pc.equal(batch[c], t)
+            mask = m if mask is None else pc.and_(mask, m)
+        for ca, cb in dup_pairs:
+            m = pc.equal(batch[ca], batch[cb])
+            mask = m if mask is None else pc.and_(mask, m)
+        sel = batch.filter(pc.fill_null(mask, False)) \
+            if mask is not None else batch
+        return pa.table({v: sel[c] for c, v in out_vars})
+
+    return triples.map_batches(scan, batch_format="pyarrow")
+
+
+def _hash_join(left, right, shared, num_partitions: int):
+    """Distributed inner join on ``shared`` binding variables:
+    partition both sides on the first shared var, join per
+    partition."""
+    from ..stages.canonicalize import hash_mod
+
+    key = shared[0]
+
+    def tag(side):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__side", pa.array(
+                    np.full(batch.num_rows, side, dtype=np.int8))
+            ).append_column(
+                "__part", hash_mod(batch[key], num_partitions))
+
+        return f
+
+    l_cols = [c for c in left.schema().names]
+    r_cols = [c for c in right.schema().names]
+
+    def pad(batch: pa.Table, cols) -> pa.Table:
+        # union needs one schema: absent columns ride as nulls
+        out = {}
+        for c in cols:
+            out[c] = (batch[c] if c in batch.schema.names else
+                      pa.nulls(batch.num_rows, type=pa.string()))
+        out["__side"] = batch["__side"]
+        out["__part"] = batch["__part"]
+        return pa.table(out)
+
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    u = (left.map_batches(tag(0), batch_format="pyarrow")
+         .map_batches(lambda b: pad(b, all_cols),
+                      batch_format="pyarrow")
+         .union(right.map_batches(tag(1), batch_format="pyarrow")
+                .map_batches(lambda b: pad(b, all_cols),
+                             batch_format="pyarrow")))
+
+    def merge(g: pa.Table) -> pa.Table:
+        schema = pa.schema([(c, pa.string()) for c in all_cols])
+        if g.num_rows == 0:
+            return schema.empty_table()
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0)).select(l_cols)
+        rt = g.filter(pa.array(side == 1)).select(r_cols)
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return schema.empty_table()
+        j = lt.join(rt, keys=list(shared), join_type="inner",
+                    use_threads=False)
+        return j.select(all_cols)
+
+    return u.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+def bgp_match(triples, patterns, num_partitions: int = 16):
+    """Conjunctive BGP over a triple Dataset with columns
+    ``subj, pred, obj_lex`` → Dataset of bindings (one string column
+    per variable, bag semantics)."""
+    if not patterns:
+        raise ValueError("empty pattern list")
+    acc = _match_pattern(triples, patterns[0])
+    acc_vars = set(acc.schema().names)
+    for pat in patterns[1:]:
+        nxt = _match_pattern(triples, pat)
+        shared = [v for v in nxt.schema().names if v in acc_vars]
+        if not shared:
+            raise ValueError(
+                f"pattern {pat} shares no variable with the bindings "
+                "accumulated so far (cartesian product refused); "
+                "reorder the patterns")
+        acc = _hash_join(acc, nxt, shared, num_partitions)
+        acc_vars |= set(nxt.schema().names)
+    return acc

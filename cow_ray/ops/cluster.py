@@ -283,12 +283,12 @@ def _semdedup_local(threshold: float, id_col: str, vec_col: str,
     ids = t[id_col].to_numpy(zero_copy_only=False)
     cl = t["cluster"].to_numpy(zero_copy_only=False)
     order = np.argsort(cl, kind="stable")
+    scl = cl[order]
     ea, eb = [], []
     for c in np.unique(cl):
-        sel = order[np.searchsorted(cl[order], [c, c + 1])[0]:
-                    np.searchsorted(cl[order], [c, c + 1])[1]]
-        p = _cluster_pairs(t.take(sel), id_col=id_col, vec_col=vec_col,
-                           threshold=threshold)
+        lo, hi = np.searchsorted(scl, [c, c + 1])
+        p = _cluster_pairs(t.take(order[lo:hi]), id_col=id_col,
+                           vec_col=vec_col, threshold=threshold)
         ea.append(p["id_a"].to_numpy(zero_copy_only=False))
         eb.append(p["id_b"].to_numpy(zero_copy_only=False))
     a = np.concatenate(ea) if ea else np.array([], dtype=np.int64)

@@ -859,6 +859,39 @@ SELECT node, CAST(r AS BIGINT) AS rank_n9,
 SQL_PAGERANK_DOCS = _pagerank_sql(5)
 
 
+BGP_PATTERNS = [
+    ("?doc", "http://purl.org/dc/terms/language", "en"),
+    ("?doc", "http://purl.org/dc/terms/source", "?src"),
+    ("?doc", "http://schema.org/characterCount", "?n"),
+]
+
+
+def q_kg_bgp(sf_dir: str):
+    """SPARQL-style BGP over the freshly built doc triples
+    (ops/bgp.py): English docs with their source IRI and char count.
+    Bag semantics = the SQL self-join chain, so the oracle is plain
+    joins.  The triple set is materialized once and scanned once per
+    pattern (a real deployment would point this at the written
+    triple-store parquet)."""
+    from ..ops.bgp import bgp_match
+
+    tri = q_kg_doc_triples(sf_dir).materialize()
+    return bgp_match(tri, BGP_PATTERNS)
+
+
+SQL_KG_BGP = f"""
+WITH t AS ({SQL_KG_DOC_TRIPLES})
+SELECT a.subj AS doc, b.obj_lex AS src, c.obj_lex AS n
+  FROM t a
+  JOIN t b ON b.subj = a.subj
+  JOIN t c ON c.subj = a.subj
+ WHERE a.pred = 'http://purl.org/dc/terms/language'
+   AND a.obj_lex = 'en'
+   AND b.pred = 'http://purl.org/dc/terms/source'
+   AND c.pred = 'http://schema.org/characterCount'
+"""
+
+
 def q_doc_len_quantiles(sf_dir: str):
     """Exact distributed quantiles of document length
     (ops/quantiles.py): all-integer per-mille ranks so the SQL oracle
@@ -2251,6 +2284,7 @@ QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_mention_triples": q_kg_mention_triples,
     "kg_cookbook_triples": q_kg_cookbook_triples,
+    "kg_bgp": q_kg_bgp,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "lang_hist": q_lang_hist,
@@ -2313,6 +2347,7 @@ ORACLES = {
     "kg_source_triples_dedup": SQL_KG_SOURCE_TRIPLES_DEDUP,
     "kg_canonical_sources": SQL_KG_CANONICAL_SOURCES,
     "kg_cookbook_triples": SQL_KG_COOKBOOK_TRIPLES,
+    "kg_bgp": SQL_KG_BGP,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_hist": SQL_LANG_HIST,

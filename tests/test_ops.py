@@ -1782,3 +1782,57 @@ class TestQuantiles:
         with pytest.raises(Exception, match="distinct"):
             exact_quantiles(docs_ds, "n_chars",
                             max_distinct=2).take_all()
+
+
+class TestBGP:
+    @staticmethod
+    def _triples(ray_session):
+        import ray.data
+
+        rows = []
+        for d, lang, src, n in [(1, "en", "sA", 10), (2, "fr", "sA", 20),
+                                (3, "en", "sB", 30), (4, "en", "sB", 40)]:
+            rows += [
+                {"subj": f"doc/{d}", "pred": "lang", "obj_lex": lang},
+                {"subj": f"doc/{d}", "pred": "source", "obj_lex": src},
+                {"subj": f"doc/{d}", "pred": "chars", "obj_lex": str(n)},
+            ]
+        return ray.data.from_items(rows).repartition(3)
+
+    def test_conjunctive_match(self, ray_session):
+        from cow_ray.ops.bgp import bgp_match
+
+        tri = self._triples(ray_session)
+        out = bgp_match(tri, [("?d", "lang", "en"),
+                              ("?d", "source", "?s"),
+                              ("?d", "chars", "?n")]).take_all()
+        got = sorted((r["d"], r["s"], r["n"]) for r in out)
+        assert got == [("doc/1", "sA", "10"), ("doc/3", "sB", "30"),
+                       ("doc/4", "sB", "40")]
+
+    def test_repeated_var_and_guards(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_match
+
+        tri = ray.data.from_items(
+            [{"subj": "a", "pred": "p", "obj_lex": "a"},
+             {"subj": "a", "pred": "p", "obj_lex": "b"}])
+        out = bgp_match(tri, [("?x", "p", "?x")]).take_all()
+        assert [r["x"] for r in out] == ["a"]  # subj == obj only
+        with pytest.raises(ValueError, match="cartesian"):
+            bgp_match(tri, [("?x", "p", "?y"), ("?z", "p", "?w")]
+                      ).take_all()
+        with pytest.raises(ValueError, match="binds no"):
+            bgp_match(tri, [("a", "p", "b")]).take_all()
+
+    def test_bag_semantics(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_match
+
+        # duplicate triples survive (SPARQL bag semantics)
+        tri = ray.data.from_items(
+            [{"subj": "a", "pred": "p", "obj_lex": "v"}] * 2)
+        out = bgp_match(tri, [("?x", "p", "?v")]).take_all()
+        assert len(out) == 2
