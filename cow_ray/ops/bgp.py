@@ -127,10 +127,47 @@ def _hash_join(left, right, shared, num_partitions: int):
     return u.groupby("__part").map_groups(merge, batch_format="pyarrow")
 
 
+BGP_BROADCAST_MAX = 1_000_000  # binding rows worth shipping whole
+
+
+def _broadcast_join(acc_tbl, right, shared):
+    """Small-side broadcast join: the accumulated bindings ride
+    ``ray.put`` once and every scan task joins its batch locally —
+    ONE pass over the pattern's matches, no exchange at all.  This is
+    the standard small-side strategy (selective first patterns make
+    it the common case); the hash join remains the unbounded path."""
+    import ray
+
+    handle = ray.put(acc_tbl)
+    l_cols = acc_tbl.schema.names
+    keys = list(shared)
+
+    def scan_join(batch: pa.Table) -> pa.Table:
+        left = ray.get(handle)
+        out_cols = l_cols + [c for c in batch.schema.names
+                             if c not in l_cols]
+        if batch.num_rows == 0 or left.num_rows == 0:
+            return pa.schema([(c, pa.string())
+                              for c in out_cols]).empty_table()
+        j = left.join(batch, keys=keys, join_type="inner",
+                      use_threads=False)
+        return j.select(out_cols)
+
+    return right.map_batches(scan_join, batch_format="pyarrow")
+
+
 def bgp_match(triples, patterns, num_partitions: int = 16):
     """Conjunctive BGP over a triple Dataset with columns
     ``subj, pred, obj_lex`` → Dataset of bindings (one string column
-    per variable, bag semantics)."""
+    per variable, bag semantics).
+
+    Join strategy per step: the accumulated bindings are materialized
+    (they are bindings, never the triple store); when they fit
+    ``BGP_BROADCAST_MAX`` rows they broadcast-join against the next
+    pattern's filtered scan (no exchange), else both sides meet in a
+    partitioned hash join."""
+    import ray
+
     if not patterns:
         raise ValueError("empty pattern list")
     acc = _match_pattern(triples, patterns[0])
@@ -143,6 +180,16 @@ def bgp_match(triples, patterns, num_partitions: int = 16):
                 f"pattern {pat} shares no variable with the bindings "
                 "accumulated so far (cartesian product refused); "
                 "reorder the patterns")
-        acc = _hash_join(acc, nxt, shared, num_partitions)
+        acc = acc.materialize()
+        if acc.count() <= BGP_BROADCAST_MAX:
+            refs = [r for b in acc.iter_internal_ref_bundles()
+                    for r in b.block_refs]
+            tabs = [t for t in ray.get(refs) if t.num_rows]
+            acc_tbl = (pa.concat_tables(tabs) if tabs else
+                       pa.schema([(c, pa.string()) for c in
+                                  sorted(acc_vars)]).empty_table())
+            acc = _broadcast_join(acc_tbl, nxt, shared)
+        else:
+            acc = _hash_join(acc, nxt, shared, num_partitions)
         acc_vars |= set(nxt.schema().names)
     return acc

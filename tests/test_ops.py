@@ -1836,3 +1836,16 @@ class TestBGP:
             [{"subj": "a", "pred": "p", "obj_lex": "v"}] * 2)
         out = bgp_match(tri, [("?x", "p", "?v")]).take_all()
         assert len(out) == 2
+
+    def test_hash_join_path_matches_broadcast(self, ray_session,
+                                              monkeypatch):
+        import cow_ray.ops.bgp as bgp_mod
+
+        tri = self._triples(ray_session)
+        pats = [("?d", "lang", "en"), ("?d", "source", "?s")]
+        fast = sorted((r["d"], r["s"]) for r in
+                      bgp_mod.bgp_match(tri, pats).take_all())
+        monkeypatch.setattr(bgp_mod, "BGP_BROADCAST_MAX", -1)
+        slow = sorted((r["d"], r["s"]) for r in
+                      bgp_mod.bgp_match(tri, pats).take_all())
+        assert fast == slow and len(fast) == 3
