@@ -350,3 +350,91 @@ class LangId:
         return batch.append_column(
             self.out_col, pa.array(best.tolist(), type=pa.string())
         )
+
+
+def tfidf_topterms(ds, k: int = 3, vocab_limit: int = 200,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document top-k terms by tf·idf (Spärck Jones 1972) over a
+    bounded vocabulary — the keyword-extraction building block.
+
+    Contract (mirrored by the SQL oracle, hash-exact):
+
+    * vocabulary = top ``vocab_limit`` tokens by (df desc, token asc)
+      under the shared tokenizer contract (token_doc_partial) —
+      bounded, so the idf table broadcasts;
+    * ``idf = ln(N / df)`` quantized to micros (the one libm op —
+      same per-term boundary argument as ops/bm25.py);
+    * ``score = tf · idf`` is an exact double (int × micro-quantized
+      value, product < 2^53), so cross-engine ordering and hashing
+      are deterministic; per-doc rank ties break on token asc.
+
+    ONE corpus scan, zero corpus exchange: documents never span
+    batches, so each batch emits its own docs' top-k directly; the
+    only other traffic is the vocabulary-sized df rollup."""
+    import ray
+
+    n_docs = ds.count()
+    vocab_rows = token_doc_freq(ds, text_col=text_col,
+                                limit=vocab_limit).take_all()
+    if not vocab_rows or n_docs == 0:
+        return ds.select_columns([id_col]).limit(0)
+    toks = [r["token"] for r in vocab_rows]
+    dfs = np.array([r["df"] for r in vocab_rows], dtype=np.float64)
+    idf_q = np.floor(np.log(float(n_docs) / dfs) * 1e6 + 0.5) / 1e6
+    t_arr = pa.array(toks, type=pa.string())
+    handle = ray.put((t_arr, idf_q))
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("token", pa.string()),
+                            ("score", pa.float64()),
+                            ("rank", pa.int64())])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        terms, idf = ray.get(handle)
+        n = batch.num_rows
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        split = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(batch[text_col], "")),
+            pattern="[^a-z0-9']+")
+        flat = pc.list_flatten(split)
+        lens = pc.list_value_length(split).to_numpy(
+            zero_copy_only=False)
+        d_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), lens))
+        pairs = pa.table({"d": d_idx, "token": flat}).filter(
+            pc.and_(pc.not_equal(flat, ""),
+                    pc.is_in(flat, value_set=terms)))
+        if pairs.num_rows == 0:
+            return out_schema.empty_table()
+        pairs = pairs.append_column(
+            "one", pa.array(np.ones(pairs.num_rows, dtype=np.int64)))
+        tf_tbl = pairs.group_by(["d", "token"], use_threads=False
+                                ).aggregate([("one", "sum")])
+        d = tf_tbl["d"].to_numpy(zero_copy_only=False)
+        ti = pc.index_in(tf_tbl["token"], value_set=terms).to_numpy(
+            zero_copy_only=False)
+        tf = tf_tbl["one_sum"].to_numpy(zero_copy_only=False)
+        score = tf * idf[ti]
+        # numeric tiebreak surrogate: rank of each vocab token in
+        # ascending string order (tokens are ascii, so numpy/DuckDB
+        # orderings agree)
+        tok_list = terms.to_pylist()
+        tok_rank = np.empty(len(tok_list), dtype=np.int64)
+        tok_rank[np.argsort(np.asarray(tok_list))] = np.arange(
+            len(tok_list))
+        order = np.lexsort((tok_rank[ti], -score, d))
+        tok_strings = np.asarray(tok_list, dtype=object)[ti]
+        d_s, score_s, tok_s = d[order], score[order], tok_strings[order]
+        starts = np.r_[True, d_s[1:] != d_s[:-1]]
+        pos = np.arange(len(d_s)) - np.maximum.accumulate(
+            np.where(starts, np.arange(len(d_s)), 0))
+        keep = pos < k
+        return pa.table(
+            {id_col: pa.array(ids[d_s[keep]], type=pa.int64()),
+             "token": pa.array(tok_s[keep], type=pa.string()),
+             "score": pa.array(score_s[keep], type=pa.float64()),
+             "rank": pa.array((pos[keep] + 1).astype(np.int64))})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow")

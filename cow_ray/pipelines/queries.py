@@ -859,6 +859,47 @@ SELECT node, CAST(r AS BIGINT) AS rank_n9,
 SQL_PAGERANK_DOCS = _pagerank_sql(5)
 
 
+def q_tfidf_topterms(sf_dir: str):
+    """Per-doc top-3 tf·idf keywords over the top-200 vocabulary
+    (ops/textstats.py tfidf_topterms): one corpus scan, bounded idf
+    broadcast; micro-quantized idf ⇒ hash-exact vs the oracle."""
+    from ..ops.textstats import tfidf_topterms
+
+    return tfidf_topterms(_docs(sf_dir, blocks=8), k=3,
+                          vocab_limit=200)
+
+
+SQL_TFIDF_TOPTERMS = """
+WITH toks AS (
+  SELECT d.doc_id, t.token
+    FROM documents d,
+         unnest(string_split_regex(lower(d.text), '[^a-z0-9'']+'))
+         AS t(token)
+   WHERE t.token <> ''
+),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+    FROM (SELECT DISTINCT doc_id, token FROM toks)
+   GROUP BY token ORDER BY df DESC, token LIMIT 200
+),
+nn AS (SELECT count(*) AS n FROM documents),
+idf AS (SELECT v.token,
+               floor(ln(nn.n::DOUBLE / v.df) * 1e6 + 0.5) / 1e6 AS idf
+          FROM vocab v CROSS JOIN nn),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN (SELECT token FROM vocab)
+        GROUP BY doc_id, token),
+s AS (SELECT tf.doc_id, tf.token, tf.tf * i.idf AS score
+        FROM tf JOIN idf i ON i.token = tf.token),
+r AS (SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rk
+        FROM s)
+SELECT doc_id, token, score, CAST(rk AS BIGINT) AS rank
+  FROM r WHERE rk <= 3
+"""
+
+
 BGP_PATTERNS = [
     ("?doc", "http://purl.org/dc/terms/language", "en"),
     ("?doc", "http://purl.org/dc/terms/source", "?src"),
@@ -2302,6 +2343,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "token_doc_freq": q_token_doc_freq,
     "bm25_docs": q_bm25_docs,
+    "tfidf_topterms": q_tfidf_topterms,
     "url_normalized": q_url_normalized,
     "url_domain_stats": q_url_domain_stats,
     "doc_len_quantiles": q_doc_len_quantiles,
@@ -2362,6 +2404,7 @@ ORACLES = {
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "token_doc_freq": SQL_TOKEN_DOC_FREQ,
     "bm25_docs": SQL_BM25_DOCS,
+    "tfidf_topterms": SQL_TFIDF_TOPTERMS,
     "url_normalized": SQL_URL_NORMALIZED,
     "url_domain_stats": SQL_URL_DOMAIN_STATS,
     "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,

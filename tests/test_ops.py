@@ -1849,3 +1849,35 @@ class TestBGP:
         slow = sorted((r["d"], r["s"]) for r in
                       bgp_mod.bgp_match(tri, pats).take_all())
         assert fast == slow and len(fast) == 3
+
+
+class TestTfIdf:
+    def test_matches_duckdb_oracle(self, docs_ds):
+        import duckdb
+
+        from cow_ray.ops.textstats import tfidf_topterms
+        from cow_ray.pipelines.queries import SQL_TFIDF_TOPTERMS
+
+        got = sorted(
+            (r["doc_id"], r["rank"], r["token"], r["score"])
+            for r in tfidf_topterms(docs_ds, k=3,
+                                    vocab_limit=200).take_all())
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{DOCS}')")
+        want = sorted((d, rk, t, s) for d, t, s, rk in
+                      con.execute(SQL_TFIDF_TOPTERMS).fetchall())
+        assert got == want and len(got) > 0
+
+    def test_rank_and_rare_term(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.textstats import tfidf_topterms
+
+        rows = [{"doc_id": i, "text": "common words here"} for i in
+                range(10)]
+        rows[3]["text"] = "common words here rare rare rare"
+        ds = ray.data.from_items(rows).repartition(3)
+        out = tfidf_topterms(ds, k=2, vocab_limit=10).take_all()
+        top3 = [r for r in out if r["doc_id"] == 3 and r["rank"] == 1]
+        assert top3 and top3[0]["token"] == "rare"
