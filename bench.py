@@ -145,7 +145,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "lineitem_qty_bands", "events_sliding",
         "events_hourly", "events_first", "events_asof_orders",
         "events_sessionize",
-        "lineitem_orders_join",
+        "lineitem_orders_join", "fuzzy_supplier_join",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -900,6 +900,56 @@ SELECT doc_id, token, score, CAST(rk AS BIGINT) AS rank
 """
 
 
+def q_fuzzy_supplier_join(sf_dir: str):
+    """Blocked fuzzy join (ops/fuzzy.py): deterministically corrupted
+    supplier names (one char deleted at a key-derived position)
+    linked back against the clean supplier list, Levenshtein ≤ 2,
+    blocking on lower(substr(name, 16, 2)).  Blocking is part of the
+    contract — the SQL oracle applies the identical key — so the
+    result hash-matches exactly."""
+    import pyarrow as pa
+
+    from ..ops.fuzzy import fuzzy_join
+
+    sup = _read(sf_dir, "supplier")
+
+    def corrupt(batch):
+        names = batch["s_name"].to_pylist()
+        keys = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        out = []
+        for kk, nn in zip(keys, names):
+            p = 4 + int(kk) % (len(nn) - 3)
+            out.append(nn[:p - 1] + nn[p:])
+        return pa.table({"cid": pa.array(keys, type=pa.int64()),
+                         "cname": pa.array(out, type=pa.string())})
+
+    corr = sup.map_batches(corrupt, batch_format="pyarrow")
+    clean = sup.map_batches(
+        lambda b: pa.table({"oid": b["s_suppkey"].cast(pa.int64()),
+                            "s_name": b["s_name"]}),
+        batch_format="pyarrow")
+    return fuzzy_join(corr, clean, col_l="cname", col_r="s_name",
+                      id_l="cid", id_r="oid", max_edits=2,
+                      block_start=16, block_len=2)
+
+
+SQL_FUZZY_SUPPLIER_JOIN = """
+WITH corr AS (
+  SELECT s_suppkey AS cid,
+         substr(s_name, 1, p - 1) || substr(s_name, p + 1) AS cname
+    FROM (SELECT s_suppkey, s_name,
+                 4 + (s_suppkey % (length(s_name) - 3)) AS p
+            FROM supplier)),
+pairs AS (
+  SELECT c.cid, s.s_suppkey AS oid,
+         levenshtein(c.cname, s.s_name) AS edits
+    FROM corr c JOIN supplier s
+      ON lower(substr(c.cname, 16, 2)) = lower(substr(s.s_name, 16, 2))
+   WHERE levenshtein(c.cname, s.s_name) <= 2)
+SELECT cid, oid, CAST(edits AS BIGINT) AS edits FROM pairs
+"""
+
+
 BGP_PATTERNS = [
     ("?doc", "http://purl.org/dc/terms/language", "en"),
     ("?doc", "http://purl.org/dc/terms/source", "?src"),
@@ -2375,6 +2425,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_first": q_events_first,
     "lineitem_orders_join": q_lineitem_orders_join,
+    "fuzzy_supplier_join": q_fuzzy_supplier_join,
     "lineitem_qty_bands": q_lineitem_qty_bands,
     "events_asof_orders": q_events_asof_orders,
     "events_sliding": q_events_sliding,
@@ -2422,6 +2473,7 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_first": SQL_EVENTS_FIRST,
     "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
+    "fuzzy_supplier_join": SQL_FUZZY_SUPPLIER_JOIN,
     "lineitem_qty_bands": SQL_LINEITEM_QTY_BANDS,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "events_sliding": SQL_EVENTS_SLIDING,

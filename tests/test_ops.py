@@ -1881,3 +1881,58 @@ class TestTfIdf:
         out = tfidf_topterms(ds, k=2, vocab_limit=10).take_all()
         top3 = [r for r in out if r["doc_id"] == 3 and r["rank"] == 1]
         assert top3 and top3[0]["token"] == "rare"
+
+
+class TestFuzzyJoin:
+    def test_levenshtein_exact(self):
+        import duckdb
+
+        from cow_ray.ops.fuzzy import levenshtein
+
+        cases = [("kitten", "sitting"), ("", "abc"), ("abc", "abc"),
+                 ("Supplier#01", "Supplier#1"), ("ab", "ba"),
+                 ("abcdef", "azced")]
+        con = duckdb.connect()
+        for a, b in cases:
+            want = con.execute("select levenshtein(?, ?)",
+                               [a, b]).fetchone()[0]
+            assert levenshtein(a, b) == want
+        assert levenshtein("aaaa", "bbbb", cap=2) == 3  # early exit
+
+    def test_blocked_join(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.fuzzy import fuzzy_join
+
+        left = ray.data.from_items(
+            [{"lid": 1, "lname": "acme corp"},
+             {"lid": 2, "lname": "acme gorp"},
+             {"lid": 3, "lname": "zzz other"}]).repartition(2)
+        right = ray.data.from_items(
+            [{"rid": 10, "rname": "acme corp"},
+             {"rid": 11, "rname": "acme торп"},
+             {"rid": 12, "rname": "zzz 0ther"}]).repartition(2)
+        out = fuzzy_join(left, right, "lname", "rname", "lid", "rid",
+                         max_edits=2, block_start=1,
+                         block_len=4).take_all()
+        got = sorted((r["lid"], r["rid"], r["edits"]) for r in out)
+        # lid3/rid12 share block 'zzz ' with 1 substitution; acme
+        # block: corp~corp=0, gorp~corp=1, торп is 2 subst from gorp
+        # and corp→... within 2 edits of both
+        assert (1, 10, 0) in got and (2, 10, 1) in got
+        assert (3, 12, 1) in got
+        assert all(e <= 2 for _, _, e in got)
+
+    def test_block_cap_refuses(self, ray_session, monkeypatch):
+        import ray.data
+
+        import cow_ray.ops.fuzzy as fuzzy_mod
+
+        ds = ray.data.from_items(
+            [{"lid": i, "lname": f"aaa{i}"} for i in range(50)])
+        rs = ray.data.from_items(
+            [{"rid": i, "rname": f"aaa{i}"} for i in range(50)])
+        monkeypatch.setattr(fuzzy_mod, "MAX_BLOCK_PAIRS", 100)
+        with pytest.raises(Exception, match="refine the blocking"):
+            fuzzy_mod.fuzzy_join(ds, rs, "lname", "rname", "lid",
+                                 "rid", block_len=3).take_all()
