@@ -396,6 +396,8 @@ def connected_components(edges, col_a: str = "id_a", col_b: str = "id_b",
 _RANK_SCHEMA = pa.schema([("node", pa.int64()), ("rank_n9", pa.int64()),
                           ("rank", pa.float64())])
 
+PR_FANIN = 256  # max *args per build/concat task in the scatter tree
+
 
 def _pr_scatter(block: pa.Table, P: int, col_src: str, col_dst: str):
     """One input block → P edge sub-tables bucketed by hash(src) and
@@ -528,10 +530,37 @@ def pagerank(edges, iters: int = 5, col_src: str = "src",
 
     scat = [scatter.remote(br, P, col_src, col_dst)
             for br in block_refs]  # each: 2P refs
+
+    # tree fan-in: a build task must not take one argument per input
+    # block (breaks around 1e5 blocks); pre-concat edge/node subs in
+    # groups of ≤ PR_FANIN until one group remains per partition
+    def _concat_pair(k, *subs):
+        et = [t for t in subs[:k] if t.num_rows]
+        nv = [a for a in subs[k:]]
+        e = (pa.concat_tables(et) if et else
+             pa.table({"src": pa.array([], type=pa.int64()),
+                       "dst": pa.array([], type=pa.int64())}))
+        nodes = (np.unique(np.concatenate(
+            [a.to_numpy(zero_copy_only=False) for a in nv])) if nv
+            else np.array([], dtype=np.int64))
+        return e, pa.array(nodes)
+
+    concat_pair = ray.remote(num_returns=2)(_concat_pair)
+
     edge_refs, node_refs, counts = [], [], []
     for p in range(P):
-        e, nv, c = build.remote(
-            len(scat), *[s[p] for s in scat], *[s[P + p] for s in scat])
+        es = [s[p] for s in scat]
+        ns = [s[P + p] for s in scat]
+        while len(es) > PR_FANIN:
+            nes, nns = [], []
+            for lo in range(0, len(es), PR_FANIN):
+                e, nv = concat_pair.remote(
+                    len(es[lo:lo + PR_FANIN]),
+                    *es[lo:lo + PR_FANIN], *ns[lo:lo + PR_FANIN])
+                nes.append(e)
+                nns.append(nv)
+            es, ns = nes, nns
+        e, nv, c = build.remote(len(es), *es, *ns)
         edge_refs.append(e)
         node_refs.append(nv)
         counts.append(c)

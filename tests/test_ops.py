@@ -1710,6 +1710,24 @@ class TestUrls:
 
 
 class TestPageRank:
+    def test_tree_fanin_path_matches(self, ray_session, monkeypatch):
+        import ray.data
+
+        import cow_ray.ops.graph as graph_mod
+
+        rng = np.random.default_rng(9)
+        t = pa.table({"src": pa.array(rng.integers(0, 40, 120),
+                                      type=pa.int64()),
+                      "dst": pa.array(rng.integers(0, 40, 120),
+                                      type=pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(9)  # 9 blocks > fanin 2
+        flat = sorted((r["node"], r["rank_n9"]) for r in
+                      graph_mod.pagerank(ds, iters=3).take_all())
+        monkeypatch.setattr(graph_mod, "PR_FANIN", 2)
+        tree = sorted((r["node"], r["rank_n9"]) for r in
+                      graph_mod.pagerank(ds, iters=3).take_all())
+        assert flat == tree
+
     def test_matches_dense_reference(self, ray_session):
         import ray.data
 
