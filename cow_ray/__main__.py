@@ -265,6 +265,47 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """BGP query over a materialized triple store: each --pattern is
+    "s p o" (whitespace-split, object may contain spaces); terms
+    starting with ? are variables."""
+    _init_ray(args.parallelism)
+    import ray
+    import ray.data
+
+    from .ops.bgp import bgp_match
+
+    patterns = []
+    for raw in args.pattern:
+        parts = raw.split(None, 2)
+        if len(parts) != 3:
+            print(f"bad pattern (need 's p o'): {raw!r}",
+                  file=sys.stderr)
+            return 2
+        patterns.append(tuple(parts))
+    ds = ray.data.read_parquet(
+        sorted(glob.glob(os.path.join(args.store, "part-*",
+                                      "triples.parquet"))))
+    out = bgp_match(ds, patterns)
+    rows = out.take(args.limit)
+    # var order = first appearance across patterns (Dataset.schema()
+    # can be None for an empty lazy result)
+    cols = []
+    for pat in patterns:
+        for t in pat:
+            if t.startswith("?") and t[1:] not in cols:
+                cols.append(t[1:])
+    print("\t".join(cols))
+    for r in rows:
+        print("\t".join("" if r[c] is None else str(r[c])
+                        for c in cols))
+    print(f"# {len(rows)} binding(s)"
+          + (" (limit reached)" if len(rows) == args.limit else ""),
+          file=sys.stderr)
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="cow_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -305,6 +346,17 @@ def main(argv=None) -> int:
     cu.add_argument("--id-col", default="doc_id")
     cu.add_argument("--parallelism", type=int, default=None)
     cu.set_defaults(fn=cmd_curate)
+
+    q = sub.add_parser(
+        "query",
+        help="BGP query over a triple store (SPARQL-style patterns)")
+    q.add_argument("store")
+    q.add_argument("--pattern", action="append", required=True,
+                   help='triple pattern "s p o"; ?name = variable; '
+                        "repeat for conjunction")
+    q.add_argument("--limit", type=int, default=100)
+    q.add_argument("--parallelism", type=int, default=4)
+    q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser("export", help="export a triple store to RDF text")
     e.add_argument("store")

@@ -803,3 +803,40 @@ class TestMetricsCollector:
         assert m["triples_out"] > 300
         assert m["errors"] == 0
         assert m["null_skips"] > 0  # the fixture has empty-text rows
+
+
+class TestCliQuery:
+    def test_query_subcommand(self, tmp_path):
+        """build → convert → BGP query via the subprocess CLI: the
+        conjunctive pattern must bind Qatar's row and GDP value."""
+        csv_path = tmp_path / "imf_gdppc.csv"
+        csv_path.write_text(IMF_CSV)
+        env = dict(os.environ, PYTHONPATH=REPO)
+        subprocess.run(
+            [sys.executable, "-m", "cow_ray", "build", str(csv_path),
+             "--base=http://example.com/resource"],
+            capture_output=True, text=True, env=env, cwd=REPO, check=True)
+        store = tmp_path / "store"
+        subprocess.run(
+            [sys.executable, "-m", "cow_ray", "convert", str(csv_path),
+             "--out", str(store), "--num-parts", "2",
+             "--parallelism", "4"],
+            capture_output=True, text=True, env=env, cwd=REPO, check=True)
+        r = subprocess.run(
+            [sys.executable, "-m", "cow_ray", "query", str(store),
+             "--pattern",
+             "?s http://example.com/resource/vocab/Country Qatar",
+             "--pattern",
+             "?s http://example.com/resource/vocab/GDP_Per_Capita ?g",
+             "--parallelism", "2"],
+            capture_output=True, text=True, env=env, cwd=REPO)
+        assert r.returncode == 0, r.stderr
+        lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+        assert lines[0].split("\t") == ["s", "g"]
+        assert any("131,063" in ln for ln in lines[1:])
+        # malformed pattern is a usage error, not a traceback
+        r2 = subprocess.run(
+            [sys.executable, "-m", "cow_ray", "query", str(store),
+             "--pattern", "only-two terms"],
+            capture_output=True, text=True, env=env, cwd=REPO)
+        assert r2.returncode == 2 and "bad pattern" in r2.stderr
