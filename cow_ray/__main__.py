@@ -77,7 +77,8 @@ def cmd_convert(args) -> int:
     rules = (_load_rules(single or args.input, args.rules)
              if (args.rules or single) else None)
     cfg = ConvertConfig(num_parts=args.num_parts, dedup=not args.no_dedup,
-                        resume=not args.no_resume)
+                        resume=not args.no_resume,
+                        append=getattr(args, "append", False))
     gazetteer = None
     mention_rules = None
     if args.gazetteer:
@@ -326,6 +327,9 @@ def main(argv=None) -> int:
     c.add_argument("--num-parts", type=int, default=16)
     c.add_argument("--no-dedup", action="store_true")
     c.add_argument("--no-resume", action="store_true")
+    c.add_argument("--append", action="store_true",
+                   help="delta-ingest into an existing COMPLETE store "
+                        "(only touched partitions rewrite)")
     c.add_argument("--parallelism", type=int, default=None)
     c.add_argument("--gazetteer", help="entity gazetteer JSON for linking")
     c.add_argument("--mention-rules", help="rule doc applied to mentions")

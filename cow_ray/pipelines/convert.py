@@ -88,6 +88,8 @@ class ConvertConfig:
     collect_metrics: bool = False     # MetricsCollector actor (opt-in)
     dedup: bool = True
     resume: bool = True
+    append: bool = False              # delta-ingest into a COMPLETE store
+                                      # (stages.materialize.append_triples)
     derived: dict = field(default_factory=dict)  # col -> fn | (fn, [input_cols])
 
 
@@ -215,6 +217,13 @@ def convert_pages(
     jh = job_hash(doc.doc_hash, files)
     np_ = Nanopub(doc.base, doc.dataset_name, jh)
     np_.extra_quads = escape_derivation_quads(np_, doc.escape_derivations)
+    if cfg.append:
+        from ..stages.materialize import append_triples, read_triple_store
+
+        # the store keeps its original job id; only touched
+        # partitions rewrite (delta cost, not store cost)
+        manifests = append_triples(triples, out_dir, dedup=cfg.dedup)
+        return read_triple_store(out_dir), manifests
     manifests = materialize_triples(
         triples,
         out_dir,

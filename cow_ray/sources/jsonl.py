@@ -299,6 +299,11 @@ def convert_jsonl(
                  if isinstance(jsonl_path, (list, tuple)) else [jsonl_path])
     jh = job_hash(doc.doc_hash, file_list)
     np_ = Nanopub(doc.base, doc.dataset_name, jh)
+    if cfg.append:
+        from ..stages.materialize import append_triples, read_triple_store
+
+        manifests = append_triples(triples, out_dir, dedup=cfg.dedup)
+        return read_triple_store(out_dir), manifests
     manifests = materialize_triples(
         triples, out_dir, num_parts=cfg.num_parts, job=jh, nanopub=np_,
         resume=cfg.resume, dedup=cfg.dedup, input_desc=";".join(file_list),

@@ -609,3 +609,129 @@ def read_triple_store(out_dir: str):
         if name_ok.match(os.path.basename(os.path.dirname(p)))
     )
     return ray.data.read_parquet(paths)
+
+
+def append_triples(
+    ds,
+    out_dir: str,
+    *,
+    job: str | None = None,
+    dedup: bool = True,
+):
+    """Incrementally ingest NEW triples into a COMPLETE store.
+
+    Delta semantics: new rows are hash-scattered with the store's own
+    subject modulus (read from ``_job.json``), and ONLY partitions that
+    receive data are re-finalized — existing parquet + staged delta
+    merge reduce-side in one polars pass per partition (optional
+    ``dedup`` makes the merge a distinct-union, so re-appending the
+    same shard is idempotent).  Untouched partitions keep their bytes
+    and manifests.  Cost is proportional to the delta × its partition
+    fan-out, never the store size.
+
+    Equivalence contract (tested): append(A) then append(B) publishes
+    byte-identical partition content to a one-shot materialize(A ∪ B)
+    with ``dedup=True`` — same modulus, same sort, same distinct.
+
+    Crash contract: ``_SUCCESS`` is removed while an append is in
+    flight and rewritten at the end, so an interrupted append is
+    detectable; re-running the same append is idempotent (staging is
+    re-derived from the inputs, the merge is a distinct-union).  The
+    per-partition swap is tmp-build → swap; a crash exactly between
+    the two leaves that partition's ``_DONE`` missing, which the next
+    append run re-finalizes from its inputs.
+    """
+    import ray
+
+    from ..stages.canonicalize import hash_mod
+
+    job_file = os.path.join(out_dir, "_job.json")
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        raise ValueError(
+            f"append_triples: {out_dir} has no _SUCCESS marker — "
+            "append only targets complete stores (finish or rebuild "
+            "the base job first)")
+    with open(job_file) as f:
+        meta = json.load(f)
+    num_parts = meta["num_parts"]
+    if job is None:
+        job = meta["job"]
+    elif job != meta["job"]:
+        raise ValueError(
+            f"store {out_dir} belongs to job {meta['job']!r}, refusing "
+            f"to append as {job!r}")
+
+    os.remove(os.path.join(out_dir, "_SUCCESS"))
+    stage_dir = os.path.join(out_dir, "_stage")
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "part_id", pa.array([], type=pa.int32()))
+        if dedup:
+            batch = local_distinct(batch)
+        return batch.append_column(
+            "part_id", hash_mod(batch["subj"], num_parts))
+
+    (ds.map_batches(assign, batch_format="pyarrow")
+       .write_parquet(stage_dir, partition_cols=["part_id"]))
+
+    affected = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(stage_dir)
+        if name.startswith("part_id="))
+
+    @ray.remote
+    def merge_part(part_id: int) -> dict:
+        import polars as pl
+
+        from ..triples import TRIPLE_SCHEMA
+
+        staged = sorted(_glob.glob(
+            os.path.join(stage_dir, f"part_id={part_id}", "*.parquet")))
+        final = _part_dir(out_dir, part_id)
+        existing = os.path.join(final, "triples.parquet")
+        prev_err = prev_skip = 0
+        cols = TRIPLE_SCHEMA.names
+        # select, not drop: write_parquet(partition_cols=...) may or
+        # may not keep part_id inside the files
+        scans = [pl.scan_parquet(staged).select(cols)]
+        if os.path.exists(existing):
+            with open(os.path.join(final, "manifest.json")) as f:
+                m = json.load(f)
+            prev_err = m.get("errors", 0)
+            prev_skip = m.get("null_skips", 0)
+            scans.append(pl.scan_parquet(existing).select(cols))
+        table, errors, null_skips = _finalize_lazy(
+            pl.concat(scans, how="vertical_relaxed"), dedup)
+        table = table.cast(TRIPLE_SCHEMA)
+        # republish: build complete tmp, then swap
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        return _publish_part(out_dir, part_id, table, job,
+                             prev_err + errors, prev_skip + null_skips)
+
+    new_manifests = {m["part_id"]: m
+                     for m in ray.get([merge_part.remote(p)
+                                       for p in affected])}
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+    manifests = []
+    for p in range(num_parts):
+        if p in new_manifests:
+            manifests.append(new_manifests[p])
+            continue
+        mf = os.path.join(_part_dir(out_dir, p), "manifest.json")
+        if os.path.exists(mf):
+            with open(mf) as f:
+                m = json.load(f)
+            m["path"] = os.path.join(_part_dir(out_dir, p),
+                                     "triples.parquet")
+            manifests.append(m)
+    meta["generation"] = meta.get("generation", 1) + 1
+    with open(job_file, "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(job)
+    return manifests

@@ -840,3 +840,30 @@ class TestCliQuery:
              "--pattern", "only-two terms"],
             capture_output=True, text=True, env=env, cwd=REPO)
         assert r2.returncode == 2 and "bad pattern" in r2.stderr
+
+
+class TestCliAppend:
+    def test_convert_append_idempotent(self, tmp_path):
+        csv_path = tmp_path / "imf_gdppc.csv"
+        csv_path.write_text(IMF_CSV)
+        env = dict(os.environ, PYTHONPATH=REPO)
+        subprocess.run(
+            [sys.executable, "-m", "cow_ray", "build", str(csv_path),
+             "--base=http://example.com/resource"],
+            capture_output=True, text=True, env=env, cwd=REPO, check=True)
+        store = tmp_path / "store"
+        for extra in ([], ["--append"]):
+            r = subprocess.run(
+                [sys.executable, "-m", "cow_ray", "convert",
+                 str(csv_path), "--out", str(store), "--num-parts", "4",
+                 "--parallelism", "4", *extra],
+                capture_output=True, text=True, env=env, cwd=REPO)
+            assert r.returncode == 0, r.stderr
+        import duckdb
+
+        n = duckdb.sql(
+            f"select count(*) from read_parquet('{store}/part-*/"
+            "triples.parquet')").fetchone()[0]
+        assert n == 24  # dedup merge: re-appending adds nothing
+        meta = json.loads((store / "_job.json").read_text())
+        assert meta["generation"] == 2

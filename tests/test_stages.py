@@ -442,3 +442,94 @@ class TestConvertPipeline:
             wset |= set(rr.triples)
         assert got == wset
         assert sum(x["num_triples"] for x in manifests) == len(wset)
+
+
+class TestAppendTriples:
+    def _tri(self, lo, hi):
+        import ray.data
+
+        from cow_ray.triples import TRIPLE_SCHEMA
+
+        rows = [
+            {"subj": f"https://x/s{i % 40}", "pred": f"https://x/p{i % 3}",
+             "obj_lex": f"v{i}", "obj_kind": "literal",
+             "obj_datatype": None, "obj_lang": None}
+            for i in range(lo, hi)
+        ]
+        return ray.data.from_arrow(
+            pa.Table.from_pylist(rows, schema=TRIPLE_SCHEMA))
+
+    def test_append_equals_one_shot_rebuild(self, ray_session, tmp_path):
+        """materialize(A) + append(B) must publish byte-identical
+        partitions to materialize(A ∪ B, dedup) — same modulus, same
+        distinct-union, same sort."""
+        from cow_ray.stages.materialize import (append_triples,
+                                                materialize_triples,
+                                                read_triple_store)
+
+        inc = str(tmp_path / "inc")
+        materialize_triples(self._tri(0, 200), inc, num_parts=4,
+                            job="j1", dedup=True)
+        # overlap rows 150..200 — dedup makes the merge idempotent
+        manifests = append_triples(self._tri(150, 300), inc)
+        assert sum(m["num_triples"] for m in manifests) == 300
+
+        full = str(tmp_path / "full")
+        want = materialize_triples(self._tri(0, 300), full, num_parts=4,
+                                   job="j1", dedup=True)
+        got_sha = {m["part_id"]: m["content_sha1"] for m in manifests}
+        want_sha = {m["part_id"]: m["content_sha1"] for m in want}
+        assert got_sha == want_sha
+        assert read_triple_store(inc).count() == 300
+        assert os.path.exists(os.path.join(inc, "_SUCCESS"))
+        import json as _json
+
+        with open(os.path.join(inc, "_job.json")) as f:
+            assert _json.load(f)["generation"] == 2
+
+    def test_append_idempotent_and_delta_only(self, ray_session,
+                                              tmp_path):
+        from cow_ray.stages.materialize import (append_triples,
+                                                materialize_triples)
+
+        out = str(tmp_path / "store")
+        materialize_triples(self._tri(0, 200), out, num_parts=4,
+                            job="j1", dedup=True)
+        m1 = append_triples(self._tri(0, 200), out)  # pure re-append
+        assert sum(m["num_triples"] for m in m1) == 200
+        # a delta hitting one subject only rewrites its partition
+        import json as _json
+
+        shas_before = {}
+        for p in range(4):
+            with open(os.path.join(out, f"part-{p:05d}",
+                                   "manifest.json")) as f:
+                shas_before[p] = _json.load(f)["content_sha1"]
+        one = self._tri(400, 401)  # subj s0 only
+        m2 = append_triples(one, out)
+        changed = [p for p in range(4)]
+        shas_after = {}
+        for p in range(4):
+            with open(os.path.join(out, f"part-{p:05d}",
+                                   "manifest.json")) as f:
+                shas_after[p] = _json.load(f)["content_sha1"]
+        diff = [p for p in changed if shas_before[p] != shas_after[p]]
+        assert len(diff) == 1  # only the delta's partition rewrote
+        assert sum(m["num_triples"] for m in m2) == 201
+
+    def test_append_refuses_incomplete_store(self, ray_session,
+                                             tmp_path):
+        from cow_ray.stages.materialize import (append_triples,
+                                                materialize_triples)
+
+        out = str(tmp_path / "store")
+        materialize_triples(self._tri(0, 100), out, num_parts=2,
+                            job="j1")
+        os.remove(os.path.join(out, "_SUCCESS"))
+        with pytest.raises(ValueError, match="_SUCCESS"):
+            append_triples(self._tri(100, 120), out)
+        # job mismatch also refuses
+        with open(os.path.join(out, "_SUCCESS"), "w") as f:
+            f.write("j1")
+        with pytest.raises(ValueError, match="refusing"):
+            append_triples(self._tri(100, 120), out, job="OTHER")
