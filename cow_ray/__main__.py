@@ -284,9 +284,11 @@ def cmd_query(args) -> int:
                   file=sys.stderr)
             return 2
         patterns.append(tuple(parts))
-    ds = ray.data.read_parquet(
-        sorted(glob.glob(os.path.join(args.store, "part-*",
-                                      "triples.parquet"))))
+    from .stages.materialize import read_triple_store
+
+    # read_triple_store filters crashed-run part-*.tmp-* leftovers —
+    # a bare glob would double-read such partitions
+    ds = read_triple_store(args.store)
     out = bgp_match(ds, patterns)
     rows = out.take(args.limit)
     # var order = first appearance across patterns (Dataset.schema()

@@ -139,7 +139,12 @@ def bm25_topk(ds, terms: list[str], k: int = 10, k1: float = 1.2,
         nanos = np.floor(contrib * 1e9 + 0.5).astype(np.int64)
         score = np.zeros(batch.num_rows, dtype=np.int64)
         np.add.at(score, d, nanos)
-        cand = np.flatnonzero(score > 0)
+        # candidates = docs containing ANY query term, even if their
+        # quantized score is 0 (idf micro-rounds to 0 when df≈N at
+        # N≳2e6) — the SQL oracle keeps those rows, so dropping them
+        # here would break the hash contract when fewer than k docs
+        # score positive
+        cand = np.unique(d)
         order = np.lexsort((ids[cand], -score[cand]))[:k]
         sel = cand[order]
         return pa.table({id_col: pa.array(ids[sel], type=pa.int64()),

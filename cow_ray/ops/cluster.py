@@ -262,7 +262,11 @@ def _cluster_pairs(group: pa.Table, *, id_col: str, vec_col: str,
                      "id_b": pa.array(b, type=pa.int64())})
 
 
-SEMDEDUP_LOCAL_MAX = 2_000_000  # rows ≈ one worker task's batch
+SEMDEDUP_LOCAL_MAX = 2_000_000  # row cap for the single-task finisher
+SEMDEDUP_LOCAL_MAX_BYTES = 512 << 20  # rows × dim × 8 cap — a row cap
+# alone ignores embedding width (2M × 768-d float64 ≈ 12 GB in one
+# task); the byte bound keeps the finisher's matrix at one task's
+# working set
 
 
 def _semdedup_local(threshold: float, id_col: str, vec_col: str,
@@ -332,7 +336,10 @@ def semdedup(ds, k: int = 8, threshold: float = 0.95, iters: int = 10,
     assigned = kmeans_assign(ds, cent, id_col=id_col, vec_col=vec_col
                              ).materialize()  # consumed twice below
 
-    if assigned.count() <= SEMDEDUP_LOCAL_MAX:
+    n_rows = assigned.count()
+    dim = cent.shape[1]
+    if (n_rows <= SEMDEDUP_LOCAL_MAX
+            and n_rows * dim * 8 <= SEMDEDUP_LOCAL_MAX_BYTES):
         refs = []
         for bundle in assigned.iter_internal_ref_bundles():
             refs.extend(bundle.block_refs)

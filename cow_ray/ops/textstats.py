@@ -382,7 +382,13 @@ def tfidf_topterms(ds, k: int = 3, vocab_limit: int = 200,
     dfs = np.array([r["df"] for r in vocab_rows], dtype=np.float64)
     idf_q = np.floor(np.log(float(n_docs) / dfs) * 1e6 + 0.5) / 1e6
     t_arr = pa.array(toks, type=pa.string())
-    handle = ray.put((t_arr, idf_q))
+    # batch-invariant vocab artifacts computed ONCE: ascii tiebreak
+    # ranks + the object-dtype token array (recomputing these per
+    # batch was pure repeated work on the scan path)
+    tok_np = np.asarray(toks, dtype=object)
+    tok_rank = np.empty(len(toks), dtype=np.int64)
+    tok_rank[np.argsort(np.asarray(toks))] = np.arange(len(toks))
+    handle = ray.put((t_arr, idf_q, tok_np, tok_rank))
 
     out_schema = pa.schema([(id_col, pa.int64()),
                             ("token", pa.string()),
@@ -392,7 +398,7 @@ def tfidf_topterms(ds, k: int = 3, vocab_limit: int = 200,
     def per_batch(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return out_schema.empty_table()
-        terms, idf = ray.get(handle)
+        terms, idf, tok_np_w, tok_rank_w = ray.get(handle)
         n = batch.num_rows
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         split = pc.split_pattern_regex(
@@ -418,13 +424,9 @@ def tfidf_topterms(ds, k: int = 3, vocab_limit: int = 200,
         score = tf * idf[ti]
         # numeric tiebreak surrogate: rank of each vocab token in
         # ascending string order (tokens are ascii, so numpy/DuckDB
-        # orderings agree)
-        tok_list = terms.to_pylist()
-        tok_rank = np.empty(len(tok_list), dtype=np.int64)
-        tok_rank[np.argsort(np.asarray(tok_list))] = np.arange(
-            len(tok_list))
-        order = np.lexsort((tok_rank[ti], -score, d))
-        tok_strings = np.asarray(tok_list, dtype=object)[ti]
+        # orderings agree); precomputed once on the driver
+        order = np.lexsort((tok_rank_w[ti], -score, d))
+        tok_strings = tok_np_w[ti]
         d_s, score_s, tok_s = d[order], score[order], tok_strings[order]
         starts = np.r_[True, d_s[1:] != d_s[:-1]]
         pos = np.arange(len(d_s)) - np.maximum.accumulate(

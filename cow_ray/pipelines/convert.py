@@ -222,7 +222,8 @@ def convert_pages(
 
         # the store keeps its original job id; only touched
         # partitions rewrite (delta cost, not store cost)
-        manifests = append_triples(triples, out_dir, dedup=cfg.dedup)
+        manifests = append_triples(triples, out_dir, dedup=cfg.dedup,
+                                   input_desc=";".join(files))
         return read_triple_store(out_dir), manifests
     manifests = materialize_triples(
         triples,

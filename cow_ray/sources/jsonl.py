@@ -302,7 +302,8 @@ def convert_jsonl(
     if cfg.append:
         from ..stages.materialize import append_triples, read_triple_store
 
-        manifests = append_triples(triples, out_dir, dedup=cfg.dedup)
+        manifests = append_triples(triples, out_dir, dedup=cfg.dedup,
+                                   input_desc=";".join(file_list))
         return read_triple_store(out_dir), manifests
     manifests = materialize_triples(
         triples, out_dir, num_parts=cfg.num_parts, job=jh, nanopub=np_,

@@ -156,11 +156,19 @@ def _finalize_lazy(lf, dedup: bool):
 
 
 def _publish_part(out_dir: str, part_id: int, table: pa.Table, job: str,
-                  errors: int, null_skips: int) -> dict:
+                  errors: int, null_skips: int,
+                  replace: bool = False) -> dict:
     """Atomically publish one finished partition (tmp dir + rename);
-    short-circuits to the existing manifest on a resume race."""
+    short-circuits to the existing manifest on a resume race.
+
+    ``replace=True`` (the append path) REPLACES an existing partition
+    instead of short-circuiting: the old directory is renamed aside
+    to ``part-N.old-<pid>`` before the new one swaps in, so the live
+    triples are never deleted before their replacement exists — a
+    crash between the two renames leaves the backup for
+    :func:`append_triples`'s recovery pass to restore."""
     final = _part_dir(out_dir, part_id)
-    if os.path.exists(os.path.join(final, "_DONE")):
+    if not replace and os.path.exists(os.path.join(final, "_DONE")):
         with open(os.path.join(final, "manifest.json")) as f:
             m = json.load(f)
         return {
@@ -190,7 +198,12 @@ def _publish_part(out_dir: str, part_id: int, table: pa.Table, job: str,
         json.dump(manifest, f)
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(job)
-    if os.path.exists(final):  # concurrent winner
+    if replace and os.path.exists(final):
+        bak = final + f".old-{os.getpid()}"
+        os.replace(final, bak)
+        os.replace(tmp, final)
+        shutil.rmtree(bak, ignore_errors=True)
+    elif os.path.exists(final):  # concurrent winner
         shutil.rmtree(tmp)
     else:
         os.replace(tmp, final)
@@ -617,6 +630,7 @@ def append_triples(
     *,
     job: str | None = None,
     dedup: bool = True,
+    input_desc: str = "",
 ):
     """Incrementally ingest NEW triples into a COMPLETE store.
 
@@ -633,20 +647,23 @@ def append_triples(
     byte-identical partition content to a one-shot materialize(A ∪ B)
     with ``dedup=True`` — same modulus, same sort, same distinct.
 
-    Crash contract: ``_SUCCESS`` is removed while an append is in
-    flight and rewritten at the end, so an interrupted append is
-    detectable; re-running the same append is idempotent (staging is
-    re-derived from the inputs, the merge is a distinct-union).  The
-    per-partition swap is tmp-build → swap; a crash exactly between
-    the two leaves that partition's ``_DONE`` missing, which the next
-    append run re-finalizes from its inputs.
+    Crash contract: an ``_append.json`` marker is written before
+    ``_SUCCESS`` is removed, so an interrupted append is detectable
+    AND resumable — a re-run with the marker present is accepted,
+    restores any ``part-N.old-*`` backup whose replacement swap was
+    interrupted (the live partition is never deleted before its
+    replacement exists, see ``_publish_part(replace=True)``), and
+    re-derives staging from the inputs (the distinct-union merge
+    makes re-appending idempotent).
     """
     import ray
 
     from ..stages.canonicalize import hash_mod
 
     job_file = os.path.join(out_dir, "_job.json")
-    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+    append_marker = os.path.join(out_dir, "_append.json")
+    success = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(success) and not os.path.exists(append_marker):
         raise ValueError(
             f"append_triples: {out_dir} has no _SUCCESS marker — "
             "append only targets complete stores (finish or rebuild "
@@ -661,7 +678,26 @@ def append_triples(
             f"store {out_dir} belongs to job {meta['job']!r}, refusing "
             f"to append as {job!r}")
 
-    os.remove(os.path.join(out_dir, "_SUCCESS"))
+    # recovery from an interrupted append: restore any backup whose
+    # replacement swap did not complete; drop completed backups and
+    # stale tmp dirs
+    for name in list(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if name.startswith("part-") and ".old-" in name:
+            final = os.path.join(out_dir, name.split(".old-", 1)[0])
+            if os.path.exists(final):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.replace(path, final)
+        elif name.startswith("part-") and ".tmp-" in name:
+            shutil.rmtree(path, ignore_errors=True)
+
+    with open(append_marker, "w") as f:
+        json.dump({"job": job,
+                   "generation_target": meta.get("generation", 1) + 1},
+                  f)
+    if os.path.exists(success):
+        os.remove(success)
     stage_dir = os.path.join(out_dir, "_stage")
     shutil.rmtree(stage_dir, ignore_errors=True)
 
@@ -706,11 +742,11 @@ def append_triples(
         table, errors, null_skips = _finalize_lazy(
             pl.concat(scans, how="vertical_relaxed"), dedup)
         table = table.cast(TRIPLE_SCHEMA)
-        # republish: build complete tmp, then swap
-        if os.path.exists(final):
-            shutil.rmtree(final)
+        # replace-mode publish: the old partition is renamed aside
+        # (never deleted) until the new one is fully in place
         return _publish_part(out_dir, part_id, table, job,
-                             prev_err + errors, prev_skip + null_skips)
+                             prev_err + errors, prev_skip + null_skips,
+                             replace=True)
 
     new_manifests = {m["part_id"]: m
                      for m in ray.get([merge_part.remote(p)
@@ -729,9 +765,70 @@ def append_triples(
             m["path"] = os.path.join(_part_dir(out_dir, p),
                                      "triples.parquet")
             manifests.append(m)
+    _update_provenance(out_dir, meta, new_manifests, input_desc)
     meta["generation"] = meta.get("generation", 1) + 1
     with open(job_file, "w") as f:
         json.dump(meta, f)
+    os.remove(append_marker)
     with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
         f.write(job)
     return manifests
+
+
+def _update_provenance(out_dir: str, meta: dict, new_manifests: dict,
+                       input_desc: str) -> None:
+    """Surgical per-partition lineage refresh after an append: for
+    every rewritten partition, the ``tripleCount`` / ``contentSha1`` /
+    ``inputSlice`` literal quads are replaced with the new manifest
+    values (graph URI and vocab prefix recovered from the existing
+    quads — the original Nanopub is not reconstructible from
+    ``_job.json`` alone).  Without this the stored lineage would
+    contradict the rewritten partitions' actual hashes."""
+    prov_path = os.path.join(out_dir, "_provenance", "quads.parquet")
+    assertion = (meta.get("graphs") or {}).get("assertion")
+    if not os.path.exists(prov_path) or not assertion or not new_manifests:
+        return
+    t = pq.read_table(prov_path)
+    subj = t["subj"].to_pylist()
+    pred = t["pred"].to_pylist()
+    # vocab prefix discovery: any existing tripleCount quad
+    vocab = next((p[: -len("tripleCount")] for p in pred
+                  if p.endswith("tripleCount")), None)
+    if vocab is None:
+        return
+    part_uris = {f"{assertion}/part/{p:05d}": p for p in new_manifests}
+    mutable = {vocab + "tripleCount", vocab + "contentSha1",
+               vocab + "inputSlice"}
+    keep = [i for i in range(t.num_rows)
+            if not (subj[i] in part_uris and pred[i] in mutable)]
+    graph_of = {}
+    old_slice = {}
+    for i in range(t.num_rows):
+        if subj[i] in part_uris:
+            graph_of[subj[i]] = t["graph"][i].as_py()
+            if pred[i] == vocab + "inputSlice":
+                old_slice[subj[i]] = t["obj_lex"][i].as_py()
+    kept = t.take(pa.array(keep, type=pa.int64()))
+    from ..nanopub import XSD as xsd, quads_table
+    from ..oracle import KIND_LITERAL
+    fresh = []
+    for uri, p in part_uris.items():
+        m = new_manifests[p]
+        g = graph_of.get(uri)
+        if g is None:  # partition had no lineage rows (unexpected)
+            continue
+        slice_ = old_slice.get(uri, "")
+        if input_desc:
+            slice_ = (slice_ + ";" + input_desc) if slice_ else input_desc
+        fresh += [
+            (g, uri, vocab + "tripleCount", str(m["num_triples"]),
+             KIND_LITERAL, xsd + "integer", None),
+            (g, uri, vocab + "contentSha1", m["content_sha1"],
+             KIND_LITERAL, xsd + "string", None),
+            (g, uri, vocab + "inputSlice", slice_,
+             KIND_LITERAL, xsd + "string", None),
+        ]
+    out = pa.concat_tables([kept, quads_table(fresh)])
+    tmp = prov_path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, prov_path)

@@ -533,3 +533,53 @@ class TestAppendTriples:
             f.write("j1")
         with pytest.raises(ValueError, match="refusing"):
             append_triples(self._tri(100, 120), out, job="OTHER")
+
+    def test_append_crash_recovery_and_provenance(self, ray_session,
+                                                  tmp_path):
+        """Interrupted-swap recovery: a part-N.old-* backup with its
+        final missing must be restored by the next append (no data
+        loss, _append.json admits the re-run); the _provenance lineage
+        must track the rewritten partition's new sha."""
+        import json as _json
+
+        import pyarrow.parquet as _pq
+
+        from cow_ray.nanopub import Nanopub
+        from cow_ray.stages.materialize import (append_triples,
+                                                materialize_triples,
+                                                read_triple_store)
+
+        out = str(tmp_path / "store")
+        np_ = Nanopub("https://x/", "ds", "j1")
+        materialize_triples(self._tri(0, 200), out, num_parts=4,
+                            job="j1", dedup=True, nanopub=np_)
+        prov = os.path.join(out, "_provenance", "quads.parquet")
+        before = _pq.read_table(prov)
+
+        # simulate a crash mid-swap: final renamed aside, not replaced
+        victim = os.path.join(out, "part-00001")
+        os.replace(victim, victim + ".old-999")
+        os.remove(os.path.join(out, "_SUCCESS"))
+        with open(os.path.join(out, "_append.json"), "w") as f:
+            _json.dump({"job": "j1", "generation_target": 2}, f)
+
+        manifests = append_triples(self._tri(150, 300), out,
+                                   input_desc="delta.parquet")
+        assert sum(m["num_triples"] for m in manifests) == 300
+        assert read_triple_store(out).count() == 300
+        assert not os.path.exists(victim + ".old-999")
+        assert not os.path.exists(os.path.join(out, "_append.json"))
+
+        after = _pq.read_table(prov)
+        shas = {m["part_id"]: m["content_sha1"] for m in manifests}
+        subj = after["subj"].to_pylist()
+        pred = after["pred"].to_pylist()
+        obj = after["obj_lex"].to_pylist()
+        seen = {}
+        for s, p, o in zip(subj, pred, obj):
+            if p.endswith("contentSha1"):
+                seen[int(s.rsplit("/", 1)[1])] = o
+        assert seen == shas  # lineage tracks every partition's real sha
+        assert any(p.endswith("inputSlice") and "delta.parquet" in o
+                   for p, o in zip(pred, obj))
+        assert after.num_rows == before.num_rows  # replaced, not grown
