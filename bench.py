@@ -129,7 +129,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_doc_triples", "kg_source_triples_dedup", "kg_mention_triples",
         "kg_canonical_sources", "kg_cookbook_triples", "kg_bgp",
         "text_token_stats", "text_quality",
-        "sample_docs", "top_docs_per_lang", "token_doc_freq",
+        "sample_docs", "split_docs", "top_docs_per_lang",
+        "token_doc_freq",
         "heavy_tokens", "doc_perplexity", "bm25_docs", "tfidf_topterms",
         "url_normalized", "url_domain_stats", "doc_len_quantiles",
         "curate_docs", "scrub_docs", "chunk_docs", "decontam_docs",

@@ -110,3 +110,42 @@ def group_top_k(ds, group_cols: list, order_col: str, k: int = 3,
         .groupby(group_cols)
         .map_groups(final_top, batch_format="pyarrow")
     )
+
+
+def hash_split(ds, key_col: str, splits=(("train", 90), ("val", 5),
+                                         ("test", 5)),
+               out_col: str = "split"):
+    """Deterministic train/val/test assignment: the first two hex
+    digits of ``md5(str(key))`` (0..255) bucket each row into the
+    requested percent ranges — content-addressed, so a row keeps its
+    split across runs, shards, and engines (same md5-on-string
+    contract as :func:`hash_sample`; mirrored by the SQL oracle with
+    one CASE over the same digit pair).  Weights are integer percent
+    points and must sum to ≤ 100; any remainder falls into the LAST
+    split.  Embarrassingly parallel — no exchange."""
+    total = sum(w for _, w in splits)
+    if total > 100 or not splits or any(w <= 0 for _, w in splits):
+        raise ValueError("split weights must be positive and sum ≤ 100")
+    # cumulative upper bounds in 1/100ths scaled to the 256 bucket
+    # space: bucket b belongs to the first split with b*100 < cum*256
+    bounds = []
+    cum = 0
+    for name, w in splits:
+        cum += w
+        bounds.append((name, cum))
+    bounds[-1] = (bounds[-1][0], 100)  # remainder → last split
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_pylist()
+        out = []
+        for v in vals:
+            b = int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2],
+                    16)
+            for name, ub in bounds:
+                if b * 100 < ub * 256:
+                    out.append(name)
+                    break
+        return batch.append_column(out_col,
+                                   pa.array(out, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

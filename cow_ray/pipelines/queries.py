@@ -621,6 +621,34 @@ SELECT doc_id, source, lang FROM documents
 """
 
 
+def q_split_docs(sf_dir: str):
+    """Deterministic content-addressed train/val/test split
+    (ops/sample.py hash_split): the md5-derived bucket is engine-
+    independent, so membership is stable across runs/shards and the
+    SQL oracle reproduces it digit-for-digit."""
+    from ..ops.sample import hash_split
+
+    return hash_split(_docs(sf_dir), "doc_id").select_columns(
+        ["doc_id", "split"])
+
+
+SQL_SPLIT_DOCS = """
+WITH b AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+           AS bucket
+    FROM documents)
+SELECT doc_id,
+       CASE WHEN bucket * 100 < 90 * 256 THEN 'train'
+            WHEN bucket * 100 < 95 * 256 THEN 'val'
+            ELSE 'test' END AS split
+  FROM b
+"""
+
+
 def q_top_docs_per_lang(sf_dir: str):
     from ..ops.sample import group_top_k
 
@@ -2389,6 +2417,7 @@ QUERIES = {
     "scrub_docs": q_scrub_docs,
     "chunk_docs": q_chunk_docs,
     "sample_docs": q_sample_docs,
+    "split_docs": q_split_docs,
     "stratified_docs": q_stratified_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
     "token_doc_freq": q_token_doc_freq,
@@ -2451,6 +2480,7 @@ ORACLES = {
     "scrub_docs": SQL_SCRUB_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,
     "sample_docs": SQL_SAMPLE_DOCS,
+    "split_docs": SQL_SPLIT_DOCS,
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "token_doc_freq": SQL_TOKEN_DOC_FREQ,
