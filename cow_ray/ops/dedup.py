@@ -444,7 +444,8 @@ def verify_candidates_distributed(cand_ds, docs_ds, threshold: float = 0.8,
                                   text_col: str = "text",
                                   num_parts: int = 16,
                                   strategy: str = "auto",
-                                  max_bcast_pairs: int = 4_000_000):
+                                  max_bcast_pairs: int = 4_000_000,
+                                  metric: str = "jaccard"):
     """Distributed exact-Jaccard verification of candidate pairs —
     the no-texts-broadcast path for corpora too big for a driver texts
     dict (``verify_candidates`` is the small/fast path).
@@ -471,9 +472,11 @@ def verify_candidates_distributed(cand_ds, docs_ds, threshold: float = 0.8,
     """
     if strategy not in ("auto", "bcast", "exchange"):
         raise ValueError(f"unknown verify strategy {strategy!r}")
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown verify metric {metric!r}")
     if strategy == "exchange":
         return _verify_exchange(cand_ds, docs_ds, threshold, k, id_col,
-                                text_col, num_parts)
+                                text_col, num_parts, metric)
     cand_mat = cand_ds.materialize()
     n_cand = cand_mat.count()
     if n_cand > max_bcast_pairs:
@@ -482,7 +485,7 @@ def verify_candidates_distributed(cand_ds, docs_ds, threshold: float = 0.8,
                 f"{n_cand} candidate pairs exceed max_bcast_pairs="
                 f"{max_bcast_pairs}; use strategy='exchange'")
         return _verify_exchange(cand_mat, docs_ds, threshold, k, id_col,
-                                text_col, num_parts)
+                                text_col, num_parts, metric)
     a_parts, b_parts = [], []
     for b in cand_mat.select_columns(["id_a", "id_b"]).iter_batches(
             batch_format="pyarrow", batch_size=None):
@@ -493,7 +496,7 @@ def verify_candidates_distributed(cand_ds, docs_ds, threshold: float = 0.8,
 
         return ray.data.from_arrow(pa.schema(
             [("id_a", pa.int64()), ("id_b", pa.int64()),
-             ("jaccard", pa.float64())]).empty_table())
+             (metric, pa.float64())]).empty_table())
     pa_arr = np.concatenate(a_parts).astype(np.int64)
     pb_arr = np.concatenate(b_parts).astype(np.int64)
     o = np.lexsort((pb_arr, pa_arr))
@@ -501,12 +504,12 @@ def verify_candidates_distributed(cand_ds, docs_ds, threshold: float = 0.8,
     keep = np.r_[True, (pa_arr[1:] != pa_arr[:-1])
                  | (pb_arr[1:] != pb_arr[:-1])]
     return _verify_bcast(pa_arr[keep], pb_arr[keep], docs_ds, threshold,
-                         k, id_col, text_col, num_parts)
+                         k, id_col, text_col, num_parts, metric)
 
 
 def _verify_bcast(pair_a: np.ndarray, pair_b: np.ndarray, docs_ds,
                   threshold: float, k: int, id_col: str, text_col: str,
-                  num_parts: int):
+                  num_parts: int, metric: str = "jaccard"):
     """One-exchange verify: the distinct pair list is broadcast via
     ``ray.put``; each corpus task looks its doc ids up in the sorted
     pair-membership index (searchsorted) and ships the doc's text
@@ -610,22 +613,27 @@ def _verify_bcast(pair_a: np.ndarray, pair_b: np.ndarray, docs_ds,
             a = shingles.get(int(ia[r]), empty)
             b = shingles.get(int(ib[r]), empty)
             inter = np.intersect1d(a, b, assume_unique=True).size
-            union = a.size + b.size - inter
-            out_j[j] = round(inter / union if union else 1.0, 6)
+            if metric == "containment":
+                out_j[j] = round(max(inter / a.size, inter / b.size), 6)
+            else:
+                union = a.size + b.size - inter
+                out_j[j] = round(inter / union if union else 1.0, 6)
         t = pa.table(
             {"id_a": pa.array(out_a), "id_b": pa.array(out_b),
-             "jaccard": pa.array(out_j)})
-        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+             metric: pa.array(out_j)})
+        return t.filter(pc.greater_equal(t[metric], threshold))
 
     return staged.groupby("__part").map_groups(verify_part,
                                                batch_format="pyarrow")
 
 
 def _verify_exchange(cand_ds, docs_ds, threshold: float, k: int,
-                     id_col: str, text_col: str, num_parts: int):
+                     id_col: str, text_col: str, num_parts: int,
+                     metric: str = "jaccard"):
     """Two-exchange backend (no driver pull): texts onto pair sides
     via union + per-partition searchsorted join, then a pair-keyed
-    pivot computing the exact char-k-gram Jaccard."""
+    pivot computing the exact char-k-gram metric (Jaccard or
+    max-directional containment)."""
     from ..ops.graph import _hash_part
 
     staged_schema = pa.schema(
@@ -727,7 +735,7 @@ def _verify_exchange(cand_ds, docs_ds, threshold: float, k: int,
 
     out_schema = pa.schema(
         [("id_a", pa.int64()), ("id_b", pa.int64()),
-         ("jaccard", pa.float64())]
+         (metric, pa.float64())]
     )
 
     def pivot(group: pa.Table) -> pa.Table:
@@ -756,17 +764,21 @@ def _verify_exchange(cand_ds, docs_ds, threshold: float, k: int,
             b_first = s + int(np.searchsorted(side[s:e], 1))
             out_a.append(ia[s])
             out_b.append(ib[s])
+            score_fn = (ngram_jaccard if metric == "jaccard"
+                        else lambda x, y, kk: max(
+                            ngram_containment(x, y, kk),
+                            ngram_containment(y, x, kk)))
             out_j.append(
-                round(ngram_jaccard(texts[s], texts[b_first], k), 6)
+                round(score_fn(texts[s], texts[b_first], k), 6)
             )
         t = pa.table(
             {
                 "id_a": pa.array(np.array(out_a, dtype=np.int64)),
                 "id_b": pa.array(np.array(out_b, dtype=np.int64)),
-                "jaccard": pa.array(np.array(out_j, dtype=np.float64)),
+                metric: pa.array(np.array(out_j, dtype=np.float64)),
             }
         )
-        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+        return t.filter(pc.greater_equal(t[metric], threshold))
 
     return sided.groupby("__p2").map_groups(pivot, batch_format="pyarrow")
 
@@ -1034,3 +1046,61 @@ def simhash_part_pairs(max_hamming: int, bucket_cap: int = 1000,
         )
 
     return part_pairs
+
+
+def ngram_containment(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact character-k-gram CONTAINMENT ``|A∩B| / |A|`` — Broder's
+    second resemblance measure ("On the resemblance and containment of
+    documents", SEQUENCES 1997).  Asymmetric by design: a short quote
+    fully inside a long page scores ~1.0 here while its symmetric
+    Jaccard is near 0 — the measure for quote/subset duplication."""
+    a = _shingle_hashes(text_a or "", k)
+    b = _shingle_hashes(text_b or "", k)
+    # _shingle_hashes gives sub-k texts a whole-text sentinel shingle
+    # (module-wide contract, see ngram_jaccard), so a is never empty:
+    # containment('', x) = 0 unless x is also empty (sentinels match)
+    return np.intersect1d(a, b, assume_unique=True).size / a.size
+
+
+def containment_candidates(cand_ds, docs_by_id, threshold: float = 0.9,
+                           k: int = 5):
+    """Verify candidate pairs against max-directional containment
+    ``max(|A∩B|/|A|, |A∩B|/|B|)`` ≥ threshold — same broadcast shape
+    as :func:`verify_candidates` (the symmetric-max keeps the pair
+    orientation-independent while still catching subset duplication
+    in either direction).  Appends ``containment`` and filters."""
+
+    class Verify:
+        def __init__(self, docs):
+            self._handle = docs
+            self.docs = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.docs is None:
+                docs = self._handle
+                try:
+                    import ray
+
+                    if isinstance(docs, ray.ObjectRef):
+                        docs = ray.get(docs)
+                except ImportError:
+                    pass
+                self.docs = docs
+            vals = []
+            for a, b in zip(batch["id_a"].to_pylist(),
+                            batch["id_b"].to_pylist()):
+                ta, tb = self.docs.get(a, ""), self.docs.get(b, "")
+                sa = _shingle_hashes(ta or "", k)
+                sb = _shingle_hashes(tb or "", k)
+                inter = np.intersect1d(sa, sb,
+                                       assume_unique=True).size
+                ca = inter / sa.size if sa.size else 1.0
+                cb = inter / sb.size if sb.size else 1.0
+                vals.append(round(max(ca, cb), 6))
+            batch = batch.append_column(
+                "containment", pa.array(vals, type=pa.float64()))
+            return batch.filter(
+                pc.greater_equal(batch["containment"], threshold))
+
+    return cand_ds.map_batches(Verify(docs_by_id),
+                               batch_format="pyarrow")

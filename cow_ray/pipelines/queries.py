@@ -1245,6 +1245,24 @@ def q_neardup_verified_docs(sf_dir: str):
     ).select_columns(["id_a", "id_b", "jaccard"])
 
 
+def q_containment_docs(sf_dir: str):
+    """MinHash-LSH candidates re-verified by max-directional k-gram
+    CONTAINMENT (Broder 1997's second measure — catches quote/subset
+    duplication symmetric Jaccard misses).  Rows-only for the same
+    declared reason as neardup_verified_docs; kernel pinned against
+    hand-built quote-in-page fixtures in tests."""
+    from ..ops.dedup import (
+        minhash_lsh_candidates,
+        verify_candidates_distributed,
+    )
+
+    docs = _docs(sf_dir, blocks=8)
+    cand = minhash_lsh_candidates(docs, num_perm=64, num_bands=16)
+    return verify_candidates_distributed(
+        cand, docs, threshold=0.5, metric="containment"
+    ).select_columns(["id_a", "id_b", "containment"])
+
+
 def q_dedup_exact_docs(sf_dir: str):
     from ..ops.dedup import dedup_exact
 
@@ -2433,6 +2451,7 @@ QUERIES = {
     "curate_docs_neardup": q_curate_docs_neardup,
     "dedup_exact_docs": q_dedup_exact_docs,
     "neardup_verified_docs": q_neardup_verified_docs,
+    "containment_docs": q_containment_docs,
     "dedup_minhash_docs": q_dedup_minhash_docs,
     "dedup_simhash_docs": q_dedup_simhash_docs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,

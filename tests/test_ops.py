@@ -1987,3 +1987,72 @@ class TestHashSplit:
         with pytest.raises(ValueError):
             hash_split(docs_ds, "doc_id",
                        splits=(("a", 60), ("b", 60)))
+
+
+class TestContainment:
+    def test_quote_inside_page(self, ray_session):
+        import ray
+        import ray.data
+
+        from cow_ray.ops.dedup import (containment_candidates,
+                                       ngram_containment, ngram_jaccard)
+
+        quote = "the quick brown fox jumps over the lazy dog near the bank"
+        # varied filler (repeating one sentence would collapse the
+        # page's DISTINCT shingle set and inflate containment(page,·))
+        page = (" ".join(f"unrelated preamble sentence number {i} "
+                         f"talks about topic {i * 7}." for i in
+                         range(30))
+                + " " + quote + " "
+                + " ".join(f"trailing paragraph {i} covers subject "
+                           f"{i * 13} afterwards." for i in range(30)))
+        # asymmetric: quote ⊂ page scores ~1 one way, low Jaccard
+        assert ngram_containment(quote, page) > 0.95
+        assert ngram_containment(page, quote) < 0.2
+        assert ngram_jaccard(quote, page) < 0.2
+
+        docs = {1: quote, 2: page, 3: "something else entirely olé"}
+        cand = ray.data.from_items(
+            [{"id_a": 1, "id_b": 2}, {"id_a": 2, "id_b": 3}])
+        out = containment_candidates(cand, ray.put(docs),
+                                     threshold=0.9).take_all()
+        assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+        assert out[0]["containment"] > 0.95
+
+    def test_empty_text_contract(self):
+        """Sub-k texts carry the module's whole-text sentinel shingle
+        (same contract as ngram_jaccard), so empty≠nonempty scores 0
+        and empty==empty scores 1."""
+        from cow_ray.ops.dedup import ngram_containment
+
+        assert ngram_containment("", "anything") == 0.0
+        assert ngram_containment("abcdefgh", "") == 0.0
+        assert ngram_containment("", "") == 1.0
+        assert ngram_containment("same text here", "same text here") \
+            == 1.0
+
+    def test_distributed_containment_backends_agree(self, docs_ds):
+        """Both distributed verify backends must emit the identical
+        containment pair set, and every containment must dominate the
+        pair's Jaccard (|A∩B|/min ≥ |A∩B|/union)."""
+        from cow_ray.ops.dedup import (minhash_lsh_candidates,
+                                       verify_candidates_distributed)
+
+        cand = minhash_lsh_candidates(docs_ds, num_perm=64,
+                                      num_bands=16).materialize()
+        bc = sorted(
+            (r["id_a"], r["id_b"], r["containment"])
+            for r in verify_candidates_distributed(
+                cand, docs_ds, threshold=0.5, strategy="bcast",
+                metric="containment").take_all())
+        ex = sorted(
+            (r["id_a"], r["id_b"], r["containment"])
+            for r in verify_candidates_distributed(
+                cand, docs_ds, threshold=0.5, strategy="exchange",
+                metric="containment").take_all())
+        assert bc == ex and len(bc) > 0
+        jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in verify_candidates_distributed(
+                   cand, docs_ds, threshold=0.0).take_all()}
+        for a, b, c in bc:
+            assert c >= jac[(a, b)] - 1e-9
