@@ -131,7 +131,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "text_token_stats", "text_quality",
         "sample_docs", "split_docs", "top_docs_per_lang",
         "token_doc_freq",
-        "heavy_tokens", "doc_perplexity", "bm25_docs", "tfidf_topterms",
+        "heavy_tokens", "doc_perplexity", "doc_nll", "bm25_docs",
+        "tfidf_topterms",
         "url_normalized", "url_domain_stats", "doc_len_quantiles",
         "curate_docs", "scrub_docs", "chunk_docs", "decontam_docs",
         "packed_docs",

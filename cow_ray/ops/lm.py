@@ -77,14 +77,22 @@ def _tokenize(batch: pa.Table, text_col: str):
 
 
 def train_unigram_lm(ds, text_col: str = "text",
-                     vocab_size: int = 65_536, num_parts: int = 32) -> dict:
+                     vocab_size: int = 65_536, num_parts: int = 32,
+                     quantize: bool = False) -> dict:
     """Distributed exact top-``vocab_size`` unigram counts + corpus
     total, folded to a broadcast-ready logprob table ``{"hash":
     sorted uint64[V], "logp": float64[V], "unk": float}``.
 
     In-vocab: ``log(c / total)`` (MLE).  OOV: ``log(0.5 / total)`` —
     strictly below the rarest possible vocab entry (count 1), so
-    truncation never *rewards* unseen tokens."""
+    truncation never *rewards* unseen tokens.
+
+    ``quantize=True`` additionally stores MICRO-quantized logprobs as
+    int64 (``m = floor(ln(c/total)·1e6 + 0.5)``, the ops/bm25.py
+    pattern) under ``logp_micro`` / ``unk_micro`` and replaces
+    ``logp`` with ``m/1e6`` — the exact-integer basis that lets
+    per-document NLL hash-match a SQL oracle with zero float
+    reassociation risk."""
 
     def partial(batch: pa.Table) -> pa.Table:
         flat, _ = _tokenize(batch, text_col)
@@ -143,7 +151,9 @@ def train_unigram_lm(ds, text_col: str = "text",
     if total == 0:
         return {"hash": np.empty(0, dtype=np.uint64),
                 "logp": np.empty(0, dtype=np.float64),
-                "unk": 0.0, "total": 0, "vocab": 0}
+                "logp_micro": np.empty(0, dtype=np.int64),
+                "unk": 0.0, "unk_micro": 0,
+                "total": 0, "vocab": 0}
     counts = np.asarray(counts, dtype=np.int64)
     # global top-V: partitions are token-disjoint, so per-partition
     # sums are final and a driver-side head over ≤ parts × V rows is
@@ -153,10 +163,18 @@ def train_unigram_lm(ds, text_col: str = "text",
     tok_arr = pa.array([toks[i] for i in order], type=pa.large_string())
     h = _hash64(tok_arr)
     sort = np.argsort(h, kind="stable")
-    return {"hash": h[sort],
-            "logp": np.log(counts[order][sort] / total),
-            "unk": float(np.log(0.5 / total)),
-            "total": int(total), "vocab": len(order)}
+    out = {"hash": h[sort],
+           "logp": np.log(counts[order][sort] / total),
+           "unk": float(np.log(0.5 / total)),
+           "total": int(total), "vocab": len(order)}
+    if quantize:
+        m = np.floor(out["logp"] * 1e6 + 0.5).astype(np.int64)
+        out["logp_micro"] = m
+        out["logp"] = m / 1e6
+        unk_m = int(np.floor(out["unk"] * 1e6 + 0.5))
+        out["unk_micro"] = unk_m
+        out["unk"] = unk_m / 1e6
+    return out
 
 
 def perplexity_scores(ds, lm, text_col: str = "text",
@@ -209,6 +227,61 @@ def perplexity_scores(ds, lm, text_col: str = "text",
             "ppl": pa.array(np.where(lens > 0, ppl, np.nan),
                             mask=(lens == 0)),
         })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
+
+
+def nll_scores(ds, lm, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document negative log-likelihood in exact integer NANOS —
+    the hash-oracled sibling of :func:`perplexity_scores`.  Requires a
+    ``train_unigram_lm(..., quantize=True)`` table: each token costs
+    ``-m · 1000`` nanos (``m`` = micro-quantized logprob, so the
+    product is an exact small integer) and the per-doc sum is
+    order-free.  Output ``(id_col, n_tokens, nll_n9)`` — all int64,
+    zero float risk; 0-token docs score 0.  Perplexity is the
+    monotone transform ``exp(nll_n9 / (1e9 · n_tokens))`` — derive it
+    downstream when a float is wanted."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        tab = lm
+        try:
+            import ray
+
+            if isinstance(tab, ray.ObjectRef):
+                tab = ray.get(tab)
+        except ImportError:  # pragma: no cover
+            pass
+        if "logp_micro" not in tab:
+            raise ValueError(
+                "nll_scores needs train_unigram_lm(quantize=True)")
+        flat, lens = _tokenize(batch, text_col)
+        n = batch.num_rows
+        lens = np.asarray(lens, dtype=np.int64)
+        if len(flat) == 0:
+            return pa.table({
+                id_col: batch[id_col],
+                "n_tokens": pa.array(np.zeros(n, dtype=np.int64)),
+                "nll_n9": pa.array(np.zeros(n, dtype=np.int64))})
+        h = _hash64(flat)
+        vocab_h = tab["hash"]
+        micro = tab["logp_micro"]
+        if len(vocab_h) == 0:
+            m = np.full(len(h), tab["unk_micro"], dtype=np.int64)
+        else:
+            pos = np.searchsorted(vocab_h, h)
+            in_v = pos < len(vocab_h)
+            pos_c = np.where(in_v, pos, 0)
+            m = np.where(in_v & (vocab_h[pos_c] == h),
+                         micro[pos_c], tab["unk_micro"])
+        cost = -m * 1000  # exact: micros → nanos, sign flipped
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.add.reduceat(cost, starts)
+        sums[lens == 0] = 0
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(lens),
+            "nll_n9": pa.array(sums.astype(np.int64))})
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")

@@ -1110,6 +1110,53 @@ def q_doc_perplexity(sf_dir: str):
     return perplexity_scores(docs, ray.put(lm))
 
 
+def q_doc_nll(sf_dir: str):
+    """Per-doc unigram negative log-likelihood in exact integer nanos
+    (ops/lm.py nll_scores) — the HASH-ORACLED sibling of
+    doc_perplexity: micro-quantized logprobs make every token cost an
+    exact small integer, so the per-doc sum is order-free and the SQL
+    oracle matches bit-for-bit (perplexity itself is the monotone
+    exp transform, derived downstream)."""
+    import ray
+
+    from ..ops.lm import nll_scores, train_unigram_lm
+
+    docs = _docs(sf_dir, blocks=8)
+    lm = train_unigram_lm(docs, vocab_size=4096, quantize=True)
+    return nll_scores(docs, ray.put(lm))
+
+
+SQL_DOC_NLL = """
+WITH toks AS (
+  SELECT d.doc_id, t.token
+    FROM documents d,
+         unnest(string_split_regex(lower(d.text), '[^a-z0-9'']+'))
+         AS t(token)
+   WHERE t.token <> ''
+),
+tot AS (SELECT count(*) AS n FROM toks),
+counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+vocab AS (SELECT token, c FROM counts
+           ORDER BY c DESC, token LIMIT 4096),
+lp AS (SELECT v.token,
+              CAST(floor(ln(v.c / t.n::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                AS m
+         FROM vocab v CROSS JOIN tot t),
+unk AS (SELECT CAST(floor(ln(0.5 / t.n::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                 AS m
+          FROM tot t),
+per AS (SELECT tk.doc_id, count(*) AS n_tokens,
+               sum(-COALESCE(lp.m, (SELECT m FROM unk)) * 1000)
+                 AS nll_n9
+          FROM toks tk LEFT JOIN lp ON lp.token = tk.token
+         GROUP BY tk.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.nll_n9, 0) AS BIGINT) AS nll_n9
+  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
 def q_heavy_tokens(sf_dir: str):
     """Exact φ-heavy-hitter tokens (document frequency ≥ 1/20 of the
     corpus) via Misra-Gries candidate sketches + one broadcast exact
@@ -2446,6 +2493,7 @@ QUERIES = {
     "doc_len_quantiles": q_doc_len_quantiles,
     "heavy_tokens": q_heavy_tokens,
     "doc_perplexity": q_doc_perplexity,
+    "doc_nll": q_doc_nll,
     "decontam_docs": q_decontam_docs,
     "curate_docs": q_curate_docs,
     "curate_docs_neardup": q_curate_docs_neardup,
@@ -2509,6 +2557,7 @@ ORACLES = {
     "url_domain_stats": SQL_URL_DOMAIN_STATS,
     "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
     "heavy_tokens": SQL_HEAVY_TOKENS,
+    "doc_nll": SQL_DOC_NLL,
     "decontam_docs": SQL_DECONTAM_DOCS,
     "curate_docs": SQL_CURATE_DOCS,
     "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,

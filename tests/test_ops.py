@@ -2056,3 +2056,49 @@ class TestContainment:
                    cand, docs_ds, threshold=0.0).take_all()}
         for a, b, c in bc:
             assert c >= jac[(a, b)] - 1e-9
+
+
+class TestNllScores:
+    def test_nll_consistent_with_perplexity(self, docs_ds):
+        """nll_n9/(1e9·n) must reproduce ln(ppl) within the micro
+        quantization error, and both paths must agree on n_tokens."""
+        import math
+
+        import ray
+
+        from cow_ray.ops.lm import (nll_scores, perplexity_scores,
+                                    train_unigram_lm)
+
+        lm_q = train_unigram_lm(docs_ds, vocab_size=512, quantize=True)
+        lm_f = train_unigram_lm(docs_ds, vocab_size=512)
+        nll = {r["doc_id"]: (r["n_tokens"], r["nll_n9"])
+               for r in nll_scores(docs_ds, ray.put(lm_q)).take_all()}
+        ppl = {r["doc_id"]: (r["n_tokens"], r["ppl"])
+               for r in perplexity_scores(docs_ds,
+                                          ray.put(lm_f)).take_all()}
+        assert set(nll) == set(ppl)
+        checked = 0
+        for d, (n, s) in nll.items():
+            assert ppl[d][0] == n
+            if n:
+                # per-token quantization error ≤ 0.5e-6
+                assert abs(s / 1e9 / n - math.log(ppl[d][1])) < 1e-6
+                checked += 1
+        assert checked > 100
+
+    def test_quantized_table_shape(self, docs_ds):
+        from cow_ray.ops.lm import train_unigram_lm
+
+        lm = train_unigram_lm(docs_ds, vocab_size=64, quantize=True)
+        assert lm["logp_micro"].dtype == np.int64
+        assert np.all(lm["logp_micro"] < 0) and lm["unk_micro"] < 0
+        # stored float logp is exactly micro/1e6
+        assert np.array_equal(lm["logp"], lm["logp_micro"] / 1e6)
+        # unquantized table lacks the integer keys → nll refuses
+        import ray
+
+        from cow_ray.ops.lm import nll_scores
+
+        lm_f = train_unigram_lm(docs_ds, vocab_size=64)
+        with pytest.raises(Exception, match="quantize=True"):
+            nll_scores(docs_ds, ray.put(lm_f)).take_all()
