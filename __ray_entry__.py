@@ -61,7 +61,8 @@ def oracle_sql() -> dict[str, str]:
     rolling fp, LSH/IVF/IVF-PQ ANN, langid, multimodal image/audio,
     HLL sketch, bigram entropy, near-dup curation, winnowing dup
     spans + span removal, FFD sequence packing, unigram-LM
-    perplexity, iterative k-means + SemDeDup) are genuinely
+    perplexity (its integer-nano NLL core doc_nll IS oracled),
+    containment verify, iterative k-means + SemDeDup) are genuinely
     non-SQL-expressible or not hash-stable cross-engine (float
     log-sums) → rows-only check.  Note connected components IS oracled
     (recursive CTE), as are the Gopher/C4/BPE text-quality signals
