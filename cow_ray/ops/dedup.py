@@ -405,10 +405,16 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 
 def verify_candidates(cand_ds, docs_by_id: dict[int, str], threshold: float = 0.8,
-                      k: int = 5):
+                      k: int = 5, metric: str = "jaccard"):
     """Verify candidate pairs against exact Jaccard.  ``docs_by_id`` is
     a broadcast lookup (pass a ``ray.put`` handle for big corpora via
-    fn_constructor; at verification stage the candidate set is small)."""
+    fn_constructor; at verification stage the candidate set is small).
+    ``metric``: ``"jaccard"`` or max-directional ``"containment"``."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown verify metric {metric!r}")
+    score_fn = (ngram_jaccard if metric == "jaccard"
+                else lambda x, y, kk: max(ngram_containment(x, y, kk),
+                                          ngram_containment(y, x, kk)))
 
     class Verify:
         def __init__(self, docs):
@@ -430,11 +436,11 @@ def verify_candidates(cand_ds, docs_by_id: dict[int, str], threshold: float = 0.
                     pass
                 self.docs = docs
             ja = [
-                round(ngram_jaccard(self.docs.get(a, ""), self.docs.get(b, ""), k), 6)
+                round(score_fn(self.docs.get(a, ""), self.docs.get(b, ""), k), 6)
                 for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
             ]
-            batch = batch.append_column("jaccard", pa.array(ja, type=pa.float64()))
-            return batch.filter(pc.greater_equal(batch["jaccard"], threshold))
+            batch = batch.append_column(metric, pa.array(ja, type=pa.float64()))
+            return batch.filter(pc.greater_equal(batch[metric], threshold))
 
     return cand_ds.map_batches(Verify(docs_by_id), batch_format="pyarrow")
 
@@ -751,6 +757,10 @@ def _verify_exchange(cand_ds, docs_ds, threshold: float, k: int,
         ia, ib, side, texts = ia[order], ib[order], side[order], texts[order]
         newp = np.r_[True, (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])]
         starts = np.flatnonzero(newp)
+        score_fn = (ngram_jaccard if metric == "jaccard"
+                    else lambda x, y, kk: max(
+                        ngram_containment(x, y, kk),
+                        ngram_containment(y, x, kk)))
         out_a, out_b, out_j = [], [], []
         ends = np.r_[starts[1:], len(ia)]
         for s, e in zip(starts, ends):
@@ -764,10 +774,6 @@ def _verify_exchange(cand_ds, docs_ds, threshold: float, k: int,
             b_first = s + int(np.searchsorted(side[s:e], 1))
             out_a.append(ia[s])
             out_b.append(ib[s])
-            score_fn = (ngram_jaccard if metric == "jaccard"
-                        else lambda x, y, kk: max(
-                            ngram_containment(x, y, kk),
-                            ngram_containment(y, x, kk)))
             out_j.append(
                 round(score_fn(texts[s], texts[b_first], k), 6)
             )
@@ -1064,43 +1070,9 @@ def ngram_containment(text_a: str, text_b: str, k: int = 5) -> float:
 
 def containment_candidates(cand_ds, docs_by_id, threshold: float = 0.9,
                            k: int = 5):
-    """Verify candidate pairs against max-directional containment
-    ``max(|A∩B|/|A|, |A∩B|/|B|)`` ≥ threshold — same broadcast shape
-    as :func:`verify_candidates` (the symmetric-max keeps the pair
-    orientation-independent while still catching subset duplication
-    in either direction).  Appends ``containment`` and filters."""
-
-    class Verify:
-        def __init__(self, docs):
-            self._handle = docs
-            self.docs = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if self.docs is None:
-                docs = self._handle
-                try:
-                    import ray
-
-                    if isinstance(docs, ray.ObjectRef):
-                        docs = ray.get(docs)
-                except ImportError:
-                    pass
-                self.docs = docs
-            vals = []
-            for a, b in zip(batch["id_a"].to_pylist(),
-                            batch["id_b"].to_pylist()):
-                ta, tb = self.docs.get(a, ""), self.docs.get(b, "")
-                sa = _shingle_hashes(ta or "", k)
-                sb = _shingle_hashes(tb or "", k)
-                inter = np.intersect1d(sa, sb,
-                                       assume_unique=True).size
-                ca = inter / sa.size if sa.size else 1.0
-                cb = inter / sb.size if sb.size else 1.0
-                vals.append(round(max(ca, cb), 6))
-            batch = batch.append_column(
-                "containment", pa.array(vals, type=pa.float64()))
-            return batch.filter(
-                pc.greater_equal(batch["containment"], threshold))
-
-    return cand_ds.map_batches(Verify(docs_by_id),
-                               batch_format="pyarrow")
+    """Max-directional containment verify over a broadcast texts
+    lookup — a thin alias of :func:`verify_candidates` with
+    ``metric="containment"`` (one shared broadcast-resolve / filter
+    implementation)."""
+    return verify_candidates(cand_ds, docs_by_id, threshold, k,
+                             metric="containment")

@@ -149,11 +149,13 @@ def train_unigram_lm(ds, text_col: str = "text",
                 toks.append(t)
                 counts.append(c)
     if total == 0:
-        return {"hash": np.empty(0, dtype=np.uint64),
-                "logp": np.empty(0, dtype=np.float64),
-                "logp_micro": np.empty(0, dtype=np.int64),
-                "unk": 0.0, "unk_micro": 0,
-                "total": 0, "vocab": 0}
+        out = {"hash": np.empty(0, dtype=np.uint64),
+               "logp": np.empty(0, dtype=np.float64),
+               "unk": 0.0, "total": 0, "vocab": 0}
+        if quantize:  # keys conditional so nll_scores' guard holds
+            out["logp_micro"] = np.empty(0, dtype=np.int64)
+            out["unk_micro"] = 0
+        return out
     counts = np.asarray(counts, dtype=np.int64)
     # global top-V: partitions are token-disjoint, so per-partition
     # sums are final and a driver-side head over ≤ parts × V rows is
@@ -216,9 +218,16 @@ def perplexity_scores(ds, lm, text_col: str = "text",
             pos_c = np.where(in_v, pos, 0)
             lp = np.where(in_v & (vocab_h[pos_c] == h),
                           logp[pos_c], tab["unk"])
+        # reduceat rejects a start index == len(lp), which happens
+        # whenever the batch's LAST doc has zero tokens; reduce over
+        # non-empty docs only (their starts are strictly increasing
+        # and < len(lp)) and scatter back
+        lens = np.asarray(lens, dtype=np.int64)
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        sums = np.add.reduceat(lp, starts)
-        sums[lens == 0] = 0.0  # reduceat repeats on empty segments
+        nz = lens > 0
+        sums = np.zeros(n, dtype=np.float64)
+        if nz.any():
+            sums[nz] = np.add.reduceat(lp, starts[nz])
         with np.errstate(divide="ignore", invalid="ignore"):
             ppl = np.exp(-sums / lens)
         return pa.table({
@@ -275,9 +284,12 @@ def nll_scores(ds, lm, text_col: str = "text", id_col: str = "doc_id"):
             m = np.where(in_v & (vocab_h[pos_c] == h),
                          micro[pos_c], tab["unk_micro"])
         cost = -m * 1000  # exact: micros → nanos, sign flipped
+        # same trailing-empty-doc reduceat guard as perplexity_scores
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        sums = np.add.reduceat(cost, starts)
-        sums[lens == 0] = 0
+        nz = lens > 0
+        sums = np.zeros(n, dtype=np.int64)
+        if nz.any():
+            sums[nz] = np.add.reduceat(cost, starts[nz])
         return pa.table({
             id_col: batch[id_col],
             "n_tokens": pa.array(lens),

@@ -1114,9 +1114,11 @@ def q_doc_nll(sf_dir: str):
     """Per-doc unigram negative log-likelihood in exact integer nanos
     (ops/lm.py nll_scores) — the HASH-ORACLED sibling of
     doc_perplexity: micro-quantized logprobs make every token cost an
-    exact small integer, so the per-doc sum is order-free and the SQL
-    oracle matches bit-for-bit (perplexity itself is the monotone
-    exp transform, derived downstream)."""
+    exact small integer, so the per-doc SUM is order-free.  Residual
+    cross-engine risk lives only in the V ln() calls at quantization
+    (~1e-10 floor-boundary chance per vocab term — the same stance as
+    the bm25/tfidf idf micros); perplexity itself is the monotone exp
+    transform, derived downstream."""
     import ray
 
     from ..ops.lm import nll_scores, train_unigram_lm

@@ -2102,3 +2102,25 @@ class TestNllScores:
         lm_f = train_unigram_lm(docs_ds, vocab_size=64)
         with pytest.raises(Exception, match="quantize=True"):
             nll_scores(docs_ds, ray.put(lm_f)).take_all()
+
+    def test_trailing_empty_doc_in_batch(self, ray_session):
+        """Regression: a batch whose LAST doc tokenizes to zero tokens
+        must not crash reduceat (start index == len(flat)) in either
+        scoring path."""
+        import ray
+        import ray.data
+
+        from cow_ray.ops.lm import (nll_scores, perplexity_scores,
+                                    train_unigram_lm)
+
+        ds = ray.data.from_items(
+            [{"doc_id": 0, "text": "hello world hello"},
+             {"doc_id": 1, "text": "...!!!"},   # tokenizes to nothing
+             ])
+        lm = train_unigram_lm(ds, vocab_size=16, quantize=True)
+        out = {r["doc_id"]: (r["n_tokens"], r["nll_n9"])
+               for r in nll_scores(ds, ray.put(lm)).take_all()}
+        assert out[1] == (0, 0) and out[0][0] == 3 and out[0][1] > 0
+        ppl = {r["doc_id"]: r["ppl"]
+               for r in perplexity_scores(ds, ray.put(lm)).take_all()}
+        assert ppl[1] is None and ppl[0] is not None
