@@ -928,6 +928,76 @@ SELECT doc_id, token, score, CAST(rk AS BIGINT) AS rank
 """
 
 
+def q_customers_no_big_order(sf_dir: str):
+    """Distributed ANTI-join — the join-family member not previously
+    surfaced as its own query: customers with no order above $400k.
+    Both sides hash-partition on custkey and meet reduce-side (the
+    semdedup anti-join shape); the fact side collapses to its batch-
+    distinct custkeys map-side, so the exchange carries keys, never
+    order rows."""
+    import numpy as np_  # noqa: N813 — shadow-proof local alias
+
+    from ..stages.canonicalize import hash_mod
+
+    P = 16
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"])
+
+    def tag_cust(b):
+        return pa.table(
+            {"key": b["c_custkey"].cast(pa.int64()),
+             "c_name": b["c_name"],
+             "c_acctbal": b["c_acctbal"],
+             "kind": pa.array(np_.zeros(b.num_rows, dtype=np_.int8))})
+
+    def tag_orders(b):
+        big = b.filter(pc.greater(b["o_totalprice"], 400000))
+        u = pc.unique(big["o_custkey"]).cast(pa.int64())
+        return pa.table(
+            {"key": u,
+             "c_name": pa.nulls(len(u), type=pa.string()),
+             "c_acctbal": pa.nulls(len(u), type=pa.float64()),
+             "kind": pa.array(np_.ones(len(u), dtype=np_.int8))})
+
+    u = (cust.map_batches(tag_cust, batch_format="pyarrow")
+         .union(orders.map_batches(tag_orders, batch_format="pyarrow")))
+    u = u.add_column("__part", lambda b: hash_mod(b["key"], P),
+                     batch_format="pyarrow")
+
+    def anti(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("c_custkey", pa.int64()),
+                            ("c_name", pa.string()),
+                            ("c_acctbal", pa.float64())])
+        if g.num_rows == 0:
+            return schema.empty_table()
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        keys = g["key"].to_numpy(zero_copy_only=False)
+        hit = np_.unique(keys[kind == 1])
+        rows = np_.flatnonzero(kind == 0)
+        ck = keys[rows]
+        if len(hit):
+            pos = np_.searchsorted(hit, ck)
+            pos[pos == len(hit)] = len(hit) - 1
+            keep = hit[pos] != ck
+        else:
+            keep = np_.ones(len(ck), dtype=bool)
+        sel = g.take(pa.array(rows[keep]))
+        return pa.table({"c_custkey": sel["key"],
+                         "c_name": sel["c_name"],
+                         "c_acctbal": sel["c_acctbal"]})
+
+    return u.groupby("__part").map_groups(anti, batch_format="pyarrow")
+
+
+SQL_CUSTOMERS_NO_BIG_ORDER = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ WHERE c_custkey NOT IN
+       (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
 def q_fuzzy_supplier_join(sf_dir: str):
     """Blocked fuzzy join (ops/fuzzy.py): deterministically corrupted
     supplier names (one char deleted at a key-derived position)
@@ -2524,6 +2594,7 @@ QUERIES = {
     "events_first": q_events_first,
     "lineitem_orders_join": q_lineitem_orders_join,
     "fuzzy_supplier_join": q_fuzzy_supplier_join,
+    "customers_no_big_order": q_customers_no_big_order,
     "lineitem_qty_bands": q_lineitem_qty_bands,
     "events_asof_orders": q_events_asof_orders,
     "events_sliding": q_events_sliding,
@@ -2574,6 +2645,7 @@ ORACLES = {
     "events_first": SQL_EVENTS_FIRST,
     "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
     "fuzzy_supplier_join": SQL_FUZZY_SUPPLIER_JOIN,
+    "customers_no_big_order": SQL_CUSTOMERS_NO_BIG_ORDER,
     "lineitem_qty_bands": SQL_LINEITEM_QTY_BANDS,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "events_sliding": SQL_EVENTS_SLIDING,

@@ -2124,3 +2124,23 @@ class TestNllScores:
         ppl = {r["doc_id"]: r["ppl"]
                for r in perplexity_scores(ds, ray.put(lm)).take_all()}
         assert ppl[1] is None and ppl[0] is not None
+
+
+class TestAntiJoin:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from cow_ray.pipelines.queries import (SQL_CUSTOMERS_NO_BIG_ORDER,
+                                               q_customers_no_big_order)
+
+        sf = "/root/testdata/sf0.001"
+        got = sorted(
+            (r["c_custkey"], r["c_name"], r["c_acctbal"])
+            for r in q_customers_no_big_order(sf).take_all())
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        want = sorted(tuple(w) for w in
+                      con.execute(SQL_CUSTOMERS_NO_BIG_ORDER).fetchall())
+        assert got == want and len(got) == 20
