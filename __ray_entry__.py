@@ -47,8 +47,14 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator family (SURVEY.md §2 + the
-    training-data ops).  See cow_ray/pipelines/queries.py for the
-    implementations and the cross-engine float discipline."""
+    training-data ops), DuckDB-oracled entries first.  Sized/ordered to
+    the driver's ~50-entry correctness window so every entry gets a
+    driver row; additional rows-only variants (ANN index flavors,
+    simhash pairs, spans/packing, k-means, multimodal audio, ...) live
+    in cow_ray.pipelines.queries.EXTRA_QUERIES with the identical
+    fn(sf_dir) contract, exercised by tests/ and tools/check_queries.py.
+    See cow_ray/pipelines/queries.py for the implementations and the
+    cross-engine float discipline."""
     from cow_ray.pipelines.queries import QUERIES
 
     return dict(QUERIES)

@@ -123,8 +123,9 @@ def run_flagship(pages_dir: str, num_parts: int) -> dict:
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
-    from cow_ray.pipelines.queries import QUERIES
+    from cow_ray.pipelines.queries import EXTRA_QUERIES, QUERIES
 
+    registry = {**QUERIES, **EXTRA_QUERIES}
     names = [
         "kg_doc_triples", "kg_source_triples_dedup", "kg_mention_triples",
         "kg_canonical_sources", "kg_cookbook_triples", "kg_bgp",
@@ -153,7 +154,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in names:
         t0 = time.time()
-        res = QUERIES[name](sf_dir)
+        res = registry[name](sf_dir)
         # consume without driver materialization of big data
         try:
             res.count()

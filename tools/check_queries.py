@@ -66,7 +66,11 @@ def main():
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = e.queries()
+    # the driver sees e.queries() only; the gate also rehearses the
+    # rows-only variants kept outside the driver's ~50-entry window
+    from cow_ray.pipelines.queries import EXTRA_QUERIES
+
+    qs = {**e.queries(), **EXTRA_QUERIES}
     oracles = e.oracle_sql()
     failures = []
     for name, fn in qs.items():
