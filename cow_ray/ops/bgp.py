@@ -128,6 +128,9 @@ def _hash_join(left, right, shared, num_partitions: int):
 
 
 BGP_BROADCAST_MAX = 1_000_000  # binding rows worth shipping whole
+# a row cap alone ignores width (bindings are long-IRI string columns):
+# byte bound on the driver-concatenated broadcast table as well
+BGP_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _broadcast_join(acc_tbl, right, shared):
@@ -163,9 +166,9 @@ def bgp_match(triples, patterns, num_partitions: int = 16):
 
     Join strategy per step: the accumulated bindings are materialized
     (they are bindings, never the triple store); when they fit
-    ``BGP_BROADCAST_MAX`` rows they broadcast-join against the next
-    pattern's filtered scan (no exchange), else both sides meet in a
-    partitioned hash join."""
+    ``BGP_BROADCAST_MAX`` rows AND ``BGP_BROADCAST_MAX_BYTES`` bytes
+    they broadcast-join against the next pattern's filtered scan (no
+    exchange), else both sides meet in a partitioned hash join."""
     import ray
 
     if not patterns:
@@ -181,7 +184,8 @@ def bgp_match(triples, patterns, num_partitions: int = 16):
                 "accumulated so far (cartesian product refused); "
                 "reorder the patterns")
         acc = acc.materialize()
-        if acc.count() <= BGP_BROADCAST_MAX:
+        if (acc.count() <= BGP_BROADCAST_MAX
+                and (acc.size_bytes() or 0) <= BGP_BROADCAST_MAX_BYTES):
             refs = [r for b in acc.iter_internal_ref_bundles()
                     for r in b.block_refs]
             tabs = [t for t in ray.get(refs) if t.num_rows]

@@ -11,9 +11,25 @@ groupby whose exchange carries ≈ k × groups × blocks rows.
 
 from __future__ import annotations
 
-import hashlib
-
+import numpy as np
 import pyarrow as pa
+
+from .md5np import md5_first_byte, md5_hex_arrow
+
+
+def _key_array(batch: pa.Table, key_col: str, op: str):
+    """Null-key contract for the content-addressed operators: a null
+    identifier is an upstream data bug and would silently diverge from
+    the SQL oracle (DuckDB's ``md5(NULL)`` is NULL, falling into
+    IN-filter drop / CASE ELSE / NULLS-LAST rank), so it is refused
+    loudly instead of hashed as ``str(None)``."""
+    col = batch[key_col]
+    if col.null_count:
+        raise ValueError(
+            f"{op}: key column {key_col!r} contains "
+            f"{col.null_count} null(s) — content-addressed keys must "
+            "be non-null (fill or filter first)")
+    return col
 
 
 def hash_sample(ds, key_col: str, hex_prefixes: tuple = ("0", "1")):
@@ -22,19 +38,16 @@ def hash_sample(ds, key_col: str, hex_prefixes: tuple = ("0", "1")):
     (rate = len(prefixes)/16).  Matches DuckDB's
     ``substr(md5(CAST(key AS VARCHAR)), 1, 1) IN (...)`` exactly, so
     the sample is oracle-checkable.  Embarrassingly parallel — no
-    exchange; hashing is the per-row work (same stance as
-    ``doc_fingerprint``)."""
-    prefixes = set(hex_prefixes)
+    exchange; the md5 runs in the vectorized lane kernel
+    (ops/md5np.py) straight off the Arrow buffers.  Null keys raise
+    (see :func:`_key_array`)."""
+    # first hex digit == high nibble of the first digest byte
+    nibbles = {int(p, 16) for p in hex_prefixes}
 
     def pick(batch: pa.Table) -> pa.Table:
-        vals = batch[key_col].to_pylist()
-        mask = pa.array(
-            [
-                hashlib.md5(str(v).encode("utf-8")).hexdigest()[0] in prefixes
-                for v in vals
-            ]
-        )
-        return batch.filter(mask)
+        b = md5_first_byte(_key_array(batch, key_col, "hash_sample"))
+        mask = np.isin(b >> 4, list(nibbles))
+        return batch.filter(pa.array(mask))
 
     return ds.map_batches(pick, batch_format="pyarrow")
 
@@ -45,25 +58,20 @@ def stratified_sample(ds, group_cols: list, n: int, key_col: str):
     :func:`hash_sample` (stable under any partitioning/engine), but
     with an exact per-stratum quota instead of a global rate.  Built
     on the map-side-pruned :func:`group_top_k`, so the exchange
-    carries ≈ n × groups × blocks rows."""
-    import hashlib as _hashlib
+    carries ≈ n × groups × blocks rows.  Null keys raise (see
+    :func:`_key_array`)."""
 
-    import pyarrow as pa_
-
-    def rank(batch: pa_.Table) -> pa_.Table:
-        h = [
-            _hashlib.md5(str(v).encode("utf-8")).hexdigest()
-            for v in batch[key_col].to_pylist()
-        ]
-        return batch.append_column("__rank", pa_.array(h,
-                                                       type=pa_.string()))
+    def rank(batch: pa.Table) -> pa.Table:
+        h = md5_hex_arrow(_key_array(batch, key_col,
+                                     "stratified_sample"))
+        return batch.append_column("__rank", h)
 
     out = group_top_k(
         ds.map_batches(rank, batch_format="pyarrow"),
         group_cols, "__rank", k=n, descending=False, tie_col=key_col,
     )
 
-    def drop(batch: pa_.Table) -> pa_.Table:
+    def drop(batch: pa.Table) -> pa.Table:
         return batch.drop_columns(["__rank"])
 
     return out.map_batches(drop, batch_format="pyarrow")
@@ -122,7 +130,9 @@ def hash_split(ds, key_col: str, splits=(("train", 90), ("val", 5),
     contract as :func:`hash_sample`; mirrored by the SQL oracle with
     one CASE over the same digit pair).  Weights are integer percent
     points and must sum to ≤ 100; any remainder falls into the LAST
-    split.  Embarrassingly parallel — no exchange."""
+    split.  Embarrassingly parallel — no exchange; the bucket byte
+    comes from the vectorized md5 lane kernel (ops/md5np.py).  Null
+    keys raise (see :func:`_key_array`)."""
     total = sum(w for _, w in splits)
     if total > 100 or not splits or any(w <= 0 for _, w in splits):
         raise ValueError("split weights must be positive and sum ≤ 100")
@@ -135,17 +145,16 @@ def hash_split(ds, key_col: str, splits=(("train", 90), ("val", 5),
         bounds.append((name, cum))
     bounds[-1] = (bounds[-1][0], 100)  # remainder → last split
 
+    names = pa.array([name for name, _ in bounds], type=pa.string())
+    ubs = np.array([ub for _, ub in bounds], dtype=np.int64)
+
     def assign(batch: pa.Table) -> pa.Table:
-        vals = batch[key_col].to_pylist()
-        out = []
-        for v in vals:
-            b = int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2],
-                    16)
-            for name, ub in bounds:
-                if b * 100 < ub * 256:
-                    out.append(name)
-                    break
-        return batch.append_column(out_col,
-                                   pa.array(out, type=pa.string()))
+        b = md5_first_byte(_key_array(batch, key_col, "hash_split")
+                           ).astype(np.int64)
+        # first split whose bound clears the bucket: searchsorted over
+        # the cumulative upper bounds (b*100 < ub*256)
+        split_idx = np.searchsorted(ubs * 256, b * 100, side="right")
+        return batch.append_column(out_col, names.take(
+            pa.array(split_idx, type=pa.int64())))
 
     return ds.map_batches(assign, batch_format="pyarrow")

@@ -12,7 +12,6 @@ sides).
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -87,11 +86,15 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def md5_fingerprint(batch: pa.Table, text_col: str = "text",
                     out_col: str = "fingerprint") -> pa.Table:
     """Content fingerprint = md5 hex of the utf-8 text (matches
-    DuckDB's ``md5()``).  Row-wise hashlib — hashing is the work here,
-    not interpreter overhead."""
-    vals = batch[text_col].to_pylist()
-    fps = [hashlib.md5((v or "").encode("utf-8")).hexdigest() for v in vals]
-    return batch.append_column(out_col, pa.array(fps, type=pa.string()))
+    DuckDB's ``md5()``).  Hashes straight off the Arrow string buffer
+    via ops/md5np.py — no per-row Python string; the hash itself runs
+    in OpenSSL for multi-block texts and in the numpy lane kernel for
+    short ones.  Nulls fingerprint as the empty string (the existing
+    ``v or ""`` contract)."""
+    from .md5np import md5_hex_arrow
+
+    col = pc.fill_null(batch[text_col], "")
+    return batch.append_column(out_col, md5_hex_arrow(col))
 
 
 def token_doc_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -23,7 +23,6 @@ rows-only (LSH banding is not expressible as hash-matchable SQL).
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -102,12 +101,12 @@ def curate_corpus(
 
         def fingerprint_and_prune(batch: pa.Table) -> pa.Table:
             # md5 hex is the deliberate cross-engine contract (DuckDB
-            # md5() reproduces membership bit-identically)
-            fps = [
-                hashlib.md5((v or "").encode("utf-8")).hexdigest()
-                for v in batch[text_col].to_pylist()
-            ]
-            t = batch.append_column("__fp", pa.array(fps, type=pa.string()))
+            # md5() reproduces membership bit-identically); computed
+            # off the Arrow buffers (ops/md5np.py), no per-row Python
+            from ..ops.md5np import md5_hex_arrow
+
+            t = batch.append_column(
+                "__fp", md5_hex_arrow(pc.fill_null(batch[text_col], "")))
             t = keep_min_per_fp(t)  # batch-local prune before the shuffle
             return t.append_column("__part", hash_mod(t["__fp"], 64))
 

@@ -157,7 +157,8 @@ def _finalize_lazy(lf, dedup: bool):
 
 def _publish_part(out_dir: str, part_id: int, table: pa.Table, job: str,
                   errors: int, null_skips: int,
-                  replace: bool = False) -> dict:
+                  replace: bool = False,
+                  generation: int | None = None) -> dict:
     """Atomically publish one finished partition (tmp dir + rename);
     short-circuits to the existing manifest on a resume race.
 
@@ -194,6 +195,11 @@ def _publish_part(out_dir: str, part_id: int, table: pa.Table, job: str,
         "null_skips": null_skips,
         "job": job,
     }
+    if generation is not None:
+        # append-generation stamp: lets a crash-resumed append tell
+        # "already merged this delta" from "pre-append bytes", making
+        # the error/skip-count accumulation idempotent
+        manifest["generation"] = generation
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     with open(os.path.join(tmp, "_DONE"), "w") as f:
@@ -652,9 +658,16 @@ def append_triples(
     AND resumable — a re-run with the marker present is accepted,
     restores any ``part-N.old-*`` backup whose replacement swap was
     interrupted (the live partition is never deleted before its
-    replacement exists, see ``_publish_part(replace=True)``), and
-    re-derives staging from the inputs (the distinct-union merge
-    makes re-appending idempotent).
+    replacement exists, see ``_publish_part(replace=True)``), skips
+    partitions whose manifest already carries this append's
+    generation stamp (so error/skip counters and lineage stay
+    idempotent), and re-derives staging from the inputs (the
+    distinct-union merge makes re-merging the rest idempotent).
+    Resume therefore REQUIRES ``dedup=True``: the marker records the
+    original run's dedup flag and a resume is refused when either run
+    has ``dedup=False`` — partitions published before the crash
+    without a generation stamp cannot be told apart from pre-append
+    bytes, and a non-distinct re-merge would silently duplicate rows.
     """
     import ray
 
@@ -663,14 +676,29 @@ def append_triples(
     job_file = os.path.join(out_dir, "_job.json")
     append_marker = os.path.join(out_dir, "_append.json")
     success = os.path.join(out_dir, "_SUCCESS")
+    resuming = (os.path.exists(append_marker)
+                and not os.path.exists(success))
     if not os.path.exists(success) and not os.path.exists(append_marker):
         raise ValueError(
             f"append_triples: {out_dir} has no _SUCCESS marker — "
             "append only targets complete stores (finish or rebuild "
             "the base job first)")
+    if resuming:
+        with open(append_marker) as f:
+            marker_meta = json.load(f)
+        if not dedup or not marker_meta.get("dedup", True):
+            raise ValueError(
+                f"append_triples: {out_dir} holds an interrupted "
+                "append and resume requires dedup=True on BOTH runs "
+                f"(marker dedup={marker_meta.get('dedup', True)}, "
+                f"this call dedup={dedup}) — without the distinct-"
+                "union merge, partitions that published before the "
+                "crash would re-merge the delta and duplicate rows. "
+                "Re-run with dedup=True, or rebuild the store.")
     with open(job_file) as f:
         meta = json.load(f)
     num_parts = meta["num_parts"]
+    gen_target = meta.get("generation", 1) + 1
     if job is None:
         job = meta["job"]
     elif job != meta["job"]:
@@ -693,8 +721,8 @@ def append_triples(
             shutil.rmtree(path, ignore_errors=True)
 
     with open(append_marker, "w") as f:
-        json.dump({"job": job,
-                   "generation_target": meta.get("generation", 1) + 1},
+        json.dump({"job": job, "dedup": dedup,
+                   "generation_target": gen_target},
                   f)
     if os.path.exists(success):
         os.remove(success)
@@ -736,6 +764,12 @@ def append_triples(
         if os.path.exists(existing):
             with open(os.path.join(final, "manifest.json")) as f:
                 m = json.load(f)
+            if m.get("generation") == gen_target:
+                # crash-resume: this partition already published this
+                # append generation — skip the re-merge so its
+                # error/skip counters aren't double-counted
+                m["path"] = existing
+                return m
             prev_err = m.get("errors", 0)
             prev_skip = m.get("null_skips", 0)
             scans.append(pl.scan_parquet(existing).select(cols))
@@ -746,7 +780,7 @@ def append_triples(
         # (never deleted) until the new one is fully in place
         return _publish_part(out_dir, part_id, table, job,
                              prev_err + errors, prev_skip + null_skips,
-                             replace=True)
+                             replace=True, generation=gen_target)
 
     new_manifests = {m["part_id"]: m
                      for m in ray.get([merge_part.remote(p)
@@ -766,7 +800,7 @@ def append_triples(
                                      "triples.parquet")
             manifests.append(m)
     _update_provenance(out_dir, meta, new_manifests, input_desc)
-    meta["generation"] = meta.get("generation", 1) + 1
+    meta["generation"] = gen_target
     with open(job_file, "w") as f:
         json.dump(meta, f)
     os.remove(append_marker)
@@ -818,7 +852,9 @@ def _update_provenance(out_dir: str, meta: dict, new_manifests: dict,
         if g is None:  # partition had no lineage rows (unexpected)
             continue
         slice_ = old_slice.get(uri, "")
-        if input_desc:
+        # idempotent under crash-resume: a partition whose lineage
+        # already names this append's input keeps a single component
+        if input_desc and input_desc not in slice_.split(";"):
             slice_ = (slice_ + ";" + input_desc) if slice_ else input_desc
         fresh += [
             (g, uri, vocab + "tripleCount", str(m["num_triples"]),

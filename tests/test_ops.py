@@ -2144,3 +2144,23 @@ class TestAntiJoin:
         want = sorted(tuple(w) for w in
                       con.execute(SQL_CUSTOMERS_NO_BIG_ORDER).fetchall())
         assert got == want and len(got) == 20
+
+
+class TestContentAddressNullContract:
+    def test_null_key_raises_loudly(self, ray_session):
+        """str(None) would hash to a bucket while DuckDB's md5(NULL)
+        is NULL (IN-filter drop / CASE ELSE) — null keys are refused
+        instead of silently diverging cross-engine."""
+        import ray.data
+
+        from cow_ray.ops.sample import (hash_sample, hash_split,
+                                        stratified_sample)
+
+        ds = ray.data.from_items(
+            [{"k": "a", "g": "x"}, {"k": None, "g": "x"}])
+        with pytest.raises(Exception, match="null"):
+            hash_sample(ds, "k").take_all()
+        with pytest.raises(Exception, match="null"):
+            hash_split(ds, "k").take_all()
+        with pytest.raises(Exception, match="null"):
+            stratified_sample(ds, ["g"], 1, "k").take_all()

@@ -583,3 +583,82 @@ class TestAppendTriples:
         assert any(p.endswith("inputSlice") and "delta.parquet" in o
                    for p, o in zip(pred, obj))
         assert after.num_rows == before.num_rows  # replaced, not grown
+
+    def test_append_resume_requires_dedup(self, ray_session, tmp_path):
+        """A crash-resume without the distinct-union merge would
+        silently duplicate rows into partitions that published before
+        the crash — refused on either side's dedup=False."""
+        import json as _json
+
+        from cow_ray.stages.materialize import (append_triples,
+                                                materialize_triples)
+
+        out = str(tmp_path / "store")
+        materialize_triples(self._tri(0, 100), out, num_parts=2,
+                            job="j1", dedup=True)
+        os.remove(os.path.join(out, "_SUCCESS"))
+        with open(os.path.join(out, "_append.json"), "w") as f:
+            _json.dump({"job": "j1", "dedup": False,
+                        "generation_target": 2}, f)
+        with pytest.raises(ValueError, match="dedup"):
+            append_triples(self._tri(100, 120), out)  # marker says False
+        with open(os.path.join(out, "_append.json"), "w") as f:
+            _json.dump({"job": "j1", "dedup": True,
+                        "generation_target": 2}, f)
+        with pytest.raises(ValueError, match="dedup"):
+            append_triples(self._tri(100, 120), out, dedup=False)
+
+    def test_append_resume_skips_published_generation(self, ray_session,
+                                                      tmp_path):
+        """Partitions whose manifest already carries the target append
+        generation are NOT re-merged on resume: bytes untouched,
+        counts not re-accumulated, lineage inputSlice single."""
+        import json as _json
+
+        import pyarrow.parquet as _pq
+
+        from cow_ray.nanopub import Nanopub
+        from cow_ray.stages.materialize import (append_triples,
+                                                materialize_triples)
+
+        out = str(tmp_path / "store")
+        materialize_triples(self._tri(0, 200), out, num_parts=4,
+                            job="j1", dedup=True,
+                            nanopub=Nanopub("https://x/", "ds", "j1"))
+        m1 = append_triples(self._tri(150, 300), out,
+                            input_desc="delta.parquet")
+        sha1 = {m["part_id"]: m["content_sha1"] for m in m1}
+        mtimes = {p: os.path.getmtime(
+            os.path.join(out, f"part-{p:05d}", "triples.parquet"))
+            for p in range(4)}
+
+        # craft the crashed-after-publish state: marker back, _SUCCESS
+        # gone, _job.json generation rolled back to pre-append
+        os.remove(os.path.join(out, "_SUCCESS"))
+        with open(os.path.join(out, "_append.json"), "w") as f:
+            _json.dump({"job": "j1", "dedup": True,
+                        "generation_target": 2}, f)
+        jf = os.path.join(out, "_job.json")
+        with open(jf) as f:
+            meta = _json.load(f)
+        meta["generation"] = 1
+        with open(jf, "w") as f:
+            _json.dump(meta, f)
+
+        m2 = append_triples(self._tri(150, 300), out,
+                            input_desc="delta.parquet")
+        assert {m["part_id"]: m["content_sha1"] for m in m2} == sha1
+        for p in range(4):
+            # already-published partitions skipped the re-merge
+            got = os.path.getmtime(
+                os.path.join(out, f"part-{p:05d}", "triples.parquet"))
+            assert got == mtimes[p]
+            with open(os.path.join(out, f"part-{p:05d}",
+                                   "manifest.json")) as f:
+                assert _json.load(f).get("generation") == 2
+        prov = _pq.read_table(
+            os.path.join(out, "_provenance", "quads.parquet"))
+        for p_, o in zip(prov["pred"].to_pylist(),
+                         prov["obj_lex"].to_pylist()):
+            if p_.endswith("inputSlice"):
+                assert o.split(";").count("delta.parquet") <= 1
