@@ -126,6 +126,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     from cow_ray.pipelines.queries import EXTRA_QUERIES, QUERIES
 
     registry = {**QUERIES, **EXTRA_QUERIES}
+    # kg_bgp queries a WRITTEN triple store (deployment shape); the
+    # one-time store build is excluded from its wall like page
+    # generation is from the flagship's
+    from cow_ray.pipelines.queries import ensure_doc_store
+
+    ensure_doc_store(sf_dir)
     names = [
         "kg_doc_triples", "kg_source_triples_dedup", "kg_mention_triples",
         "kg_canonical_sources", "kg_cookbook_triples", "kg_bgp",

@@ -38,6 +38,20 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def _pattern_out_vars(pattern, cols=_POS_COLS) -> list:
+    """Binding column names a pattern produces, in position order
+    (first occurrence wins) — derived statically so the planner never
+    executes a Dataset just to probe its schema (each
+    ``Dataset.schema()`` on a lazy pipeline runs a limit-1 plan:
+    ~1 s of fixed cost per probe on this box)."""
+    out, seen = [], set()
+    for c, t in zip(cols, pattern):
+        if _is_var(t) and t[1:] not in seen:
+            out.append(t[1:])
+            seen.add(t[1:])
+    return out
+
+
 def _match_pattern(triples, pattern, cols=_POS_COLS):
     """One pattern → Dataset of binding columns (bag semantics)."""
     consts = [(c, t) for c, t in zip(cols, pattern) if not _is_var(t)]
@@ -72,10 +86,12 @@ def _match_pattern(triples, pattern, cols=_POS_COLS):
     return triples.map_batches(scan, batch_format="pyarrow")
 
 
-def _hash_join(left, right, shared, num_partitions: int):
+def _hash_join(left, right, shared, num_partitions: int,
+               l_cols: list, r_cols: list):
     """Distributed inner join on ``shared`` binding variables:
     partition both sides on the first shared var, join per
-    partition."""
+    partition.  Column lists are passed statically (no schema
+    probes)."""
     from ..stages.canonicalize import hash_mod
 
     key = shared[0]
@@ -89,9 +105,6 @@ def _hash_join(left, right, shared, num_partitions: int):
                 "__part", hash_mod(batch[key], num_partitions))
 
         return f
-
-    l_cols = [c for c in left.schema().names]
-    r_cols = [c for c in right.schema().names]
 
     def pad(batch: pa.Table, cols) -> pa.Table:
         # union needs one schema: absent columns ride as nulls
@@ -174,10 +187,12 @@ def bgp_match(triples, patterns, num_partitions: int = 16):
     if not patterns:
         raise ValueError("empty pattern list")
     acc = _match_pattern(triples, patterns[0])
-    acc_vars = set(acc.schema().names)
+    acc_cols = _pattern_out_vars(patterns[0])
+    acc_vars = set(acc_cols)
     for pat in patterns[1:]:
+        nxt_cols = _pattern_out_vars(pat)
         nxt = _match_pattern(triples, pat)
-        shared = [v for v in nxt.schema().names if v in acc_vars]
+        shared = [v for v in nxt_cols if v in acc_vars]
         if not shared:
             raise ValueError(
                 f"pattern {pat} shares no variable with the bindings "
@@ -191,9 +206,11 @@ def bgp_match(triples, patterns, num_partitions: int = 16):
             tabs = [t for t in ray.get(refs) if t.num_rows]
             acc_tbl = (pa.concat_tables(tabs) if tabs else
                        pa.schema([(c, pa.string()) for c in
-                                  sorted(acc_vars)]).empty_table())
+                                  acc_cols]).empty_table())
             acc = _broadcast_join(acc_tbl, nxt, shared)
         else:
-            acc = _hash_join(acc, nxt, shared, num_partitions)
-        acc_vars |= set(nxt.schema().names)
+            acc = _hash_join(acc, nxt, shared, num_partitions,
+                             list(acc_cols), list(nxt_cols))
+        acc_cols = acc_cols + [c for c in nxt_cols if c not in acc_vars]
+        acc_vars |= set(nxt_cols)
     return acc
