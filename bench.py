@@ -141,6 +141,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "heavy_tokens", "doc_perplexity", "doc_nll", "bm25_docs",
         "tfidf_topterms",
         "url_normalized", "url_domain_stats", "doc_len_quantiles",
+        "sketch_quantiles_docs",
         "curate_docs", "scrub_docs", "chunk_docs", "decontam_docs",
         "packed_docs",
         "dedup_exact_docs", "dedup_minhash_docs", "dedup_simhash_docs",

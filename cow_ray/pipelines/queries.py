@@ -1104,6 +1104,23 @@ SELECT a.subj AS doc, b.obj_lex AS src, c.obj_lex AS n
 """
 
 
+def q_sketch_quantiles_docs(sf_dir: str):
+    """ε-approximate quantiles of a CONTINUOUS column (float
+    mean-token-length quality signal) via the deterministic
+    merge-and-prune sketch (ops/quantiles.py sketch_quantiles) —
+    the scale path exact_quantiles refuses by design.  Rows-only:
+    the answer is approximate with a published rank-error bound
+    (asserted vs brute force in tests), so no hash oracle exists."""
+    from ..ops.quantiles import sketch_quantiles
+    from ..ops.textstats import quality_scores
+
+    ds = _docs(sf_dir, blocks=8).map_batches(
+        quality_scores, batch_format="pyarrow")
+    return sketch_quantiles(ds, "mean_token_len",
+                            q_permille=(250, 500, 750, 900, 990),
+                            eps_permille=10)
+
+
 def q_doc_len_quantiles(sf_dir: str):
     """Exact distributed quantiles of document length
     (ops/quantiles.py): all-integer per-mille ranks so the SQL oracle
@@ -2640,6 +2657,7 @@ QUERIES = {
 # ann_{lsh,ivf,ivf_pq}_topk -> ann_topk (oracled brute-force) +
 # recall-floor tests; multimodal_audio -> multimodal_decode.
 EXTRA_QUERIES = {
+    "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "kg_mentions": q_kg_mentions,
     "kg_mention_triples": q_kg_mention_triples,
     "langid_docs": q_langid_docs,

@@ -1802,6 +1802,69 @@ class TestQuantiles:
                             max_distinct=2).take_all()
 
 
+class TestSketchQuantiles:
+    def _rank_err_ok(self, vals, out, eps):
+        """rank(answer) within q*(n-1) +- eps*n of the target."""
+        s = np.sort(vals)
+        n = len(s)
+        for r in out:
+            target = int(r["q"] * 1000) * (n - 1) // 1000
+            # rank interval of the answered value in the sorted data
+            lo = np.searchsorted(s, r["value"], side="left")
+            hi = np.searchsorted(s, r["value"], side="right") - 1
+            dist = 0 if lo <= target <= hi else min(
+                abs(lo - target), abs(hi - target))
+            assert dist <= eps * n + 1, (r, dist, eps * n)
+
+    def test_rank_error_bound_continuous(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.quantiles import sketch_quantiles
+
+        rng = np.random.default_rng(11)
+        vals = rng.lognormal(3.0, 1.2, size=50_000)
+        ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(16)
+        out = sketch_quantiles(
+            ds, "x", q_permille=(10, 250, 500, 750, 900, 990),
+            eps_permille=10).to_pylist()
+        assert all(r["eps"] == 0.01 for r in out)
+        self._rank_err_ok(vals, out, 0.01)
+
+    def test_distributed_combine_path_bound_holds(self, ray_session):
+        """Force the pre-combine level (max_driver_points tiny): the
+        published eps bound must hold on the scale path too."""
+        import ray.data
+
+        from cow_ray.ops.quantiles import sketch_quantiles
+
+        rng = np.random.default_rng(12)
+        vals = rng.normal(0, 1, size=30_000)
+        ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(16)
+        out = sketch_quantiles(
+            ds, "x", q_permille=(250, 500, 900), eps_permille=20,
+            max_driver_points=10, num_combine_parts=4).to_pylist()
+        self._rank_err_ok(vals, out, 0.02)
+
+    def test_nulls_and_nans_excluded(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.quantiles import sketch_quantiles
+
+        vals = [1.0, None, float("nan"), 2.0, 3.0, 4.0, 5.0]
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array(vals, type=pa.float64())}))
+        out = {r["q"]: r["value"] for r in sketch_quantiles(
+            ds, "x", q_permille=(0, 1000), eps_permille=1).to_pylist()}
+        assert out[0.0] == 1.0 and out[1.0] == 5.0
+
+    def test_deterministic(self, docs_ds):
+        from cow_ray.ops.quantiles import sketch_quantiles
+
+        a = sketch_quantiles(docs_ds, "n_chars").to_pylist()
+        b = sketch_quantiles(docs_ds, "n_chars").to_pylist()
+        assert a == b and len(a) == 5
+
+
 class TestBGP:
     @staticmethod
     def _triples(ray_session):
