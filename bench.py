@@ -156,7 +156,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_hourly", "events_first", "events_asof_orders",
         "events_sessionize",
         "lineitem_orders_join", "fuzzy_supplier_join",
-        "customers_no_big_order",
+        "fuzzy_soundex_vocab", "customers_no_big_order",
     ]
     out: dict[str, float] = {}
     for name in names:

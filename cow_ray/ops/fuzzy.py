@@ -5,11 +5,14 @@ blocking + compare design: Fellegi & Sunter, JASA 1969; Christen,
 
 Semantics (the CONTRACT, mirrored by the SQL oracle):
 
-* candidate pairs are rows whose **blocking key** matches —
-  ``lower(substr(col, block_start, block_len))``; blocking is part of
-  the operator's definition, not an approximation to hide: pairs in
-  different blocks are *defined* out, exactly as in production record
-  linkage (recall is the caller's blocking-key design lever);
+* candidate pairs are rows whose **blocking key** matches — either
+  ``lower(substr(col, block_start, block_len))`` (``block="substr"``)
+  or the American Soundex of the value (``block="soundex"``, the
+  classic phonetic recall lever — see :mod:`cow_ray.ops.phonetic`);
+  blocking is part of the operator's definition, not an approximation
+  to hide: pairs in different blocks are *defined* out, exactly as in
+  production record linkage (recall is the caller's blocking-key
+  design lever);
 * a candidate matches when Levenshtein edit distance ≤ ``max_edits``
   (exact DP, identical to DuckDB's ``levenshtein``).
 
@@ -56,21 +59,35 @@ def levenshtein(a: str, b: str, cap: int | None = None) -> int:
 
 def fuzzy_join(left, right, col_l: str, col_r: str, id_l: str,
                id_r: str, max_edits: int = 2, block_start: int = 1,
-               block_len: int = 3):
+               block_len: int = 3, block: str = "substr"):
     """→ Dataset ``(id_l, id_r, edits)`` for every blocked pair within
     ``max_edits``.  Column names must differ between sides (rename
-    upstream if needed)."""
+    upstream if needed).  Id columns may be integers or strings
+    (e.g. the matched values themselves)."""
     if {col_l, id_l} & {col_r, id_r}:
         raise ValueError("left/right column names must be disjoint")
+    if block not in ("substr", "soundex"):
+        raise ValueError(f"unknown blocking strategy {block!r}")
 
     def tag(col, idc, side):
         def f(batch: pa.Table) -> pa.Table:
-            v = pc.fill_null(batch[col], "")
-            key = pc.utf8_lower(
-                pc.utf8_slice_codeunits(v, block_start - 1,
-                                        block_start - 1 + block_len))
+            v = pc.cast(pc.fill_null(batch[col], ""), pa.string())
+            if block == "soundex":
+                from .phonetic import soundex_arrow
+
+                key = soundex_arrow(v)
+            else:
+                key = pc.utf8_lower(
+                    pc.utf8_slice_codeunits(v, block_start - 1,
+                                            block_start - 1 + block_len))
+            ids = batch[idc]
+            if (pa.types.is_string(ids.type)
+                    or pa.types.is_large_string(ids.type)):
+                ids = pc.cast(ids, pa.string())
+            else:
+                ids = ids.cast(pa.int64())
             return pa.table(
-                {"__blk": key, "id": batch[idc].cast(pa.int64()),
+                {"__blk": key, "id": ids,
                  "val": v,
                  "side": pa.array(np.full(batch.num_rows, side,
                                           dtype=np.int8))})
@@ -81,14 +98,14 @@ def fuzzy_join(left, right, col_l: str, col_r: str, id_l: str,
          .union(right.map_batches(tag(col_r, id_r, 1),
                                   batch_format="pyarrow")))
 
-    out_schema = pa.schema([(id_l, pa.int64()), (id_r, pa.int64()),
-                            ("edits", pa.int64())])
-
     def per_block(g: pa.Table) -> pa.Table:
+        id_type = g["id"].type if g.num_rows else pa.int64()
+        out_schema = pa.schema([(id_l, id_type), (id_r, id_type),
+                                ("edits", pa.int64())])
         if g.num_rows == 0:
             return out_schema.empty_table()
         side = g["side"].to_numpy(zero_copy_only=False)
-        ids = g["id"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_pylist()
         vals = g["val"].to_pylist()
         li = np.flatnonzero(side == 0)
         ri = np.flatnonzero(side == 1)
@@ -111,8 +128,8 @@ def fuzzy_join(left, right, col_l: str, col_r: str, id_l: str,
                 out_r.append(ids[j])
                 out_e.append(d)
         return pa.table(
-            {id_l: pa.array(np.asarray(out_l, dtype=np.int64)),
-             id_r: pa.array(np.asarray(out_r, dtype=np.int64)),
+            {id_l: pa.array(out_l, type=id_type),
+             id_r: pa.array(out_r, type=id_type),
              "edits": pa.array(np.asarray(out_e, dtype=np.int64))})
 
     return u.groupby("__blk").map_groups(per_block,

@@ -1048,6 +1048,82 @@ SELECT cid, oid, CAST(edits AS BIGINT) AS edits FROM pairs
 """
 
 
+def q_fuzzy_soundex_vocab(sf_dir: str):
+    """Soundex-blocked fuzzy join (ops/fuzzy.py block="soundex",
+    ops/phonetic.py): the distinct ≥4-letter vocabulary of the corpus,
+    deterministically corrupted (one char deleted at a length-derived
+    position), linked back against the clean vocabulary on matching
+    Soundex keys + Levenshtein ≤ 2.  The phonetic key is the classic
+    record-linkage recall lever (prefix blocking misses edits in the
+    prefix; soundex survives most single-letter damage).  Blocking is
+    part of the contract — the SQL oracle computes the identical
+    NARA soundex via phonetic.soundex_sql — so the result
+    hash-matches exactly."""
+    import polars as pl
+
+    from ..ops.fuzzy import fuzzy_join
+
+    def words(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(batch["text"], "")),
+            pattern="[^a-z0-9']+")
+        flat = pc.list_flatten(toks)
+        keep = pc.match_substring_regex(flat, r"^[a-z]{4,}$")
+        return pa.table({"word": pc.unique(flat.filter(keep))})
+
+    vocab = (_docs(sf_dir, blocks=8)
+             .map_batches(words, batch_format="pyarrow")
+             .groupby("word").count()
+             .map_batches(lambda b: b.select(["word"]),
+                          batch_format="pyarrow"))
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        ln = pl.col("word").str.len_chars().cast(pl.Int64)
+        p = 2 + (ln % (ln - 2))
+        out = df.select(
+            (pl.col("word").str.slice(0, p - 1)
+             + pl.col("word").str.slice(p)).alias("cword"))
+        t = out.to_arrow()
+        return t.append_column("cid", t["cword"])
+
+    corr = vocab.map_batches(corrupt, batch_format="pyarrow")
+    clean = vocab.map_batches(
+        lambda b: pa.table({"word": b["word"], "oid": b["word"]}),
+        batch_format="pyarrow")
+    return fuzzy_join(corr, clean, col_l="cword", col_r="word",
+                      id_l="cid", id_r="oid", max_edits=2,
+                      block="soundex")
+
+
+def _sql_fuzzy_soundex() -> str:
+    from ..ops.phonetic import soundex_sql
+
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT t.tok AS word
+    FROM documents d,
+         UNNEST(string_split_regex(lower(d.text), '[^a-z0-9'']+'))
+           AS t(tok)
+   WHERE regexp_full_match(t.tok, '[a-z]{{4,}}')),
+corr AS (
+  SELECT substr(word, 1, p - 1) || substr(word, p + 1) AS cword
+    FROM (SELECT word,
+                 2 + (length(word) % (length(word) - 2)) AS p
+            FROM toks)),
+pairs AS (
+  SELECT c.cword AS cid, t.word AS oid,
+         levenshtein(c.cword, t.word) AS edits
+    FROM corr c JOIN toks t
+      ON {soundex_sql('c.cword')} = {soundex_sql('t.word')}
+   WHERE levenshtein(c.cword, t.word) <= 2)
+SELECT cid, oid, CAST(edits AS BIGINT) AS edits FROM pairs
+"""
+
+
+SQL_FUZZY_SOUNDEX_VOCAB = _sql_fuzzy_soundex()
+
+
 BGP_PATTERNS = [
     ("?doc", "http://purl.org/dc/terms/language", "en"),
     ("?doc", "http://purl.org/dc/terms/source", "?src"),
@@ -2599,6 +2675,8 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "lineitem_qty_bands": q_lineitem_qty_bands,
+    # -- oracled, new in round 5 --
+    "fuzzy_soundex_vocab": q_fuzzy_soundex_vocab,
     # -- oracled, green in CORRECTNESS_r04 --
     "kg_doc_triples": q_kg_doc_triples,
     "kg_source_triples_dedup": q_kg_source_triples_dedup,
@@ -2720,6 +2798,7 @@ ORACLES = {
     "events_first": SQL_EVENTS_FIRST,
     "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
     "fuzzy_supplier_join": SQL_FUZZY_SUPPLIER_JOIN,
+    "fuzzy_soundex_vocab": SQL_FUZZY_SOUNDEX_VOCAB,
     "customers_no_big_order": SQL_CUSTOMERS_NO_BIG_ORDER,
     "lineitem_qty_bands": SQL_LINEITEM_QTY_BANDS,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,

@@ -2004,6 +2004,30 @@ class TestFuzzyJoin:
         assert (3, 12, 1) in got
         assert all(e <= 2 for _, _, e in got)
 
+    def test_soundex_block_recall_beats_prefix(self, ray_session):
+        """A first-letter-region typo breaks prefix blocking but not
+        the phonetic key — the reason soundex blocking exists.  String
+        ids pass through untouched."""
+        import ray.data
+
+        from cow_ray.ops.fuzzy import fuzzy_join
+
+        left = ray.data.from_items(
+            [{"lid": "robert", "lname": "robert"},
+             {"lid": "smith", "lname": "smith"}])
+        right = ray.data.from_items(
+            [{"rid": "rubert", "rname": "rubert"},   # o→u: prefix 'rob' breaks
+             {"rid": "smyth", "rname": "smyth"}])
+        prefix = fuzzy_join(left, right, "lname", "rname", "lid",
+                            "rid", max_edits=2, block_start=1,
+                            block_len=3).take_all()
+        sdx = fuzzy_join(left, right, "lname", "rname", "lid", "rid",
+                         max_edits=2, block="soundex").take_all()
+        got_sdx = sorted((r["lid"], r["rid"]) for r in sdx)
+        assert got_sdx == [("robert", "rubert"), ("smith", "smyth")]
+        assert ("robert", "rubert") not in {(r["lid"], r["rid"])
+                                            for r in prefix}
+
     def test_block_cap_refuses(self, ray_session, monkeypatch):
         import ray.data
 
