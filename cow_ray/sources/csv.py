@@ -36,13 +36,16 @@ import pyarrow as pa
 
 # single-byte candidates for the coherence scorer, most-specific
 # first; latin-1 is the lossless fallback (every byte decodes)
-_SB_CANDIDATES = ("cp1252", "cp1251", "koi8-r", "iso-8859-7", "latin-1")
+_SB_CANDIDATES = ("cp1252", "cp1251", "koi8-r", "iso-8859-7",
+                  "cp1255", "cp1256", "latin-1")
 
 
 _SB_SCRIPT_BLOCK = {  # expected non-ASCII letter block per encoding
     "cp1251": (0x0400, 0x04FF),      # Cyrillic
     "koi8-r": (0x0400, 0x04FF),      # Cyrillic (different byte map)
     "iso-8859-7": (0x0370, 0x03FF),  # Greek
+    "cp1255": (0x0590, 0x05FF),      # Hebrew
+    "cp1256": (0x0600, 0x06FF),      # Arabic
 }
 # highest-frequency letters of each family's languages — real text in
 # the right decoding hits these densely; mojibake from a wrong
@@ -54,6 +57,8 @@ _SB_COMMON = {
     "cp1251": set("оеаинтсрвлкм"),
     "koi8-r": set("оеаинтсрвлкм"),
     "iso-8859-7": set("αοειτνσρηυκπ"),
+    "cp1255": set("יוהאלמרתשבנע"),
+    "cp1256": set("اليمونرتبةهدع"),
     "cp1252": set("éèêàâçùûüöäëñïíóúã"),
     "latin-1": set("éèêàâçùûüöäëñïíóúã"),
 }
@@ -108,7 +113,10 @@ def _coherence(enc: str, text: str) -> float:
                 common += 1
             if lo <= o <= hi:
                 in_block += 1
-                if ch.islower():
+                # caseless scripts (Hebrew/Arabic) count as
+                # lowercase-coherent — the case signal only exists
+                # for bicameral alphabets
+                if not ch.isupper():
                     lower_blk += 1
         else:
             prev_hi = False

@@ -451,6 +451,13 @@ class TestEncodingDetection:
                 "2,我們在台北工作。中國的年月日。他來了,大家都在。\n",
         "euc_jp": "id,text\n1,日本語のテキストです。今日は天気がいい"
                   "ですね。\n2,東京で働いています。日本の年月日。\n",
+        # round-5: Hebrew/Arabic code pages close the last chardet-
+        # breadth gap vs the reference (csvw.py:64-74); both scripts
+        # are caseless, exercising the bicameral-only case signal
+        "cp1255": "id,text\n1,טקסט בעברית על מזג האוויר והים\n"
+                  "2,היום מזג האוויר טוב בתל אביב\n",
+        "cp1256": "id,text\n1,نص عربي عن الطقس والبحر اليوم\n"
+                  "2,الطقس جميل في المدينة هذا اليوم\n",
     }
 
     def test_families_detected(self, tmp_path):
