@@ -77,6 +77,10 @@ def oracle_sql() -> dict[str, str]:
     (integer-nano score accumulation), URL normalization / domain
     stats (shared RE2 semantics), and fixed-iteration PageRank
     (integer ranks, unrolled CTE layers)."""
-    from cow_ray.pipelines.queries import ORACLES
+    from cow_ray.pipelines.queries import ORACLES, QUERIES
 
-    return dict(ORACLES)
+    # ORACLES also covers oracled EXTRA_QUERIES entries (e.g. the
+    # exact substring-dedup audit pass) that sit outside the driver's
+    # ~50-entry window — tools/check_queries.py hash-verifies those;
+    # the driver contract is keys(oracle_sql()) ⊆ keys(queries())
+    return {k: v for k, v in ORACLES.items() if k in QUERIES}

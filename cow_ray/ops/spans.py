@@ -89,12 +89,23 @@ def _doc_fingerprints(data: np.ndarray, k: int, w: int) -> tuple:
 
 class WinnowFingerprinter:
     """map_batches stage: (doc_id, text) → one row per selected
-    fingerprint, keyed for the bucket exchange."""
+    fingerprint, keyed for the bucket exchange.
+
+    ``unit`` picks the position coordinate system: ``"byte"`` hashes
+    the UTF-8 bytes (positions are byte offsets — what the removal
+    cutter consumes), ``"char"`` hashes the UTF-32 codepoint sequence
+    (positions are character offsets — what SQL ``substr`` semantics
+    and the cross-engine oracle use).  The rolling-hash kernel is
+    unit-agnostic; only the decode differs."""
 
     def __init__(self, k: int = 20, w: int = 30, num_parts: int = 16,
-                 id_col: str = "doc_id", text_col: str = "text"):
+                 id_col: str = "doc_id", text_col: str = "text",
+                 unit: str = "byte"):
+        if unit not in ("byte", "char"):
+            raise ValueError(f"unit must be 'byte' or 'char', got {unit!r}")
         self.k, self.w, self.num_parts = k, w, num_parts
         self.id_col, self.text_col = id_col, text_col
+        self.unit = unit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -103,7 +114,12 @@ class WinnowFingerprinter:
         texts = batch[self.text_col].to_pylist()
         all_pos, all_fp, all_id = [], [], []
         for did, t in zip(ids, texts):
-            data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if self.unit == "byte":
+                data = np.frombuffer((t or "").encode("utf-8"),
+                                     dtype=np.uint8)
+            else:
+                data = np.frombuffer((t or "").encode("utf-32-le"),
+                                     dtype=np.uint32)
             pos, fp = _doc_fingerprints(data, self.k, self.w)
             if pos.size:
                 all_pos.append(pos.astype(np.int32))
@@ -134,16 +150,21 @@ _SPAN_SCHEMA = pa.schema(
 
 def duplicate_spans(ds, *, k: int = 20, w: int = 30, min_len: int | None = None,
                     num_parts: int = 16, id_col: str = "doc_id",
-                    text_col: str = "text", cross_doc_only: bool = False):
+                    text_col: str = "text", cross_doc_only: bool = False,
+                    merge_gap: int | None = None, unit: str = "byte"):
     """Duplicated character spans across a documents Dataset (see
     module docstring).  ``min_len`` defaults to the winnowing guarantee
     floor ``w + k - 1``; spans shorter than it after merging are
     dropped.  ``cross_doc_only`` keeps only spans whose every
     fingerprint also occurs in ANOTHER document (pure within-doc
-    repetition filtered out)."""
+    repetition filtered out).  ``merge_gap`` (default ``w + k``, the
+    winnowing sampling pitch) is the largest start-position gap merged
+    into one span; :func:`exact_dup_spans` overrides it.  ``unit``
+    selects byte vs character offsets (see WinnowFingerprinter)."""
     if min_len is None:
         min_len = w + k - 1
-    merge_gap = w + k
+    if merge_gap is None:
+        merge_gap = w + k
 
     def bucket_hits(group: pa.Table) -> pa.Table:
         # one hash partition of fingerprints: mark occurrences of any
@@ -206,13 +227,55 @@ def duplicate_spans(ds, *, k: int = 20, w: int = 30, min_len: int | None = None,
         )
 
     fps = ds.map_batches(
-        WinnowFingerprinter(k, w, num_parts, id_col, text_col),
+        WinnowFingerprinter(k, w, num_parts, id_col, text_col, unit),
         batch_format="pyarrow",
     )
     hits = fps.groupby("__part").map_groups(bucket_hits,
                                             batch_format="pyarrow")
     return hits.groupby("__dpart").map_groups(merge_spans,
                                               batch_format="pyarrow")
+
+
+def exact_dup_spans(ds, *, min_len: int = 40, num_parts: int = 16,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    cross_doc_only: bool = False, unit: str = "char"):
+    """EXACT substring-duplicate detection — Lee et al. ACL'22's
+    ExactSubstr semantics without the global suffix array, removing the
+    winnowing ``w + k - 1`` recall floor of :func:`duplicate_spans`.
+
+    Identity that makes this a degenerate winnowing run: a position is
+    covered by SOME duplicated substring of length ≥ L **iff** it lies
+    inside a duplicated L-gram (⇒: any length-≥L duplicate contains an
+    L-window through each of its positions, and that window occurs
+    wherever the duplicate does; ⇐: a duplicated L-gram IS a duplicated
+    substring of length L).  So ``w = 1`` (every L-gram emits — the
+    rightmost-min of a width-1 window is the element itself), ``k = L``,
+    and merging runs of duplicated start positions with
+    ``merge_gap = L`` yields exactly the maximal duplicated regions:
+    starts ``i ≤ j`` with ``j - i ≤ L`` have overlapping-or-adjacent
+    covered intervals ``[i, i+L) ∪ [j, j+L)``; a gap ``> L`` leaves an
+    uncovered point between them.
+
+    Compared to Lee et al.'s suffix array (a single global sorted
+    structure) this is two keyed exchanges — the same shape as the
+    winnowing detector, but the fingerprint exchange carries one row
+    per POSITION instead of one per ~w positions: exactness costs a
+    ~w× bigger (still u64-keyed, still partitioned) shuffle.  That is
+    the honest trade — the sampled detector is the 100-TB default,
+    this is the floor-free audit pass.  Collision contract is the
+    module's: 64-bit rolling hashes are not re-verified against text.
+
+    Default ``unit="char"`` emits character offsets (SQL ``substr``
+    coordinates, cross-engine-oracle-friendly); pass ``"byte"`` for
+    byte offsets compatible with :func:`remove_duplicate_spans`'s
+    cutter.
+
+    Output: ``(doc_id, span_start, span_end, n_fps, cross_doc)`` where
+    ``n_fps`` counts duplicated L-gram start positions in the span."""
+    return duplicate_spans(
+        ds, k=min_len, w=1, min_len=min_len, num_parts=num_parts,
+        id_col=id_col, text_col=text_col, cross_doc_only=cross_doc_only,
+        merge_gap=min_len, unit=unit)
 
 
 _CLEAN_SCHEMA = pa.schema(
@@ -230,7 +293,8 @@ def remove_duplicate_spans(ds, *, k: int = 20, w: int = 30,
                            min_len: int | None = None,
                            num_parts: int = 16, id_col: str = "doc_id",
                            text_col: str = "text",
-                           cross_doc_only: bool = True):
+                           cross_doc_only: bool = True,
+                           merge_gap: int | None = None):
     """The REMOVAL step of Lee et al. ACL'22: cut every detected
     duplicate span out of each document.  One extra keyed exchange on
     a doc-id hash: spans meet their documents reduce-side (every doc
@@ -251,10 +315,14 @@ def remove_duplicate_spans(ds, *, k: int = 20, w: int = 30,
     ``cross_doc_only=True`` leaves pure within-doc repetition intact.
 
     Output: (doc_id, text, n_spans_removed, n_bytes_removed) for
-    EVERY input document (untouched docs pass through with 0s)."""
+    EVERY input document (untouched docs pass through with 0s).
+
+    Pass ``w=1, merge_gap=k`` for the exact (floor-free) variant — the
+    span source is then :func:`exact_dup_spans` in byte units."""
     spans = duplicate_spans(
         ds, k=k, w=w, min_len=min_len, num_parts=num_parts,
-        id_col=id_col, text_col=text_col, cross_doc_only=cross_doc_only)
+        id_col=id_col, text_col=text_col, cross_doc_only=cross_doc_only,
+        merge_gap=merge_gap)
 
     def stage_docs(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

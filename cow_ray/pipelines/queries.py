@@ -1550,6 +1550,69 @@ def q_doc_dup_spans(sf_dir: str):
     return duplicate_spans(_docs(sf_dir, blocks=8), k=20, w=30)
 
 
+_EXACT_SPAN_L = 40
+
+# gaps-and-islands over duplicated L-gram start positions: a CHAR
+# position is inside a duplicated substring of length >= L iff some
+# duplicated L-gram covers it, and runs of duplicated starts with gap
+# <= L union into exactly the maximal covered regions — the same
+# identity ops/spans.py:exact_dup_spans builds on, so the two engines
+# agree bit-for-bit on integer char offsets.
+SQL_EXACT_DUP_SPANS = f"""
+WITH g AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+           substr(text, CAST(i AS INT), {_EXACT_SPAN_L}) AS gram
+    FROM documents,
+         LATERAL (SELECT unnest(range(1, length(text) - {_EXACT_SPAN_L} + 2))
+                  AS i) r
+    WHERE length(text) >= {_EXACT_SPAN_L}
+),
+dup AS (
+    SELECT doc_id, p FROM g
+    WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+),
+brk AS (
+    SELECT doc_id, p,
+           CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                     <= {_EXACT_SPAN_L}
+                THEN 0 ELSE 1 END AS b
+    FROM dup
+),
+isl AS (
+    SELECT doc_id, p,
+           sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+    FROM brk
+)
+SELECT doc_id, min(p) AS span_start, max(p) + {_EXACT_SPAN_L} AS span_end,
+       count(*) AS n_pos
+FROM isl GROUP BY doc_id, gid
+"""
+
+
+def q_exact_dup_spans_docs(sf_dir: str):
+    """EXACT substring-duplicate spans (Lee et al. ACL'22 ExactSubstr
+    semantics, no winnowing recall floor): every maximal region covered
+    by a duplicated 40-char substring, in character offsets.  DuckDB
+    mirrors it with a lateral L-gram expansion + gaps-and-islands
+    interval merge (SQL_EXACT_DUP_SPANS) — positions are exact integer
+    char offsets, so the comparison is hash-strict.  The winnowing
+    detector (q_doc_dup_spans) is the sampled 100-TB default; this is
+    the floor-free audit pass (~w x bigger fingerprint exchange)."""
+    from ..ops.spans import exact_dup_spans
+
+    spans = exact_dup_spans(_docs(sf_dir, blocks=8),
+                            min_len=_EXACT_SPAN_L, unit="char")
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "span_start": pc.cast(batch["span_start"], pa.int64()),
+             "span_end": pc.cast(batch["span_end"], pa.int64()),
+             "n_pos": pc.cast(batch["n_fps"], pa.int64())})
+
+    return spans.map_batches(proj, batch_format="pyarrow")
+
+
 def q_packed_docs(sf_dir: str):
     """Deterministic sequence packing (first-fit-decreasing into
     512-BPE-token training examples; Raffel et al. 2020 §2.2 pack
@@ -2736,6 +2799,7 @@ QUERIES = {
 # recall-floor tests; multimodal_audio -> multimodal_decode.
 EXTRA_QUERIES = {
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
+    "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "kg_mentions": q_kg_mentions,
     "kg_mention_triples": q_kg_mention_triples,
     "langid_docs": q_langid_docs,
@@ -2804,4 +2868,7 @@ ORACLES = {
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    # oracled but outside the 50-entry driver window (EXTRA_QUERIES):
+    # the gate (tools/check_queries.py) hash-verifies it each run
+    "exact_dup_spans_docs": SQL_EXACT_DUP_SPANS,
 }

@@ -1516,6 +1516,172 @@ class TestDuplicateSpans:
         assert "émile" in got[0]["text"] and "çünkü" in got[1]["text"]
 
 
+class TestExactDupSpans:
+    """exact_dup_spans (ops/spans.py): Lee et al. ExactSubstr semantics
+    with NO winnowing recall floor — w=1 degenerate winnowing +
+    merge_gap=L interval union.  Pinned against a brute-force
+    duplicated-L-gram oracle and against the sampled detector."""
+
+    L = 20
+
+    def _corpus(self):
+        import numpy as np_
+
+        rng = np_.random.default_rng(7)
+        alpha = list("abcdefgh αβγ漢字")  # multibyte chars included
+
+        def rand(n):
+            return "".join(rng.choice(alpha, n))
+
+        # dup1 is 25 chars: >= L but BELOW the winnowing floor
+        # w + k - 1 = 49 of the sampled detector's defaults
+        dup1, dup2 = rand(25), rand(60)
+        docs = [
+            rand(80) + dup1 + rand(40) + dup2 + rand(30),
+            rand(50) + dup1 + rand(90),
+            rand(70) + dup2 + rand(20) + dup2[:30] + rand(40),
+            rand(120),
+            "",
+            "short",
+        ]
+        return docs, dup1, dup2
+
+    def _brute(self, docs, L, unit="char"):
+        """Maximal duplicated regions per doc via the L-gram map."""
+        from collections import Counter
+
+        if unit == "byte":
+            docs = [d.encode("utf-8") for d in docs]
+        c = Counter()
+        for t in docs:
+            for i in range(len(t) - L + 1):
+                c[t[i:i + L]] += 1
+        out = []
+        for did, t in enumerate(docs):
+            runs = []
+            for p in range(len(t) - L + 1):
+                if c[t[p:p + L]] < 2:
+                    continue
+                if runs and p - runs[-1][1] <= L:
+                    runs[-1] = (runs[-1][0], p, runs[-1][2] + 1)
+                else:
+                    runs.append((p, p, 1))
+            out += [(did, s, e + L, n) for s, e, n in runs]
+        return sorted(out)
+
+    def test_matches_brute_force_char_unit(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.spans import exact_dup_spans
+
+        docs, _, _ = self._corpus()
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+        got = exact_dup_spans(ds, min_len=self.L, num_parts=4,
+                              unit="char").to_pandas()
+        got = sorted(
+            (int(r.doc_id), int(r.span_start), int(r.span_end),
+             int(r.n_fps))
+            for r in got.itertuples())
+        assert got == self._brute(docs, self.L, "char")
+
+    def test_finds_below_winnowing_floor(self, ray_session):
+        """The 25-char planted dup sits below the sampled detector's
+        w+k-1 = 49 floor; exact_dup_spans must report it in both docs
+        with the exact planted extent."""
+        import ray.data
+
+        from cow_ray.ops.spans import exact_dup_spans
+
+        docs, dup1, _ = self._corpus()
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+        spans = exact_dup_spans(ds, min_len=self.L, num_parts=4,
+                                unit="char").to_pandas()
+        for did in (0, 1):
+            lo = docs[did].index(dup1)
+            g = spans[spans["doc_id"] == did]
+            assert ((g["span_start"] == lo)
+                    & (g["span_end"] == lo + len(dup1))).any(), (
+                did, g.to_dict("records"))
+
+    def test_byte_unit_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.spans import exact_dup_spans
+
+        docs, _, _ = self._corpus()
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+        got = exact_dup_spans(ds, min_len=self.L, num_parts=4,
+                              unit="byte").to_pandas()
+        got = sorted(
+            (int(r.doc_id), int(r.span_start), int(r.span_end),
+             int(r.n_fps))
+            for r in got.itertuples())
+        assert got == self._brute(docs, self.L, "byte")
+
+    def test_winnow_spans_anchor_inside_exact_regions(self, ray_session):
+        """Pin vs the sampled detector on overlapping spans: a winnow
+        span's first and last fingerprints are duplicated k-grams, so
+        [s, s+k) and [e-k, e) must lie inside SOME exact region (same
+        k, byte unit).  The winnow extent itself may bridge gaps up to
+        w+k that exact correctly leaves uncovered."""
+        import ray.data
+
+        from cow_ray.ops.spans import duplicate_spans, exact_dup_spans
+
+        docs, _, _ = self._corpus()
+        k, w = self.L, 8
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+        winnow = duplicate_spans(ds, k=k, w=w, min_len=k,
+                                 num_parts=4).to_pandas()
+        exact = exact_dup_spans(ds, min_len=k, num_parts=4,
+                                unit="byte").to_pandas()
+        regions = {}
+        for r in exact.itertuples():
+            regions.setdefault(int(r.doc_id), []).append(
+                (int(r.span_start), int(r.span_end)))
+        assert len(winnow) > 0
+        for r in winnow.itertuples():
+            regs = regions.get(int(r.doc_id), [])
+            for a, b in ((r.span_start, r.span_start + k),
+                         (r.span_end - k, r.span_end)):
+                assert any(s <= a and b <= e for s, e in regs), (
+                    r.doc_id, a, b, regs)
+
+    def test_exact_removal_via_remove_duplicate_spans(self, ray_session):
+        """w=1 + merge_gap=k in the removal op = exact floor-free cut:
+        cleaned text equals manual removal of the brute-force byte
+        regions (cross-doc only)."""
+        import ray.data
+
+        from cow_ray.ops.spans import remove_duplicate_spans
+
+        boiler = "DUP-SEG-" * 4  # 32 bytes: >= k, below w+k-1 for w=30
+        rows = [
+            {"doc_id": 0, "text": "aaaa bbbb cccc " + boiler + " dddd"},
+            {"doc_id": 1, "text": "eeee ffff " + boiler + " gggg hhhh"},
+        ]
+        k = self.L
+        got = {r["doc_id"]: r for r in remove_duplicate_spans(
+            ray.data.from_items(rows), k=k, w=1, merge_gap=k,
+            num_parts=4, cross_doc_only=True).take_all()}
+        brute = self._brute([r["text"] for r in rows], k, "byte")
+        for r in rows:
+            d = r["doc_id"]
+            data = r["text"].encode("utf-8")
+            keep = [True] * len(data)
+            for did, s, e, _ in brute:
+                if did == d:
+                    for i in range(s, e):
+                        keep[i] = False
+            want = bytes(b for b, m in zip(data, keep) if m).decode()
+            assert got[d]["text"] == want, d
+            assert "DUP-SEG" not in got[d]["text"]
+
+
 class TestCodecs:
     """Pure-numpy BMP/PPM/WAV codecs (ops/codecs.py) and their
     dispatch inside the multimodal decode stages (round-4: real decode

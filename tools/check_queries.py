@@ -68,10 +68,13 @@ def main():
 
     # the driver sees e.queries() only; the gate also rehearses the
     # rows-only variants kept outside the driver's ~50-entry window
-    from cow_ray.pipelines.queries import EXTRA_QUERIES
+    from cow_ray.pipelines.queries import EXTRA_QUERIES, ORACLES
 
     qs = {**e.queries(), **EXTRA_QUERIES}
-    oracles = e.oracle_sql()
+    # full ORACLES (not e.oracle_sql(), which is filtered to the
+    # driver window): the gate also hash-verifies oracled
+    # EXTRA_QUERIES entries
+    oracles = dict(ORACLES)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
