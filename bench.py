@@ -146,6 +146,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "packed_docs",
         "dedup_exact_docs", "dedup_minhash_docs", "dedup_simhash_docs",
         "dedup_simhash_pairs", "doc_dup_spans", "despanned_docs",
+        "exact_dup_spans_docs",
         "neardup_verified_docs", "containment_docs",
         "doc_fingerprint", "doc_repetition", "doc_c4_quality",
         "doc_bpe_tokens", "ann_topk", "ann_ivf_pq_topk", "emb_near_dup",
