@@ -99,7 +99,14 @@ def fuzzy_join(left, right, col_l: str, col_r: str, id_l: str,
                                   batch_format="pyarrow")))
 
     def per_block(g: pa.Table) -> pa.Table:
-        id_type = g["id"].type if g.num_rows else pa.int64()
+        # derive the id type from the group's SCHEMA, not its rows:
+        # map_groups may invoke on empty partitions, and an int64
+        # guess there would emit schema-mismatched empty blocks when
+        # ids are strings (e.g. the soundex vocab join)
+        id_type = (g.schema.field("id").type
+                   if "id" in g.schema.names else pa.null())
+        if pa.types.is_null(id_type):
+            id_type = pa.int64()
         out_schema = pa.schema([(id_l, id_type), (id_r, id_type),
                                 ("edits", pa.int64())])
         if g.num_rows == 0:

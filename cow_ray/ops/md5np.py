@@ -146,38 +146,33 @@ def _digests_from_buffers(data: np.ndarray, offsets: np.ndarray
             out[j] = np.frombuffer(
                 hashlib.md5(mv[int(offsets[j]):int(offsets[j + 1])]
                             ).digest(), dtype=np.uint8)
-    for nb in np.unique(nblocks):
-        if nb > 1:
-            continue
-        idx = np.flatnonzero(nblocks == nb)
-        stride = int(nb) * 64
-        # tile cap shrinks with message size: keep the padded buffer
-        # (and the index temporaries, which are ~8× message bytes)
-        # around 4 MB
-        tile = max(256, min(_TILE, (4 << 20) // (stride * 8)))
-        buf = None
-        for s in range(0, len(idx), tile):
-            sub = idx[s:s + tile]
-            m = len(sub)
-            if buf is None or buf.shape[0] != m:
-                buf = np.zeros((m, stride), dtype=np.uint8)
-            else:
-                buf[:] = 0
-            lens_g = lens[sub]
-            total = int(lens_g.sum())
-            if total:
-                within = np.arange(total, dtype=np.int64) - np.repeat(
-                    np.cumsum(lens_g) - lens_g, lens_g)
-                tgt = np.repeat(
-                    np.arange(m, dtype=np.int64) * stride, lens_g
-                ) + within
-                src = np.repeat(offsets[sub], lens_g) + within
-                buf.ravel()[tgt] = data[src]
-            buf[np.arange(m), lens_g] = 0x80
-            bitlen = (lens_g.astype(np.uint64) * 8).astype("<u8")
-            buf[:, -8:] = bitlen.view(np.uint8).reshape(-1, 8)
-            out[sub] = _md5_tile(
-                buf.view("<u4").reshape(m, int(nb), 16))
+    # everything left is exactly one padded block (the OpenSSL routing
+    # above took nblocks > 1), so the lane kernel runs one fixed
+    # 64-byte stride per message
+    idx = np.flatnonzero(nblocks == 1)
+    stride = 64
+    buf = None
+    for s in range(0, len(idx), _TILE):
+        sub = idx[s:s + _TILE]
+        m = len(sub)
+        if buf is None or buf.shape[0] != m:
+            buf = np.zeros((m, stride), dtype=np.uint8)
+        else:
+            buf[:] = 0
+        lens_g = lens[sub]
+        total = int(lens_g.sum())
+        if total:
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(lens_g) - lens_g, lens_g)
+            tgt = np.repeat(
+                np.arange(m, dtype=np.int64) * stride, lens_g
+            ) + within
+            src = np.repeat(offsets[sub], lens_g) + within
+            buf.ravel()[tgt] = data[src]
+        buf[np.arange(m), lens_g] = 0x80
+        bitlen = (lens_g.astype(np.uint64) * 8).astype("<u8")
+        buf[:, -8:] = bitlen.view(np.uint8).reshape(-1, 8)
+        out[sub] = _md5_tile(buf.view("<u4").reshape(m, 1, 16))
     return out
 
 
@@ -189,15 +184,28 @@ def _as_buffers(values) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         arr = values.combine_chunks() if isinstance(
             values, pa.ChunkedArray) else values
-        if pa.types.is_large_string(arr.type):
-            arr = arr.cast(pa.string())
-        elif not pa.types.is_string(arr.type):
+        if not (pa.types.is_string(arr.type)
+                or pa.types.is_large_string(arr.type)):
+            # only integer keys cast losslessly to the same text both
+            # engines render ("3") — Arrow prints float 3.0 as "3"
+            # where DuckDB CAST(3.0 AS VARCHAR) and str() give "3.0",
+            # silently changing every content-addressed decision
+            if not pa.types.is_integer(arr.type):
+                raise TypeError(
+                    f"md5np: key column of type {arr.type} — only "
+                    "string and integer keys render identically in "
+                    "Arrow and DuckDB; pre-format the column to "
+                    "string explicitly to define the contract")
             arr = pc.cast(arr, pa.string())
         if arr.null_count:
             raise ValueError("md5np: null values reached the hash "
                              "kernel — fill or filter nulls first")
-        # slice-safety: honor the array's offset into its buffers
-        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        # slice-safety: honor the array's offset into its buffers;
+        # large_string carries int64 offsets natively (no down-cast —
+        # a >2 GiB batch must not overflow 32-bit string offsets)
+        otype = (np.int64 if pa.types.is_large_string(arr.type)
+                 else np.int32)
+        off = np.frombuffer(arr.buffers()[1], dtype=otype)[
             arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
         data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
         return data, off

@@ -97,7 +97,11 @@ def exact_quantiles(ds, col: str, q_permille=(250, 500, 750, 900, 990),
 def _compress_weighted(v: np.ndarray, w: np.ndarray, budget: int):
     """Prune sorted weighted points so consecutive retained cumulative
     ranks differ by ≤ budget + max(w); always keeps the last point
-    (the running maximum).  Adds ≤ budget + max(w_in) rank error."""
+    (the running maximum).  Adds ≤ budget + max(w_in) rank error —
+    callers SUBTRACT max(w_in) from their error allowance when sizing
+    ``budget`` so the level's total stays within its eps share (a
+    heavy input point otherwise rides on top of the budget and the
+    published worst-case bound silently loosens)."""
     if len(v) == 0 or budget <= 1:
         return v, w
     cum = np.cumsum(w)
@@ -143,7 +147,9 @@ def sketch_quantiles(ds, col: str,
         v = a.to_numpy(zero_copy_only=False)
         v = v[~np.isnan(v)]
         v.sort()
-        budget = max(1, int(eps / 2 * len(v)))
+        # unit weights: allowance eps/2·n minus max(w_in)=1 keeps the
+        # block's prune error ≤ eps/2·n exactly
+        budget = max(1, int(eps / 2 * len(v)) - 1)
         v, w = _compress_weighted(v, np.ones(len(v), dtype=np.int64),
                                   budget)
         return pa.table({"v": pa.array(v, type=pa.float64()),
@@ -155,7 +161,15 @@ def sketch_quantiles(ds, col: str,
         w = batch["w"].to_numpy(zero_copy_only=False)
         order = np.argsort(v, kind="stable")
         v, w = v[order], w[order]
-        budget = max(1, int(eps / 2 * int(w.sum())))
+        if len(w) == 0:
+            return pa.table({"v": pa.array([], type=pa.float64()),
+                             "w": pa.array([], type=pa.int64())})
+        # allowance eps/2·W minus the heaviest incoming point: a
+        # summary point from one huge block can weigh ~eps/2·n_block,
+        # and without the subtraction the prune's real error is
+        # budget + max(w) — above the level's eps/2 share (review
+        # finding; the skewed-layout accuracy test pins this)
+        budget = max(1, int(eps / 2 * int(w.sum())) - int(w.max()))
         v, w = _compress_weighted(v, w, budget)
         return pa.table({"v": pa.array(v, type=pa.float64()),
                          "w": pa.array(w, type=pa.int64())})

@@ -1071,11 +1071,14 @@ def q_fuzzy_soundex_vocab(sf_dir: str):
         keep = pc.match_substring_regex(flat, r"^[a-z]{4,}$")
         return pa.table({"word": pc.unique(flat.filter(keep))})
 
+    # materialize: the vocab feeds BOTH join sides — unmaterialized,
+    # each branch would re-run the scan+tokenize+distinct exchange
     vocab = (_docs(sf_dir, blocks=8)
              .map_batches(words, batch_format="pyarrow")
              .groupby("word").count()
              .map_batches(lambda b: b.select(["word"]),
-                          batch_format="pyarrow"))
+                          batch_format="pyarrow")
+             .materialize())
 
     def corrupt(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
@@ -1133,21 +1136,37 @@ BGP_PATTERNS = [
 
 def ensure_doc_store(sf_dir: str) -> str:
     """Materialize the doc triples into a canonical partitioned store
-    ONCE per sf_dir (cached under /tmp, keyed by path + layout
-    version) so BGP queries run in deployment shape — scanning the
+    ONCE per sf_dir (cached under /tmp, keyed by path + source-file
+    stat + layout version) so BGP queries run in deployment shape — scanning the
     written store, exactly like the CLI ``query`` subcommand
     (``cow_ray/__main__.py``) — instead of re-emitting the triple set
     per invocation.  ``dedup=False``: BGP bag semantics must see the
     exact triple bag the SQL oracle builds."""
     import hashlib as _h
 
-    tag = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # key folds in the source file's (mtime, size): regenerated
+    # fixtures at the same path invalidate the store; publish is
+    # by-rename so concurrent processes on the same sf_dir can't
+    # corrupt each other's in-flight build
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    tag = _h.md5(key.encode()).hexdigest()[:10]
     out = f"/tmp/cow_ray_bgp_store_v1_{tag}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        import shutil as _sh
+
         from ..stages.materialize import materialize_triples
 
-        materialize_triples(q_kg_doc_triples(sf_dir), out, num_parts=8,
+        build = f"{out}.build-{os.getpid()}"
+        _sh.rmtree(build, ignore_errors=True)
+        materialize_triples(q_kg_doc_triples(sf_dir), build, num_parts=8,
                             job="bgp-store", dedup=False)
+        try:
+            os.rename(build, out)
+        except OSError:
+            # a concurrent builder published first — use theirs
+            _sh.rmtree(build, ignore_errors=True)
     return out
 
 

@@ -698,7 +698,15 @@ def append_triples(
     with open(job_file) as f:
         meta = json.load(f)
     num_parts = meta["num_parts"]
-    gen_target = meta.get("generation", 1) + 1
+    if resuming and "generation_target" in marker_meta:
+        # crash-resume MUST reuse the interrupted run's target: if the
+        # crash fell between the _job.json generation bump and the
+        # marker removal, recomputing from _job.json would aim one
+        # generation too high, defeating the per-partition skip check
+        # below and double-counting error/skip counters
+        gen_target = marker_meta["generation_target"]
+    else:
+        gen_target = meta.get("generation", 1) + 1
     if job is None:
         job = meta["job"]
     elif job != meta["job"]:
@@ -799,7 +807,8 @@ def append_triples(
             m["path"] = os.path.join(_part_dir(out_dir, p),
                                      "triples.parquet")
             manifests.append(m)
-    _update_provenance(out_dir, meta, new_manifests, input_desc)
+    _update_provenance(out_dir, meta, new_manifests, input_desc,
+                       gen_target)
     meta["generation"] = gen_target
     with open(job_file, "w") as f:
         json.dump(meta, f)
@@ -810,7 +819,7 @@ def append_triples(
 
 
 def _update_provenance(out_dir: str, meta: dict, new_manifests: dict,
-                       input_desc: str) -> None:
+                       input_desc: str, generation: int) -> None:
     """Surgical per-partition lineage refresh after an append: for
     every rewritten partition, the ``tripleCount`` / ``contentSha1`` /
     ``inputSlice`` literal quads are replaced with the new manifest
@@ -852,10 +861,15 @@ def _update_provenance(out_dir: str, meta: dict, new_manifests: dict,
         if g is None:  # partition had no lineage rows (unexpected)
             continue
         slice_ = old_slice.get(uri, "")
-        # idempotent under crash-resume: a partition whose lineage
-        # already names this append's input keeps a single component
-        if input_desc and input_desc not in slice_.split(";"):
-            slice_ = (slice_ + ";" + input_desc) if slice_ else input_desc
+        # each append generation contributes its own tagged component:
+        # crash-resume of the SAME generation finds its tag and stays
+        # idempotent, while a legitimate later re-append of the same
+        # input (new generation, e.g. a regenerated daily delta) is
+        # still recorded as a separate ingest
+        if input_desc:
+            tagged = f"{input_desc}@g{generation}"
+            if tagged not in slice_.split(";"):
+                slice_ = (slice_ + ";" + tagged) if slice_ else tagged
         fresh += [
             (g, uri, vocab + "tripleCount", str(m["num_triples"]),
              KIND_LITERAL, xsd + "integer", None),

@@ -59,3 +59,26 @@ def test_first_byte_is_hex_prefix():
 def test_null_arrow_input_raises():
     with pytest.raises(ValueError, match="null"):
         md5_hex(pa.array(["a", None]))
+
+
+def test_large_string_native_offsets():
+    """large_string hashes through its own int64 offsets — never
+    down-cast to 32-bit string offsets (a >2 GiB batch would
+    overflow the cast; review finding)."""
+    texts = ["", "a", "héllo wörld", "x" * 150, "doc-00042"]
+    arr = pa.array(texts, type=pa.large_string())
+    assert list(md5_hex(arr)) == ref_hex([t.encode("utf-8")
+                                          for t in texts])
+    # sliced large_string honors its offset too
+    sl = pa.array(["aaa", "bbb", "ccc"], type=pa.large_string()).slice(1)
+    assert list(md5_hex(sl)) == ref_hex([b"bbb", b"ccc"])
+
+
+def test_float_key_refused():
+    """Arrow renders 3.0 as '3' where DuckDB CAST and str() give
+    '3.0' — a silent cross-engine divergence, so non-integer
+    non-string keys are refused (review finding)."""
+    with pytest.raises(TypeError, match="pre-format"):
+        md5_hex(pa.array([3.0, 1.5], type=pa.float64()))
+    with pytest.raises(TypeError, match="pre-format"):
+        md5_hex(pa.array([True, False]))

@@ -2011,6 +2011,28 @@ class TestSketchQuantiles:
             max_driver_points=10, num_combine_parts=4).to_pylist()
         self._rank_err_ok(vals, out, 0.02)
 
+    def test_combine_bound_holds_on_skewed_blocks(self, ray_session):
+        """Skewed layout (one huge block + many tiny ones) through the
+        forced combine path: a huge block's summary points carry
+        weight ~eps/2·n_block, and the combine prune must budget for
+        them (allowance minus max(w)) or the real error exceeds the
+        published eps (review finding)."""
+        import ray.data
+
+        from cow_ray.ops.quantiles import sketch_quantiles
+
+        rng = np.random.default_rng(13)
+        big = rng.lognormal(2.0, 1.5, size=40_000)
+        tiny = rng.lognormal(2.0, 1.5, size=800)
+        ds = (ray.data.from_arrow(pa.table({"x": big})).repartition(1)
+              .union(ray.data.from_arrow(pa.table({"x": tiny}))
+                     .repartition(16)))
+        out = sketch_quantiles(
+            ds, "x", q_permille=(100, 500, 900, 990), eps_permille=20,
+            max_driver_points=5, num_combine_parts=2).to_pylist()
+        vals = np.concatenate([big, tiny])
+        self._rank_err_ok(vals, out, 0.02)
+
     def test_nulls_and_nans_excluded(self, ray_session):
         import ray.data
 

@@ -661,4 +661,89 @@ class TestAppendTriples:
         for p_, o in zip(prov["pred"].to_pylist(),
                          prov["obj_lex"].to_pylist()):
             if p_.endswith("inputSlice"):
-                assert o.split(";").count("delta.parquet") <= 1
+                # generation-tagged component, exactly once
+                assert o.split(";").count("delta.parquet@g2") <= 1
+                assert "delta.parquet@g3" not in o
+
+    def test_append_resume_late_crash_window(self, ray_session,
+                                             tmp_path):
+        """Crash BETWEEN the _job.json generation bump and the marker
+        removal: resume must reuse the marker's generation_target (2),
+        not recompute 3 from the bumped _job.json — otherwise every
+        partition re-merges and error counters double-count (review
+        finding)."""
+        import json as _json
+
+        import pyarrow.parquet as _pq
+
+        from cow_ray.nanopub import Nanopub
+        from cow_ray.stages.materialize import (append_triples,
+                                                materialize_triples)
+
+        out = str(tmp_path / "store")
+        materialize_triples(self._tri(0, 200), out, num_parts=4,
+                            job="j1", dedup=True,
+                            nanopub=Nanopub("https://x/", "ds", "j1"))
+        m1 = append_triples(self._tri(150, 300), out,
+                            input_desc="delta.parquet")
+        sha1 = {m["part_id"]: m["content_sha1"] for m in m1}
+
+        # craft the LATE crash: _job.json already says generation 2,
+        # marker still present, _SUCCESS gone
+        os.remove(os.path.join(out, "_SUCCESS"))
+        with open(os.path.join(out, "_append.json"), "w") as f:
+            _json.dump({"job": "j1", "dedup": True,
+                        "generation_target": 2}, f)
+
+        m2 = append_triples(self._tri(150, 300), out,
+                            input_desc="delta.parquet")
+        assert {m["part_id"]: m["content_sha1"] for m in m2} == sha1
+        jf = os.path.join(out, "_job.json")
+        with open(jf) as f:
+            assert _json.load(f)["generation"] == 2  # no drift to 3
+        for p in range(4):
+            with open(os.path.join(out, f"part-{p:05d}",
+                                   "manifest.json")) as f:
+                assert _json.load(f).get("generation") == 2
+        prov = _pq.read_table(
+            os.path.join(out, "_provenance", "quads.parquet"))
+        for p_, o in zip(prov["pred"].to_pylist(),
+                         prov["obj_lex"].to_pylist()):
+            if p_.endswith("inputSlice"):
+                assert o.split(";").count("delta.parquet@g2") <= 1
+
+    def test_repeat_append_same_input_records_both(self, ray_session,
+                                                   tmp_path):
+        """Two INTENTIONAL appends of the same input_desc (e.g. a
+        regenerated daily delta) must both appear in lineage — the
+        crash-resume idempotence is keyed by generation, not by the
+        bare input string (review finding)."""
+        import json as _json
+
+        import pyarrow.parquet as _pq
+
+        from cow_ray.nanopub import Nanopub
+        from cow_ray.stages.materialize import (append_triples,
+                                                materialize_triples)
+
+        out = str(tmp_path / "store")
+        materialize_triples(self._tri(0, 200), out, num_parts=4,
+                            job="j1", dedup=True,
+                            nanopub=Nanopub("https://x/", "ds", "j1"))
+        append_triples(self._tri(150, 300), out,
+                       input_desc="delta.parquet")
+        append_triples(self._tri(250, 400), out,
+                       input_desc="delta.parquet")
+        jf = os.path.join(out, "_job.json")
+        with open(jf) as f:
+            assert _json.load(f)["generation"] == 3
+        prov = _pq.read_table(
+            os.path.join(out, "_provenance", "quads.parquet"))
+        slices = [o for p_, o in zip(prov["pred"].to_pylist(),
+                                     prov["obj_lex"].to_pylist())
+                  if p_.endswith("inputSlice")]
+        # at least one partition touched by both appends carries both
+        # generation-tagged components
+        assert any("delta.parquet@g2" in s.split(";")
+                   and "delta.parquet@g3" in s.split(";")
+                   for s in slices), slices
