@@ -1,0 +1,190 @@
+"""Unicode text normalization + mojibake repair — the first stage of
+any web-text pipeline (reference analogue: the CSV reader's encoding
+cleanup, /root/reference/src/converter/csvw.py chardet path; here it
+is a corpus-scale operator rather than a file-ingest fixup).
+
+``normalize_text`` is pure vectorized Arrow:
+
+* NFC canonical composition — vectorized via polars'
+  ``str.normalize`` (Rust unicode-normalization).  NOT pyarrow:
+  this build's ``pc.utf8_normalize`` decomposes but never composes
+  (NFC of ``e + U+0301`` stays two codepoints — verified broken),
+  while polars and DuckDB's utf8proc-backed ``nfc_normalize`` agree
+  codepoint-exact (NFC is a deterministic Unicode algorithm; parity
+  is pinned by the oracle hash).  Arrow→polars→Arrow is zero-copy;
+* C0/DEL control stripping (RE2 char class, shared engine semantics
+  with DuckDB ``regexp_replace … 'g'``);
+* ASCII-whitespace collapse to single spaces + edge trim (``\\s+`` is
+  the byte-oriented RE2 class in BOTH engines; after collapse every
+  edge run is exactly one ``' '``, so a plain space trim matches
+  DuckDB ``trim``).
+
+Order is fixed (NFC → strip → collapse → trim) and mirrored verbatim
+in the SQL oracle.
+
+``fix_mojibake`` repairs UTF-8 bytes mis-decoded as cp1252/latin-1
+(``é`` → ``Ã©``, ``’`` → ``â€™``) — ftfy's core case (Speer 2019,
+public tool; the heuristic is reimplemented from its published
+description, no ftfy code).  Scale shape: a vectorized RE2 marker
+prefilter selects candidate rows (a tiny fraction of a real crawl);
+only those take the per-row strict ``cp1252-encode → utf-8-decode``
+round-trip, accepted only when it succeeds AND strictly reduces the
+marker count (so legitimate ``Ã`` text is never mangled).  Repair
+iterates to a fixpoint (≤3 passes) to unwind double-encoding.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# C0 controls minus \t \n \r (kept: they are whitespace, handled by
+# the collapse step), plus DEL.  Raw RE2 class — identical string is
+# embedded in the SQL oracle (single-quoted, DuckDB passes it raw).
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+# cp1252-mojibake lead bytes: 0xC2/0xC3 (2-byte UTF-8 leads → Â/Ã)
+# and 0xE2 followed by a cp1252-mapped continuation (â€¦/â€™ family).
+# Prefilter only — the strict round-trip + marker-decrease check does
+# the real validation.
+MOJIBAKE_RE = "[ÂÃ]|â[€-¿]"
+
+_MAX_MOJIBAKE_PASSES = 3
+
+
+def normalize_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    *,
+    form: str = "NFC",
+    strip_controls: bool = True,
+    collapse_ws: bool = True,
+) -> pa.Table:
+    """Append ``out_col`` = normalized ``text_col``.  Pure Arrow."""
+    import polars as pl
+
+    arr = batch[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = pl.from_arrow(arr).str.normalize(form).to_arrow().cast(
+        pa.string())
+    if strip_controls:
+        out = pc.replace_substring_regex(out, pattern=CONTROL_RE,
+                                         replacement="")
+    if collapse_ws:
+        out = pc.replace_substring_regex(out, pattern="\\s+",
+                                         replacement=" ")
+        # after collapse every edge whitespace run is exactly ' ' —
+        # plain space trim keeps parity with DuckDB trim()
+        out = pc.utf8_trim(out, characters=" ")
+    return batch.append_column(out_col, out)
+
+
+def normalize_text(
+    ds,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    *,
+    form: str = "NFC",
+    strip_controls: bool = True,
+    collapse_ws: bool = True,
+):
+    """Dataset wrapper: one streaming ``map_batches`` pass, zero-copy
+    Arrow in/out, no shuffle."""
+    return ds.map_batches(
+        lambda b: normalize_batch(
+            b, text_col, out_col, form=form,
+            strip_controls=strip_controls, collapse_ws=collapse_ws),
+        batch_format="pyarrow",
+    )
+
+
+def _sloppy_cp1252_encode(s: str) -> bytes:
+    """cp1252 encode with latin-1 fallback for the five codepoints
+    cp1252 leaves unmapped (U+0081/8D/8F/90/9D appear when the
+    original mis-decode was latin-1 rather than cp1252 — ftfy's
+    "sloppy" codec case).  Raises UnicodeEncodeError past latin-1."""
+    try:
+        return s.encode("cp1252")
+    except UnicodeEncodeError:
+        out = bytearray()
+        for ch in s:
+            try:
+                out += ch.encode("cp1252")
+            except UnicodeEncodeError:
+                cp = ord(ch)
+                if 0x80 <= cp <= 0x9F:
+                    out.append(cp)
+                else:
+                    raise
+        return bytes(out)
+
+
+def _repair_one(s: str) -> tuple[str, int]:
+    """Iterated strict cp1252/latin-1→utf-8 round-trip on one flagged
+    string.  Returns (repaired, n_passes); 0 = left unchanged."""
+    import re
+
+    marker = re.compile(MOJIBAKE_RE)
+    cur = s
+    applied = 0
+    for _ in range(_MAX_MOJIBAKE_PASSES):
+        n_before = len(marker.findall(cur))
+        if n_before == 0:
+            break
+        try:
+            cand = _sloppy_cp1252_encode(cur).decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            break
+        if len(marker.findall(cand)) >= n_before:
+            break
+        cur = cand
+        applied += 1
+    return cur, applied
+
+
+def fix_mojibake_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    out_col: str = "fixed_text",
+    flag_col: str = "mojibake_fixed",
+) -> pa.Table:
+    """Append ``out_col`` (repaired text) and ``flag_col`` (bool).
+
+    Vectorized marker prefilter; the per-row round-trip runs ONLY on
+    flagged rows (loop bounded by the flagged count, not batch size).
+    """
+    arr = batch[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    hit = pc.match_substring_regex(arr, pattern=MOJIBAKE_RE)
+    hit_idx = pc.indices_nonzero(pc.fill_null(hit, False))
+    if len(hit_idx):
+        out_py = arr.to_pylist()
+        flag_py = [False] * len(out_py)
+        for i in hit_idx.to_pylist():
+            repaired, n = _repair_one(out_py[i])
+            if n:
+                out_py[i] = repaired
+                flag_py[i] = True
+        out = pa.array(out_py, type=pa.string())
+        flags = pa.array(flag_py, type=pa.bool_())
+    else:
+        out = arr
+        flags = pa.array([False] * len(arr), type=pa.bool_())
+    return batch.append_column(out_col, out).append_column(
+        flag_col, flags)
+
+
+def fix_mojibake(
+    ds,
+    text_col: str = "text",
+    out_col: str = "fixed_text",
+    flag_col: str = "mojibake_fixed",
+):
+    """Dataset wrapper: streaming single pass, no shuffle."""
+    return ds.map_batches(
+        lambda b: fix_mojibake_batch(b, text_col, out_col, flag_col),
+        batch_format="pyarrow",
+    )

@@ -2729,6 +2729,93 @@ def q_multimodal_audio(sf_dir: str):
     ).select_columns(["media_id", "features"])
 
 
+# ---------------------------------------------------------- normalize
+
+
+# Deterministic messy suffix appended to every document: a decomposed
+# e+COMBINING ACUTE (NFC must compose it), a BEL control (stripped),
+# and ragged whitespace (collapsed + trimmed).  The SQL oracle builds
+# the IDENTICAL string with chr().
+_NORM_SUFFIX = " café \x07  ok "
+
+
+def _synth_messy_text(batch: pa.Table) -> pa.Table:
+    return batch.set_column(
+        batch.schema.get_field_index("text"), "text",
+        pc.binary_join_element_wise(
+            pc.cast(batch["text"], pa.string()), _NORM_SUFFIX, ""))
+
+
+def q_normalized_docs(sf_dir: str):
+    """Unicode normalization pass (ops/normalize.py normalize_text):
+    NFC composition + C0/DEL control strip + whitespace collapse over
+    deterministically-dirtied document text.  Hash-exact vs DuckDB
+    ``nfc_normalize`` + RE2 ``regexp_replace`` (same step order)."""
+    from ..ops.normalize import normalize_text
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_synth_messy_text, batch_format="pyarrow")
+    return normalize_text(ds).select_columns(["doc_id", "norm_text"])
+
+
+SQL_NORMALIZED_DOCS = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(
+            nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(7)
+                          || '  ok '),
+            '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+          '\s+', ' ', 'g')) AS norm_text
+  FROM documents
+"""
+
+
+def q_mojibake_docs(sf_dir: str):
+    """Mojibake repair audit (ops/normalize.py fix_mojibake): plant
+    UTF-8-as-cp1252 mis-decoding on every 7th document, run the
+    repair, and report per-doc (mojibake_fixed, recovered) where
+    ``recovered`` = repaired text byte-equals the original.  Rows-only
+    (the corruption is a codec round-trip SQL cannot express); the
+    invariants — every planted row fixed AND recovered, every clean
+    row untouched — are asserted in tests."""
+    from ..ops.normalize import fix_mojibake
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        orig, out = [], []
+        for i, s in zip(ids, texts):
+            # make the non-ASCII corruption reachable: give planted
+            # rows a char whose UTF-8 bytes mis-decode visibly
+            if i % 7 == 0:
+                s = "résumé — " + s
+                orig.append(s)
+                s = s.encode("utf-8").decode("cp1252")
+            else:
+                orig.append(s)
+            out.append(s)
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pa.array(out, type=pa.string()),
+        ).append_column("orig_text", pa.array(orig, type=pa.string()))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(plant, batch_format="pyarrow")
+    fixed = fix_mojibake(ds)
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        cls = np.where(ids % 7 == 0, "planted", "clean")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "class": pa.array(cls, type=pa.string()),
+            "mojibake_fixed": batch["mojibake_fixed"],
+            "recovered": pc.equal(batch["fixed_text"],
+                                  batch["orig_text"]),
+        })
+
+    return fixed.map_batches(verdict, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- registry
 
 # Driver-facing registry.  ORDERING IS A CONTRACT: the driver's
@@ -2819,6 +2906,8 @@ QUERIES = {
 EXTRA_QUERIES = {
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
+    "normalized_docs": q_normalized_docs,
+    "mojibake_docs": q_mojibake_docs,
     "kg_mentions": q_kg_mentions,
     "kg_mention_triples": q_kg_mention_triples,
     "langid_docs": q_langid_docs,
@@ -2890,4 +2979,5 @@ ORACLES = {
     # oracled but outside the 50-entry driver window (EXTRA_QUERIES):
     # the gate (tools/check_queries.py) hash-verifies it each run
     "exact_dup_spans_docs": SQL_EXACT_DUP_SPANS,
+    "normalized_docs": SQL_NORMALIZED_DOCS,
 }
