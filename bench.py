@@ -136,11 +136,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_doc_triples", "kg_source_triples_dedup", "kg_mention_triples",
         "kg_canonical_sources", "kg_cookbook_triples", "kg_bgp",
         "text_token_stats", "text_quality",
-        "sample_docs", "split_docs", "top_docs_per_lang",
+        "sample_docs", "split_docs", "mixture_docs",
+        "top_docs_per_lang",
         "token_doc_freq",
-        "heavy_tokens", "doc_perplexity", "doc_nll", "bm25_docs",
+        "heavy_tokens", "doc_perplexity", "doc_nll", "nb_quality_docs",
+        "bm25_docs",
         "tfidf_topterms",
-        "url_normalized", "url_domain_stats", "doc_len_quantiles",
+        "url_normalized", "url_domain_stats", "normalized_docs",
+        "mojibake_docs", "doc_len_quantiles",
         "sketch_quantiles_docs",
         "curate_docs", "scrub_docs", "chunk_docs", "decontam_docs",
         "packed_docs",

@@ -2816,6 +2816,139 @@ def q_mojibake_docs(sf_dir: str):
     return fixed.map_batches(verdict, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------ mixture
+
+
+MIX_WEIGHTS = {"head": 2.4, "mid": 1.0, "tail": 0.25}
+# plan_weights resolution of the floats above — the SQL oracle
+# hardcodes the same integers (granularity 1/256, round-half-up):
+#   head: 2 full epochs + bucket<102 third copy
+#   mid : 1 full epoch
+#   tail: bucket<64 only (25% downsample)
+
+
+def _corpus_filter(residue: int):
+    def pick(batch: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(batch["source"], 3, 32),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(num % 3 == residue)) \
+                    .select(["doc_id"])
+
+    return pick
+
+
+def q_mixture_docs(sf_dir: str):
+    """Deterministic weighted corpus mixture (ops/mix.py — the
+    GPT-3/Dolma epoch-mixing recipe): the documents table split into
+    three corpora by source number mod 3, mixed at weights
+    head=2.4 (upsample: 2 full copies + content-addressed 40% third),
+    mid=1.0, tail=0.25 (downsample).  Hash-exact vs the SQL oracle
+    (same md5 bucket + hardcoded integer plan).  At deployment scale
+    each corpus is its own path; here the three branches re-read one
+    small table."""
+    from ..ops.mix import mixture
+
+    srcs = []
+    for residue, name in ((0, "head"), (1, "mid"), (2, "tail")):
+        ds = _read(sf_dir, "documents", columns=["doc_id", "source"]) \
+            .map_batches(_corpus_filter(residue),
+                         batch_format="pyarrow")
+        srcs.append((name, ds, MIX_WEIGHTS[name]))
+    return mixture(srcs, "doc_id").select_columns(
+        ["doc_id", "mix_source", "epoch"])
+
+
+SQL_MIXTURE_DOCS = """
+WITH g AS (
+  SELECT doc_id,
+         CASE CAST(substr(source, 4) AS INT) % 3
+           WHEN 0 THEN 'head' WHEN 1 THEN 'mid' ELSE 'tail' END
+           AS corpus
+    FROM documents),
+b AS (
+  SELECT doc_id, corpus,
+         (strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR) || '#' || corpus),
+                    1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR) || '#' || corpus),
+                    2, 1)) - 1) AS bucket
+    FROM g),
+e AS (SELECT b.*, t.epoch
+        FROM b CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch) t)
+SELECT doc_id, corpus AS mix_source, epoch
+  FROM e
+ WHERE (corpus = 'head' AND (epoch < 2 OR bucket < 102))
+    OR (corpus = 'mid'  AND epoch = 0)
+    OR (corpus = 'tail' AND epoch = 0 AND bucket < 64)
+"""
+
+
+# -------------------------------------------------------- NB classifier
+
+
+def q_nb_quality_docs(sf_dir: str):
+    """Multinomial Naive-Bayes quality classifier (ops/nbayes.py —
+    the CCNet/GPT-3 model-based quality-scoring recipe in its
+    one-exchange public-baseline form): train per-token micro
+    log-odds on the weak label ``lang == 'en'``, broadcast the model
+    once, score every document in a single scan.  Integer-nano scores
+    hash-match the SQL oracle (same Laplace-α=1 arithmetic, same
+    top-V/tie-break vocab contract as doc_nll)."""
+    import ray
+
+    from ..ops.nbayes import score_nb, train_nb
+
+    def label(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "y", pc.equal(batch["lang"], "en"))
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang"]).map_batches(
+        label, batch_format="pyarrow")
+    model = train_nb(ds, "y", vocab_size=4096, num_parts=8)
+    return score_nb(ds, ray.put(model))
+
+
+SQL_NB_QUALITY_DOCS = """
+WITH toks AS (
+  SELECT d.doc_id, t.token
+    FROM documents d,
+         unnest(string_split_regex(lower(d.text), '[^a-z0-9'']+'))
+         AS t(token)
+   WHERE t.token <> ''),
+lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+tl AS (SELECT t.doc_id, t.token, l.y
+         FROM toks t JOIN lab l USING (doc_id)),
+tot AS (SELECT sum(y) AS t1, count(*) - sum(y) AS t0 FROM tl),
+dc AS (SELECT sum(y) AS n1, count(*) - sum(y) AS n0 FROM lab),
+counts AS (SELECT token, count(*) AS c, sum(y) AS c1 FROM tl
+            GROUP BY token),
+vocab AS (SELECT token, c, c1 FROM counts
+           ORDER BY c DESC, token LIMIT 4096),
+vs AS (SELECT count(*) AS v FROM vocab),
+delta AS (SELECT token,
+       CAST(floor((ln((c1+1)/(t.t1+v.v))
+                   - ln((c-c1+1)/(t.t0+v.v)))*1e6+0.5) AS BIGINT) AS m
+        FROM vocab CROSS JOIN tot t CROSS JOIN vs v),
+oov AS (SELECT CAST(floor((ln(1/(t.t1+v.v))
+                   - ln(1/(t.t0+v.v)))*1e6+0.5) AS BIGINT) AS m
+          FROM tot t CROSS JOIN vs v),
+pri AS (SELECT CAST(floor(ln(n1/n0)*1e6+0.5) AS BIGINT) AS m FROM dc),
+per AS (SELECT tk.doc_id, count(*) AS n_tokens,
+               sum(COALESCE(d.m, (SELECT m FROM oov))) AS s
+          FROM toks tk LEFT JOIN delta d USING (token)
+         GROUP BY tk.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(((SELECT m FROM pri) + COALESCE(p.s, 0)) * 1000
+            AS BIGINT) AS nb_n9,
+       ((SELECT m FROM pri) + COALESCE(p.s, 0)) > 0 AS pred
+  FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 # Driver-facing registry.  ORDERING IS A CONTRACT: the driver's
@@ -2908,6 +3041,8 @@ EXTRA_QUERIES = {
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
     "mojibake_docs": q_mojibake_docs,
+    "mixture_docs": q_mixture_docs,
+    "nb_quality_docs": q_nb_quality_docs,
     "kg_mentions": q_kg_mentions,
     "kg_mention_triples": q_kg_mention_triples,
     "langid_docs": q_langid_docs,
@@ -2980,4 +3115,6 @@ ORACLES = {
     # the gate (tools/check_queries.py) hash-verifies it each run
     "exact_dup_spans_docs": SQL_EXACT_DUP_SPANS,
     "normalized_docs": SQL_NORMALIZED_DOCS,
+    "mixture_docs": SQL_MIXTURE_DOCS,
+    "nb_quality_docs": SQL_NB_QUALITY_DOCS,
 }

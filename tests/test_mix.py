@@ -1,0 +1,103 @@
+"""Deterministic corpus mixture (cow_ray/ops/mix.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cow_ray.ops.md5np import md5_first_byte
+from cow_ray.ops.mix import _expand_fn, mixture, plan_weights
+
+
+def test_plan_weights_integer_contract():
+    assert plan_weights({"a": 2.4}) == {"a": (2, 102)}
+    assert plan_weights({"a": 1.0}) == {"a": (1, 0)}
+    assert plan_weights({"a": 0.25}) == {"a": (0, 64)}
+    # near-integer rounds up to a clean full epoch, not thresh=256
+    assert plan_weights({"a": 1.999}) == {"a": (2, 0)}
+
+
+def test_plan_weights_rejects_bad_input():
+    with pytest.raises(ValueError):
+        plan_weights({"a": -0.1})
+    with pytest.raises(ValueError):
+        plan_weights({"a": float("nan")})
+    with pytest.raises(ValueError):
+        plan_weights({"a": 0.0, "b": 0.001})  # b rounds to zero too
+
+
+def _table(ids):
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "payload": [f"p{i}" for i in ids]})
+
+
+def test_expand_full_epochs_only():
+    fn = _expand_fn("s", 3, 0, "doc_id", "mix_source", "epoch")
+    out = fn(_table([7, 8]))
+    assert out["doc_id"].to_pylist() == [7, 7, 7, 8, 8, 8]
+    assert out["epoch"].to_pylist() == [0, 1, 2, 0, 1, 2]
+    assert set(out["mix_source"].to_pylist()) == {"s"}
+    # payload duplicated alongside
+    assert out["payload"].to_pylist()[:3] == ["p7", "p7", "p7"]
+
+
+def test_expand_fractional_matches_md5_bucket():
+    ids = list(range(400))
+    fn = _expand_fn("head", 1, 102, "doc_id", "mix_source", "epoch")
+    out = fn(_table(ids))
+    buckets = md5_first_byte(pa.array([f"{i}#head" for i in ids]))
+    want_counts = 1 + (buckets < 102)
+    got_counts = np.bincount(out["doc_id"].to_numpy(), minlength=400)
+    assert (got_counts == want_counts).all()
+    # deterministic rate ≈ 102/256 on the fractional epoch
+    frac = (out["epoch"].to_numpy() == 1).sum() / 400
+    assert abs(frac - 102 / 256) < 0.08
+
+
+def test_expand_batch_split_invariance():
+    ids = list(range(100))
+    fn = _expand_fn("x", 2, 64, "doc_id", "mix_source", "epoch")
+    whole = fn(_table(ids))
+    halves = pa.concat_tables([fn(_table(ids[:50])),
+                               fn(_table(ids[50:]))])
+    key = lambda t: sorted(zip(t["doc_id"].to_pylist(),
+                               t["epoch"].to_pylist()))
+    assert key(whole) == key(halves)
+
+
+def test_salting_decorrelates_sources():
+    ids = [str(i) for i in range(256)]
+    a = md5_first_byte(pa.array([f"{i}#a" for i in ids])) < 128
+    b = md5_first_byte(pa.array([f"{i}#b" for i in ids])) < 128
+    assert (a != b).any()
+
+
+def test_mixture_guards():
+    import ray.data
+
+    ds = ray.data.from_arrow(_table([1]))
+    with pytest.raises(ValueError, match="duplicate"):
+        mixture([("a", ds, 1.0), ("a", ds, 1.0)], "doc_id")
+
+
+def test_mixture_union_counts(ray_session):
+    import ray.data
+
+    ids_a, ids_b = list(range(200)), list(range(1000, 1200))
+    dsa = ray.data.from_arrow(_table(ids_a))
+    dsb = ray.data.from_arrow(_table(ids_b))
+    out = mixture([("a", dsa, 2.0), ("b", dsb, 0.5)], "doc_id")
+    tbl = pa.Table.from_pandas(out.to_pandas())
+    n_a = (np.array(tbl["mix_source"]) == "a").sum()
+    buckets = md5_first_byte(pa.array([f"{i}#b" for i in ids_b]))
+    assert n_a == 400  # two full epochs, no fractional
+    assert (np.array(tbl["mix_source"]) == "b").sum() == \
+        (buckets < 128).sum()
+
+
+def test_mixture_drops_zero_weight_source(ray_session):
+    import ray.data
+
+    dsa = ray.data.from_arrow(_table([1, 2]))
+    dsb = ray.data.from_arrow(_table([3]))
+    out = mixture([("a", dsa, 1.0), ("b", dsb, 0.0)], "doc_id")
+    assert set(r["mix_source"] for r in out.take_all()) == {"a"}
