@@ -137,6 +137,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_canonical_sources", "kg_cookbook_triples", "kg_bgp",
         "text_token_stats", "text_quality",
         "sample_docs", "split_docs", "mixture_docs",
+        "shuffled_head_docs",
         "top_docs_per_lang",
         "token_doc_freq",
         "heavy_tokens", "doc_perplexity", "doc_nll", "nb_quality_docs",

@@ -120,6 +120,29 @@ def group_top_k(ds, group_cols: list, order_col: str, k: int = 3,
     )
 
 
+def shuffle_by_hash(ds, key_col: str, keep_hash: bool = False,
+                    hash_col: str = "__shuffle_md5"):
+    """Deterministic global shuffle — the final stage before training
+    serialization: order the corpus by ``md5(str(key))`` (ties by the
+    key itself), so the "random" order is content-addressed and
+    reproducible across runs, shard layouts, and engines (SQL mirror:
+    ``ORDER BY md5(CAST(key AS VARCHAR)), key``).  ONE range-partition
+    sort exchange; the md5 ranks come from the vectorized lane kernel
+    (ops/md5np.py).  Null keys raise (see :func:`_key_array`)."""
+
+    def rank(batch: pa.Table) -> pa.Table:
+        h = md5_hex_arrow(_key_array(batch, key_col,
+                                     "shuffle_by_hash"))
+        return batch.append_column(hash_col, h)
+
+    out = ds.map_batches(rank, batch_format="pyarrow").sort(
+        [hash_col, key_col])
+    if keep_hash:
+        return out
+    return out.map_batches(
+        lambda b: b.drop_columns([hash_col]), batch_format="pyarrow")
+
+
 def hash_split(ds, key_col: str, splits=(("train", 90), ("val", 5),
                                          ("test", 5)),
                out_col: str = "split"):

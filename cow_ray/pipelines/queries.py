@@ -2884,6 +2884,28 @@ SELECT doc_id, corpus AS mix_source, epoch
 """
 
 
+# ------------------------------------------------------ global shuffle
+
+
+def q_shuffled_head_docs(sf_dir: str):
+    """Deterministic global shuffle (ops/sample.py shuffle_by_hash):
+    the corpus ordered by content hash, head-100.  The LIMIT makes the
+    oracle ORDER-sensitive: the returned id set equals DuckDB's
+    ``ORDER BY md5(...), doc_id LIMIT 100`` only if the distributed
+    sort produced the same global order."""
+    from ..ops.sample import shuffle_by_hash
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return shuffle_by_hash(docs, "doc_id").limit(100)
+
+
+SQL_SHUFFLED_HEAD_DOCS = """
+SELECT doc_id FROM documents
+ ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+ LIMIT 100
+"""
+
+
 # -------------------------------------------------------- NB classifier
 
 
@@ -3043,6 +3065,7 @@ EXTRA_QUERIES = {
     "mojibake_docs": q_mojibake_docs,
     "mixture_docs": q_mixture_docs,
     "nb_quality_docs": q_nb_quality_docs,
+    "shuffled_head_docs": q_shuffled_head_docs,
     "kg_mentions": q_kg_mentions,
     "kg_mention_triples": q_kg_mention_triples,
     "langid_docs": q_langid_docs,
@@ -3117,4 +3140,5 @@ ORACLES = {
     "normalized_docs": SQL_NORMALIZED_DOCS,
     "mixture_docs": SQL_MIXTURE_DOCS,
     "nb_quality_docs": SQL_NB_QUALITY_DOCS,
+    "shuffled_head_docs": SQL_SHUFFLED_HEAD_DOCS,
 }

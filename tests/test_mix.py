@@ -101,3 +101,32 @@ def test_mixture_drops_zero_weight_source(ray_session):
     dsb = ray.data.from_arrow(_table([3]))
     out = mixture([("a", dsa, 1.0), ("b", dsb, 0.0)], "doc_id")
     assert set(r["mix_source"] for r in out.take_all()) == {"a"}
+
+
+def test_shuffle_by_hash_order_matches_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    from cow_ray.ops.sample import shuffle_by_hash
+
+    ids = list(range(300))
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64())}))
+    got = [r["doc_id"] for r in
+           shuffle_by_hash(ds, "doc_id").take_all()]
+    want = [r[0] for r in duckdb.sql(
+        "SELECT i FROM (SELECT unnest(range(0, 300)) AS i) "
+        "ORDER BY md5(CAST(i AS VARCHAR)), i").fetchall()]
+    assert got == want
+    assert sorted(got) == ids  # a permutation, nothing lost
+
+
+def test_shuffle_by_hash_keeps_hash_when_asked(ray_session):
+    import ray.data
+
+    from cow_ray.ops.sample import shuffle_by_hash
+
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([1, 2, 3], type=pa.int64())}))
+    rows = shuffle_by_hash(ds, "doc_id", keep_hash=True).take_all()
+    assert all(len(r["__shuffle_md5"]) == 32 for r in rows)
