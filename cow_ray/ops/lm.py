@@ -76,6 +76,36 @@ def _tokenize(batch: pa.Table, text_col: str):
     return flat, lens
 
 
+def _broadcast_lookup(h: np.ndarray, vocab_h: np.ndarray,
+                      values: np.ndarray, default) -> np.ndarray:
+    """Per-token value lookup against a sorted uint64 hash table;
+    misses (and empty vocab) get ``default``.  Shared by the LM
+    scorers here and ops/nbayes.py."""
+    if len(vocab_h) == 0:
+        return np.full(len(h), default,
+                       dtype=np.asarray(values).dtype)
+    pos = np.searchsorted(vocab_h, h)
+    in_v = pos < len(vocab_h)
+    pos_c = np.where(in_v, pos, 0)
+    return np.where(in_v & (vocab_h[pos_c] == h), values[pos_c],
+                    default)
+
+
+def _segment_sum(values: np.ndarray, lens: np.ndarray, n: int,
+                 dtype) -> np.ndarray:
+    """Per-document sums over the flat token-value array.  reduceat
+    rejects a start index == len(values), which happens whenever a
+    batch's LAST doc has zero tokens — reduce over non-empty docs
+    only (their starts are strictly increasing and in range) and
+    scatter back."""
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    nz = lens > 0
+    sums = np.zeros(n, dtype=dtype)
+    if nz.any():
+        sums[nz] = np.add.reduceat(values, starts[nz])
+    return sums
+
+
 def train_unigram_lm(ds, text_col: str = "text",
                      vocab_size: int = 65_536, num_parts: int = 32,
                      quantize: bool = False) -> dict:
@@ -208,26 +238,10 @@ def perplexity_scores(ds, lm, text_col: str = "text",
                 "n_tokens": pa.array(np.zeros(n, dtype=np.int64)),
                 "ppl": pa.nulls(n, type=pa.float64()),
             })
-        h = _hash64(flat)
-        vocab_h, logp = tab["hash"], tab["logp"]
-        if len(vocab_h) == 0:
-            lp = np.full(len(h), tab["unk"])
-        else:
-            pos = np.searchsorted(vocab_h, h)
-            in_v = pos < len(vocab_h)
-            pos_c = np.where(in_v, pos, 0)
-            lp = np.where(in_v & (vocab_h[pos_c] == h),
-                          logp[pos_c], tab["unk"])
-        # reduceat rejects a start index == len(lp), which happens
-        # whenever the batch's LAST doc has zero tokens; reduce over
-        # non-empty docs only (their starts are strictly increasing
-        # and < len(lp)) and scatter back
+        lp = _broadcast_lookup(_hash64(flat), tab["hash"],
+                               tab["logp"], tab["unk"])
         lens = np.asarray(lens, dtype=np.int64)
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        nz = lens > 0
-        sums = np.zeros(n, dtype=np.float64)
-        if nz.any():
-            sums[nz] = np.add.reduceat(lp, starts[nz])
+        sums = _segment_sum(lp, lens, n, np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             ppl = np.exp(-sums / lens)
         return pa.table({
@@ -272,24 +286,10 @@ def nll_scores(ds, lm, text_col: str = "text", id_col: str = "doc_id"):
                 id_col: batch[id_col],
                 "n_tokens": pa.array(np.zeros(n, dtype=np.int64)),
                 "nll_n9": pa.array(np.zeros(n, dtype=np.int64))})
-        h = _hash64(flat)
-        vocab_h = tab["hash"]
-        micro = tab["logp_micro"]
-        if len(vocab_h) == 0:
-            m = np.full(len(h), tab["unk_micro"], dtype=np.int64)
-        else:
-            pos = np.searchsorted(vocab_h, h)
-            in_v = pos < len(vocab_h)
-            pos_c = np.where(in_v, pos, 0)
-            m = np.where(in_v & (vocab_h[pos_c] == h),
-                         micro[pos_c], tab["unk_micro"])
+        m = _broadcast_lookup(_hash64(flat), tab["hash"],
+                              tab["logp_micro"], tab["unk_micro"])
         cost = -m * 1000  # exact: micros → nanos, sign flipped
-        # same trailing-empty-doc reduceat guard as perplexity_scores
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        nz = lens > 0
-        sums = np.zeros(n, dtype=np.int64)
-        if nz.any():
-            sums[nz] = np.add.reduceat(cost, starts[nz])
+        sums = _segment_sum(cost, lens, n, np.int64)
         return pa.table({
             id_col: batch[id_col],
             "n_tokens": pa.array(lens),

@@ -43,15 +43,24 @@ def plan_weights(weights: dict[str, float]) -> dict[str, tuple[int, int]]:
     times always, plus once more iff its salted md5 bucket (0..255)
     is < ``frac_threshold``.  Computed ONCE here so the Ray op and a
     SQL oracle share identical integers (no float re-derivation)."""
+    import math
+
     out = {}
     for name, w in weights.items():
         if not (w >= 0) or w != w:  # rejects negatives and NaN
             raise ValueError(f"mixture: weight for {name!r} must be "
                              f"a non-negative number, got {w!r}")
         full = int(w)
-        thresh = int(round((w - full) * BUCKETS))
+        # round-half-up as documented (round() would bank to even)
+        thresh = int(math.floor((w - full) * BUCKETS + 0.5))
         if thresh == BUCKETS:  # e.g. w=1.999 rounds up to a full epoch
             full, thresh = full + 1, 0
+        if w > 0 and full == 0 and thresh == 0:
+            raise ValueError(
+                f"mixture: weight {w!r} for {name!r} is below the "
+                f"1/{2 * BUCKETS} plan granularity and would silently "
+                "drop the source — use 0 to drop it explicitly, or a "
+                f"weight ≥ 1/{2 * BUCKETS}")
         out[name] = (full, thresh)
     if all(f == 0 and t == 0 for f, t in out.values()):
         raise ValueError("mixture: all weights resolve to zero output")
@@ -63,8 +72,12 @@ def _expand_fn(name: str, full: int, thresh: int, key_col: str,
     salt = f"#{name}"
 
     def expand(batch: pa.Table) -> pa.Table:
-        key = _key_array(batch, key_col, "mixture")
         n = batch.num_rows
+        if n == 0:  # np.repeat broadcast breaks on 0-row input
+            return batch.append_column(
+                source_col, pa.array([], type=pa.string()),
+            ).append_column(epoch_col, pa.array([], type=pa.int64()))
+        key = _key_array(batch, key_col, "mixture")
         counts = np.full(n, full, dtype=np.int64)
         if thresh > 0:
             salted = pc.binary_join_element_wise(

@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .lm import _hash64, _tokenize
+from .lm import _broadcast_lookup, _hash64, _segment_sum, _tokenize
 
 # sentinels ride the token exchange (token-disjoint partitions make
 # their per-partition sums exact): c = class-1 value, c1 unused/dup
@@ -162,20 +162,9 @@ def score_nb(ds, model, text_col: str = "text",
         lens = np.asarray(lens, dtype=np.int64)
         sums = np.zeros(n, dtype=np.int64)
         if len(flat):
-            h = _hash64(flat)
-            vocab_h, mm = tab["hash"], tab["m"]
-            if len(vocab_h) == 0:
-                tok_m = np.full(len(h), tab["oov_m"], dtype=np.int64)
-            else:
-                pos = np.searchsorted(vocab_h, h)
-                in_v = pos < len(vocab_h)
-                pos_c = np.where(in_v, pos, 0)
-                tok_m = np.where(in_v & (vocab_h[pos_c] == h),
-                                 mm[pos_c], tab["oov_m"])
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            nz = lens > 0
-            if nz.any():
-                sums[nz] = np.add.reduceat(tok_m, starts[nz])
+            tok_m = _broadcast_lookup(_hash64(flat), tab["hash"],
+                                      tab["m"], tab["oov_m"])
+            sums = _segment_sum(tok_m, lens, n, np.int64)
         total = (tab["prior_m"] + sums) * 1000
         return pa.table({
             id_col: batch[id_col],

@@ -43,11 +43,23 @@ import pyarrow.compute as pc
 # embedded in the SQL oracle (single-quoted, DuckDB passes it raw).
 CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
 
-# cp1252-mojibake lead bytes: 0xC2/0xC3 (2-byte UTF-8 leads → Â/Ã)
-# and 0xE2 followed by a cp1252-mapped continuation (â€¦/â€™ family).
-# Prefilter only — the strict round-trip + marker-decrease check does
-# the real validation.
-MOJIBAKE_RE = "[ÂÃ]|â[€-¿]"
+# cp1252-mojibake signature: a char that is the cp1252 decode of a
+# UTF-8 LEAD byte (0xC2-0xF4 -> U+00C2-U+00F4; cp1252 = latin-1 over
+# that range) immediately followed by the cp1252 decode of a
+# CONTINUATION byte (0x80-0xBF): either U+0080-U+00BF directly
+# (the latin-1 fallback chars and the A0-BF half) or one of cp1252's
+# 0x80-0x9F remaps (euro, curly quotes, dashes, dagger, trademark,
+# S/Z-caron, OE, f-hook, permille, guillemets, Y-diaeresis).  Covers
+# 2-byte leads for all of Latin-1/Cyrillic/Greek/CEE and 3/4-byte
+# leads (curly-punctuation, CJK, emoji).  Prefilter + improvement
+# metric only -- the strict round-trip does the real validation.
+_CP1252_REMAPS = "".join(
+    bytes([b]).decode("cp1252") for b in range(0x80, 0xA0)
+    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D))
+# plain \xNN escapes parse identically in RE2 (pyarrow prefilter)
+# and Python re (_repair_one's improvement metric)
+MOJIBAKE_RE = ("[\\xc2-\\xf4]"
+               "[\\x80-\\xbf" + _CP1252_REMAPS + "]")
 
 _MAX_MOJIBAKE_PASSES = 3
 
@@ -121,6 +133,22 @@ def _sloppy_cp1252_encode(s: str) -> bytes:
         return bytes(out)
 
 
+def sloppy_cp1252_decode(b: bytes) -> str:
+    """cp1252 decode with latin-1 fallback for the five unmapped
+    bytes (0x81/8D/8F/90/9D) — the inverse of
+    :func:`_sloppy_cp1252_encode`.  Exposed for fixture planting
+    (tests, the ``mojibake_docs`` query) so corruption can be planted
+    on ANY text, not only byte streams that happen to be strictly
+    cp1252-decodable."""
+    try:
+        return b.decode("cp1252")
+    except UnicodeDecodeError:
+        bad = (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+        return "".join(
+            chr(x) if x in bad else bytes([x]).decode("cp1252")
+            for x in b)
+
+
 def _repair_one(s: str) -> tuple[str, int]:
     """Iterated strict cp1252/latin-1→utf-8 round-trip on one flagged
     string.  Returns (repaired, n_passes); 0 = left unchanged."""
@@ -155,26 +183,34 @@ def fix_mojibake_batch(
     Vectorized marker prefilter; the per-row round-trip runs ONLY on
     flagged rows (loop bounded by the flagged count, not batch size).
     """
+    import numpy as np
+
     arr = batch[text_col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    hit = pc.match_substring_regex(arr, pattern=MOJIBAKE_RE)
-    hit_idx = pc.indices_nonzero(pc.fill_null(hit, False))
+    hit = pc.fill_null(
+        pc.match_substring_regex(arr, pattern=MOJIBAKE_RE), False)
+    hit_idx = pc.indices_nonzero(hit)
+    flags_np = np.zeros(len(arr), dtype=bool)
+    out = arr
     if len(hit_idx):
-        out_py = arr.to_pylist()
-        flag_py = [False] * len(out_py)
-        for i in hit_idx.to_pylist():
-            repaired, n = _repair_one(out_py[i])
+        # only the flagged rows leave Arrow (scatter back via
+        # replace_with_mask); unflagged rows stay zero-copy
+        repaired = []
+        fixed_any = False
+        for i, s in zip(hit_idx.to_pylist(),
+                        arr.take(hit_idx).to_pylist()):
+            r, n = _repair_one(s)
+            repaired.append(r)
             if n:
-                out_py[i] = repaired
-                flag_py[i] = True
-        out = pa.array(out_py, type=pa.string())
-        flags = pa.array(flag_py, type=pa.bool_())
-    else:
-        out = arr
-        flags = pa.array([False] * len(arr), type=pa.bool_())
-    return batch.append_column(out_col, out).append_column(
-        flag_col, flags)
+                flags_np[i] = True
+                fixed_any = True
+        if fixed_any:
+            out = pc.replace_with_mask(
+                arr, hit, pa.array(repaired, type=arr.type))
+    return batch.append_column(
+        out_col, out.cast(pa.string())).append_column(
+        flag_col, pa.array(flags_np))
 
 
 def fix_mojibake(

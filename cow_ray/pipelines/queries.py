@@ -2780,6 +2780,8 @@ def q_mojibake_docs(sf_dir: str):
     from ..ops.normalize import fix_mojibake
 
     def plant(batch: pa.Table) -> pa.Table:
+        from ..ops.normalize import sloppy_cp1252_decode
+
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
         orig, out = [], []
@@ -2789,7 +2791,10 @@ def q_mojibake_docs(sf_dir: str):
             if i % 7 == 0:
                 s = "résumé — " + s
                 orig.append(s)
-                s = s.encode("utf-8").decode("cp1252")
+                # latin-1 fallback for cp1252-unmapped bytes, so the
+                # plant works on arbitrary text (not only byte
+                # streams cp1252 happens to decode)
+                s = sloppy_cp1252_decode(s.encode("utf-8"))
             else:
                 orig.append(s)
             out.append(s)

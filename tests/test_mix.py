@@ -130,3 +130,21 @@ def test_shuffle_by_hash_keeps_hash_when_asked(ray_session):
         {"doc_id": pa.array([1, 2, 3], type=pa.int64())}))
     rows = shuffle_by_hash(ds, "doc_id", keep_hash=True).take_all()
     assert all(len(r["__shuffle_md5"]) == 32 for r in rows)
+
+
+def test_plan_weights_tiny_nonzero_raises():
+    with pytest.raises(ValueError, match="granularity"):
+        plan_weights({"big": 1.0, "tiny": 0.001})
+
+
+def test_plan_weights_rounds_half_up():
+    # 1/512 * 256 = 0.5 -> half-up to 1 (banker's round would give 0)
+    assert plan_weights({"a": 1 / 512}) == {"a": (0, 1)}
+
+
+def test_expand_empty_batch():
+    fn = _expand_fn("s", 2, 102, "doc_id", "mix_source", "epoch")
+    out = fn(_table([]))
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "payload", "mix_source",
+                                "epoch"]

@@ -71,13 +71,9 @@ def test_sloppy_encode_latin1_fallback():
 
 def _corrupt(s: str) -> str:
     """UTF-8 bytes mis-read as cp1252 (latin-1 for unmapped bytes)."""
-    out = []
-    for b in s.encode("utf-8"):
-        try:
-            out.append(bytes([b]).decode("cp1252"))
-        except UnicodeDecodeError:
-            out.append(chr(b))
-    return "".join(out)
+    from cow_ray.ops.normalize import sloppy_cp1252_decode
+
+    return sloppy_cp1252_decode(s.encode("utf-8"))
 
 
 def test_repair_single_and_double_mojibake():
@@ -87,6 +83,15 @@ def test_repair_single_and_double_mojibake():
     bad2 = _corrupt(bad1)
     assert _repair_one(bad1) == (good, 1)
     assert _repair_one(bad2) == (good, 2)
+
+
+def test_repair_covers_marker_breadth():
+    # cp1252 0x80-0x9F remap continuations (euro, trademark, curly
+    # quote) and 2-byte leads beyond Ã (Cyrillic, Greek, CEE)
+    for good in ("€100 fee", "Acme™ corp", "Привет мир", "καλημέρα",
+                 "Dvořák čapek", "emoji 🙂 end"):
+        bad = _corrupt(good)
+        assert _repair_one(bad) == (good, 1), good
 
 
 def test_repair_leaves_legit_text_alone():
