@@ -16,11 +16,17 @@ is a corpus-scale operator rather than a file-ingest fixup).
   with DuckDB ``regexp_replace … 'g'``);
 * ASCII-whitespace collapse to single spaces + edge trim (``\\s+`` is
   the byte-oriented RE2 class in BOTH engines; after collapse every
-  edge run is exactly one ``' '``, so a plain space trim matches
+  edge run is exactly one ``' '``; the trim strips exactly that
+  ASCII space — mirrored by ``trim(x, ' ')`` in SQL (DuckDB's BARE
+  ``trim()`` strips unicode spaces like NBSP, a divergence the
+  parity fuzz test caught), matching
   DuckDB ``trim``).
 
-Order is fixed (NFC → strip → collapse → trim) and mirrored verbatim
-in the SQL oracle.
+Order is fixed (strip → NFC → collapse → trim) and mirrored verbatim
+in the SQL oracle.  Strip precedes NFC deliberately: a control char
+inside a combining sequence no longer blocks composition, and NUL
+never reaches DuckDB's ``nfc_normalize`` (which C-truncates at NUL
+whenever it performs real normalization work).
 
 ``fix_mojibake`` repairs UTF-8 bytes mis-decoded as cp1252/latin-1
 (``é`` → ``Ã©``, ``’`` → ``â€™``) — ftfy's core case (Speer 2019,
@@ -79,16 +85,22 @@ def normalize_batch(
     arr = batch[text_col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    out = pl.from_arrow(arr).str.normalize(form).to_arrow().cast(
-        pa.string())
+    out = arr
+    # controls FIRST: a stray control no longer blocks recombination
+    # of a split combining sequence, and NUL never reaches DuckDB's
+    # nfc_normalize, which C-truncates at NUL when it has real work
+    # to do (caught by the parity fuzz test)
     if strip_controls:
         out = pc.replace_substring_regex(out, pattern=CONTROL_RE,
                                          replacement="")
+    out = pl.from_arrow(out).str.normalize(form).to_arrow().cast(
+        pa.string())
     if collapse_ws:
         out = pc.replace_substring_regex(out, pattern="\\s+",
                                          replacement=" ")
         # after collapse every edge whitespace run is exactly ' ' —
-        # plain space trim keeps parity with DuckDB trim()
+        # ASCII-space trim only — SQL mirror must be trim(x, ' ')
+        # (DuckDB's bare trim() strips unicode spaces like NBSP)
         out = pc.utf8_trim(out, characters=" ")
     return batch.append_column(out_col, out)
 

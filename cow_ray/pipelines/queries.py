@@ -2760,13 +2760,17 @@ def q_normalized_docs(sf_dir: str):
 
 SQL_NORMALIZED_DOCS = r"""
 SELECT doc_id,
-       trim(regexp_replace(regexp_replace(
-            nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(7)
-                          || '  ok '),
-            '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
-          '\s+', ' ', 'g')) AS norm_text
+       trim(regexp_replace(nfc_normalize(regexp_replace(
+            text || ' cafe' || chr(769) || ' ' || chr(7) || '  ok ',
+            '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+          '\s+', ' ', 'g'), ' ') AS norm_text
   FROM documents
 """
+# Two parity subtleties, both caught by the fuzz test: strip BEFORE
+# nfc_normalize (DuckDB's C-truncates at NUL when normalizing), and
+# the explicit ' ' charset on trim (bare trim() strips UNICODE spaces
+# like NBSP while the engine trims exactly the collapse's ASCII
+# space).
 
 
 def q_mojibake_docs(sf_dir: str):

@@ -35,9 +35,10 @@ NASTY = [
 def _oracle(texts):
     con = duckdb.connect()
     con.register("d", pa.table({"i": range(len(texts)), "text": texts}))
-    sql = r"""SELECT trim(regexp_replace(regexp_replace(
-      nfc_normalize(text), '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
-      '\s+', ' ', 'g')) AS t FROM d ORDER BY i"""
+    sql = r"""SELECT trim(regexp_replace(nfc_normalize(
+      regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '',
+                     'g')), '\s+', ' ', 'g'), ' ') AS t
+      FROM d ORDER BY i"""
     return [r[0] for r in con.sql(sql).fetchall()]
 
 
@@ -142,3 +143,28 @@ def test_mojibake_query_invariants(ray_session):
     assert all(r["mojibake_fixed"] and r["recovered"] for r in planted)
     assert all(not r["mojibake_fixed"] and r["recovered"]
                for r in clean)
+
+
+def test_normalize_parity_fuzz():
+    """Randomized cross-engine parity: the Arrow normalize chain must
+    equal the DuckDB nfc_normalize + regexp_replace chain on
+    adversarial unicode (combining marks, controls, whitespace runs,
+    astral chars)."""
+    from hypothesis import given, settings, strategies as st
+
+    piece = st.sampled_from(
+        ["a", " ", "  ", "\t", "\n", "\x07", "\x00", "é",
+         "é", "Å", "Å", "한", "🙂", " ", "ﬁ", "'",
+         "‍", "ß", "—", "\x7f", "\x1f"])
+    texts_st = st.lists(
+        st.lists(piece, min_size=0, max_size=12).map("".join),
+        min_size=1, max_size=24)
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts_st)
+    def run(texts):
+        got = normalize_batch(
+            pa.table({"text": texts}))["norm_text"].to_pylist()
+        assert got == _oracle(texts)
+
+    run()
