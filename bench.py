@@ -148,7 +148,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "sketch_quantiles_docs",
         "curate_docs", "scrub_docs", "chunk_docs", "decontam_docs",
         "packed_docs",
-        "dedup_exact_docs", "dedup_minhash_docs", "dedup_simhash_docs",
+        "dedup_exact_docs", "dedup_lines_docs", "dedup_minhash_docs",
+        "dedup_simhash_docs",
         "dedup_simhash_pairs", "doc_dup_spans", "despanned_docs",
         "exact_dup_spans_docs",
         "neardup_verified_docs", "containment_docs",

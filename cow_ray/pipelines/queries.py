@@ -2893,6 +2893,77 @@ SELECT doc_id, corpus AS mix_source, epoch
 """
 
 
+# ----------------------------------------------------------- line dedup
+
+
+def _synth_multiline(batch: pa.Table) -> pa.Table:
+    """Deterministic multi-line fixture: a boilerplate header on every
+    doc (corpus count 500 → dropped), the doc's own text (dropped only
+    where the corpus genuinely repeats it ≥3×), a promo line on every
+    3rd doc (→ dropped), and a low-frequency signature line (2 docs
+    each → kept).  The SQL oracle builds the identical string."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    promo = np.where(ids % 3 == 0, "promo subscribe now\n", "")
+    sig = np.char.add("sig ", (ids % 250).astype("U8"))
+    return batch.set_column(
+        batch.schema.get_field_index("text"), "text",
+        pc.binary_join_element_wise(
+            "the header boilerplate\n",
+            pc.cast(batch["text"], pa.string()), "\n",
+            pa.array(promo, type=pa.string()),
+            pa.array(sig, type=pa.string()), ""))
+
+
+def q_dedup_lines_docs(sf_dir: str):
+    """Corpus-level exact line dedup (ops/lines.py — the C4/Dolma
+    boilerplate-removal recipe): census of non-blank lines occurring
+    ≥3× corpus-wide, broadcast the offending hash set once, rebuild
+    every document from its surviving lines in one scan.  Hash-exact
+    vs the SQL oracle (which counts literal line strings — a u64
+    line-hash collision would surface here as a mismatch)."""
+    from ..ops.lines import dedup_lines
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_synth_multiline, batch_format="pyarrow")
+    return dedup_lines(ds, min_count=3, num_parts=8).select_columns(
+        ["doc_id", "clean_text", "n_lines_removed"])
+
+
+SQL_DEDUP_LINES_DOCS = """
+WITH synth AS (
+  SELECT doc_id,
+         'the header boilerplate' || chr(10) || text || chr(10)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN 'promo subscribe now' || chr(10) ELSE '' END
+         || 'sig ' || CAST(doc_id % 250 AS VARCHAR) AS text
+    FROM documents),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(len(string_split(text, chr(10))))) AS idx
+    FROM synth),
+bad AS (
+  SELECT line FROM l WHERE trim(line) <> ''
+   GROUP BY line HAVING count(*) >= 3),
+kept AS (
+  SELECT doc_id, line, idx FROM l
+   WHERE trim(line) = '' OR line NOT IN (SELECT line FROM bad)),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx)
+           AS clean_text,
+         count(*) AS n_kept
+    FROM kept GROUP BY doc_id),
+tot AS (
+  SELECT doc_id, len(string_split(text, chr(10))) AS n_lines
+    FROM synth)
+SELECT s.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT)
+         AS n_lines_removed
+  FROM synth s JOIN tot t USING (doc_id)
+  LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ------------------------------------------------------ global shuffle
 
 
@@ -3075,6 +3146,7 @@ EXTRA_QUERIES = {
     "mixture_docs": q_mixture_docs,
     "nb_quality_docs": q_nb_quality_docs,
     "shuffled_head_docs": q_shuffled_head_docs,
+    "dedup_lines_docs": q_dedup_lines_docs,
     "kg_mentions": q_kg_mentions,
     "kg_mention_triples": q_kg_mention_triples,
     "langid_docs": q_langid_docs,
@@ -3150,4 +3222,5 @@ ORACLES = {
     "mixture_docs": SQL_MIXTURE_DOCS,
     "nb_quality_docs": SQL_NB_QUALITY_DOCS,
     "shuffled_head_docs": SQL_SHUFFLED_HEAD_DOCS,
+    "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
 }
