@@ -147,6 +147,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "mojibake_docs", "doc_len_quantiles",
         "sketch_quantiles_docs",
         "curate_docs", "scrub_docs", "chunk_docs", "decontam_docs",
+        "decontam_doc_exact",
         "packed_docs",
         "dedup_exact_docs", "dedup_lines_docs", "dedup_minhash_docs",
         "dedup_simhash_docs",

@@ -2893,6 +2893,37 @@ SELECT doc_id, corpus AS mix_source, epoch
 """
 
 
+# ----------------------------------------------------- cross-corpus dedup
+
+
+def q_decontam_doc_exact(sf_dir: str):
+    """Doc-level cross-corpus dedup (ops/crossdedup.py dedup_against):
+    every 5th document plays the benchmark set; training docs whose
+    EXACT text appears there are dropped (including non-benchmark
+    docs that merely share a benchmark doc's text — the corpus has
+    real exact dups, so this is a genuine membership test, not an id
+    filter).  Hash-exact vs the SQL anti-membership oracle on md5."""
+    from ..ops.crossdedup import dedup_against
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 5 == 0))
+
+    ref = _read(sf_dir, "documents",
+                columns=["doc_id", "text"]).map_batches(
+        bench_only, batch_format="pyarrow")
+    return dedup_against(docs, ref).select_columns(["doc_id"])
+
+
+SQL_DECONTAM_DOC_EXACT = """
+SELECT doc_id FROM documents
+ WHERE md5(text) NOT IN
+       (SELECT md5(text) FROM documents WHERE doc_id % 5 = 0)
+"""
+
+
 # ----------------------------------------------------------- line dedup
 
 
@@ -3147,6 +3178,7 @@ EXTRA_QUERIES = {
     "nb_quality_docs": q_nb_quality_docs,
     "shuffled_head_docs": q_shuffled_head_docs,
     "dedup_lines_docs": q_dedup_lines_docs,
+    "decontam_doc_exact": q_decontam_doc_exact,
     "kg_mentions": q_kg_mentions,
     "kg_mention_triples": q_kg_mention_triples,
     "langid_docs": q_langid_docs,
@@ -3223,4 +3255,5 @@ ORACLES = {
     "nb_quality_docs": SQL_NB_QUALITY_DOCS,
     "shuffled_head_docs": SQL_SHUFFLED_HEAD_DOCS,
     "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
+    "decontam_doc_exact": SQL_DECONTAM_DOC_EXACT,
 }
