@@ -297,3 +297,233 @@ def nll_scores(ds, lm, text_col: str = "text", id_col: str = "doc_id"):
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+# ------------------------------------------------- bigram stupid backoff
+
+
+#: micro-quantized ln(0.4) — the Stupid Backoff discount (Brants et
+#: al., EMNLP 2007 §4: S(w2|w1) = c(w1 w2)/c(w1) if seen, else
+#: α·S(w2), α = 0.4; "stupid" because it forgoes normalization for
+#: web-scale trainability — exactly this engine's use case).
+_ALPHA_MICRO = int(np.floor(np.log(0.4) * 1e6 + 0.5))
+
+_BI_MISS = np.int64(np.iinfo(np.int64).min)
+
+
+def _bigram_keys(flat, lens: np.ndarray):
+    """Within-document adjacent-token pair keys ``"w1 w2"`` (tokens
+    are ``[a-z0-9']+`` so the space separator is unambiguous and the
+    SQL mirror is ``w1 || ' ' || w2``).  Returns (keys, rest_idx):
+    ``rest_idx[i]`` is the flat index of key i's SECOND token."""
+    import pyarrow.compute as _pc
+
+    total = len(flat)
+    lens = np.asarray(lens, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    first = np.zeros(total, dtype=bool)
+    nz = lens > 0
+    first[starts[nz]] = True
+    rest_idx = np.nonzero(~first)[0]
+    if len(rest_idx) == 0:
+        return pa.array([], type=pa.large_string()), rest_idx
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    w1 = flat.take(pa.array(rest_idx - 1))
+    w2 = flat.take(pa.array(rest_idx))
+    return _pc.binary_join_element_wise(
+        w1.cast(pa.large_string()), w2.cast(pa.large_string()),
+        pa.scalar(" ", pa.large_string())
+    ), rest_idx
+
+
+def train_bigram_lm(ds, text_col: str = "text",
+                    vocab_size: int = 4096, bigram_size: int = 16384,
+                    num_parts: int = 32) -> dict:
+    """Stupid-Backoff bigram model in ONE corpus scan + ONE
+    string-keyed exchange: per-batch partials emit unigram tokens and
+    ``"w1 w2"`` bigram keys into the SAME exchange (token strings
+    never contain spaces, so the two keyspaces are disjoint);
+    partitions are key-disjoint, making per-partition top-V/top-B
+    exact, and the driver merges ≤ ``parts × (V + B)`` rows.
+
+    Quantization contract (the ``doc_nll`` pattern): unigram
+    ``m = floor(ln(c/total)·1e6 + 0.5)``; a bigram is scoreable iff it
+    is in the global top-``bigram_size`` (count desc, key asc ties)
+    AND its ``w1`` made the unigram top-``vocab_size`` — then
+    ``m_bi = floor(ln(c_bi/c_w1)·1e6 + 0.5)``; everything else backs
+    off to ``α + unigram`` in exact integer micros."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.canonicalize import hash_mod
+
+        flat, lens = _tokenize(batch, text_col)
+        empty = pa.table({"key": pa.array([], type=pa.large_string()),
+                          "c": pa.array([], type=pa.int64()),
+                          "kind": pa.array([], type=pa.int8()),
+                          "__part": pa.array([], type=pa.int32())})
+        if len(flat) == 0:
+            return empty
+        bkeys, _ = _bigram_keys(flat, lens)
+        tabs = []
+        for kind, keys in ((0, flat), (1, bkeys)):
+            if len(keys) == 0:
+                continue
+            t = (pa.table({"key": keys})
+                 .group_by(["key"], use_threads=False)
+                 .aggregate([([], "count_all")])
+                 .rename_columns(["key", "c"]))
+            tabs.append(pa.table({
+                "key": t["key"].cast(pa.large_string()),
+                "c": pc.cast(t["c"], pa.int64()),
+                "kind": pa.array(
+                    np.full(t.num_rows, kind, dtype=np.int8)),
+            }))
+        if not tabs:
+            return empty
+        out = pa.concat_tables(tabs)
+        return out.append_column("__part", hash_mod(out["key"], num_parts))
+
+    def per_part(group: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], type=pa.large_string()),
+                          "c": pa.array([], type=pa.int64()),
+                          "kind": pa.array([], type=pa.int8())})
+        if group.num_rows == 0:
+            return empty
+        agg = (group.select(["key", "kind", "c"])
+               .group_by(["key", "kind"], use_threads=False)
+               .aggregate([("c", "sum")])
+               .rename_columns(["key", "kind", "c"]))
+        outs = []
+        for kind, cap in ((0, vocab_size), (1, bigram_size)):
+            sub = agg.filter(pc.equal(agg["kind"], kind))
+            if sub.num_rows == 0:
+                continue
+            top = (sub.sort_by([("c", "descending"), ("key", "ascending")])
+                   .slice(0, cap))
+            outs.append(top.select(["key", "c", "kind"]))
+            if kind == 0:
+                total = int(pc.sum(sub["c"]).as_py() or 0)
+                outs.append(pa.table({
+                    "key": pa.array([_TOTAL_KEY], pa.large_string()),
+                    "c": pa.array([total], pa.int64()),
+                    "kind": pa.array([0], pa.int8())}))
+        return (pa.concat_tables(outs).combine_chunks() if outs
+                else empty)
+
+    parts = (ds.select_columns([text_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("__part")
+             .map_groups(per_part, batch_format="pyarrow"))
+
+    uni_k: list = []
+    uni_c: list = []
+    bi_k: list = []
+    bi_c: list = []
+    total = 0
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for k, c, kd in zip(b["key"].to_pylist(), b["c"].to_pylist(),
+                            b["kind"].to_pylist()):
+            if kd == 0:
+                if k == _TOTAL_KEY:
+                    total += c
+                else:
+                    uni_k.append(k)
+                    uni_c.append(c)
+            else:
+                bi_k.append(k)
+                bi_c.append(c)
+
+    out = {"hash": np.empty(0, dtype=np.uint64),
+           "logp_micro": np.empty(0, dtype=np.int64),
+           "unk_micro": 0,
+           "bi_hash": np.empty(0, dtype=np.uint64),
+           "bi_micro": np.empty(0, dtype=np.int64),
+           "alpha_micro": _ALPHA_MICRO,
+           "total": int(total), "vocab": 0, "bigrams": 0}
+    if total == 0:
+        return out
+
+    uni_c_a = np.asarray(uni_c, dtype=np.int64)
+    order = np.lexsort((np.asarray(uni_k, dtype=object), -uni_c_a))
+    order = order[:vocab_size]
+    vocab_tok = [uni_k[i] for i in order]
+    vocab_cnt = uni_c_a[order]
+    m_uni = np.floor(
+        np.log(vocab_cnt / total) * 1e6 + 0.5).astype(np.int64)
+    h = _hash64(pa.array(vocab_tok, type=pa.large_string()))
+    s = np.argsort(h, kind="stable")
+    out["hash"], out["logp_micro"] = h[s], m_uni[s]
+    out["unk_micro"] = int(np.floor(np.log(0.5 / total) * 1e6 + 0.5))
+    out["vocab"] = len(vocab_tok)
+    w1_count = dict(zip(vocab_tok, vocab_cnt.tolist()))
+
+    if bi_k:
+        bi_c_a = np.asarray(bi_c, dtype=np.int64)
+        order = np.lexsort((np.asarray(bi_k, dtype=object), -bi_c_a))
+        order = order[:bigram_size]
+        keys, ms = [], []
+        for i in order:
+            k = bi_k[i]
+            cw1 = w1_count.get(k.split(" ", 1)[0])
+            if cw1 is None:  # w1 fell out of the unigram vocab
+                continue
+            keys.append(k)
+            ms.append(int(np.floor(
+                np.log(bi_c_a[i] / cw1) * 1e6 + 0.5)))
+        if keys:
+            h = _hash64(pa.array(keys, type=pa.large_string()))
+            ms = np.asarray(ms, dtype=np.int64)
+            s = np.argsort(h, kind="stable")
+            out["bi_hash"], out["bi_micro"] = h[s], ms[s]
+            out["bigrams"] = len(keys)
+    return out
+
+
+def bigram_nll_scores(ds, lm, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Per-document Stupid-Backoff NLL in exact integer nanos, one
+    broadcast-lookup scan (``lm`` from :func:`train_bigram_lm`,
+    optionally a ``ray.ObjectRef``).  Cost model: each document's
+    first token pays its unigram micro-cost; every later token pays
+    the bigram micro-cost when its ``(w1, w2)`` is in the model, else
+    ``α + unigram(w2)`` — all integers, order-free sums.  Output
+    ``(id_col, n_tokens, nll2_n9)``."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        tab = lm
+        try:
+            import ray
+
+            if isinstance(tab, ray.ObjectRef):
+                tab = ray.get(tab)
+        except ImportError:  # pragma: no cover
+            pass
+        flat, lens = _tokenize(batch, text_col)
+        n = batch.num_rows
+        lens = np.asarray(lens, dtype=np.int64)
+        if len(flat) == 0:
+            return pa.table({
+                id_col: batch[id_col],
+                "n_tokens": pa.array(np.zeros(n, dtype=np.int64)),
+                "nll2_n9": pa.array(np.zeros(n, dtype=np.int64))})
+        m_uni = _broadcast_lookup(_hash64(flat), tab["hash"],
+                                  tab["logp_micro"], tab["unk_micro"])
+        bkeys, rest_idx = _bigram_keys(flat, lens)
+        cost = np.empty(len(flat), dtype=np.int64)
+        cost[:] = -m_uni * 1000  # first-of-doc positions keep this
+        if len(rest_idx):
+            m_bi = _broadcast_lookup(
+                _hash64(bkeys), tab["bi_hash"], tab["bi_micro"],
+                _BI_MISS)
+            backoff = -(m_uni[rest_idx] + tab["alpha_micro"]) * 1000
+            cost[rest_idx] = np.where(
+                m_bi != _BI_MISS, -m_bi * 1000, backoff)
+        sums = _segment_sum(cost, lens, n, np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(lens),
+            "nll2_n9": pa.array(sums.astype(np.int64))})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
