@@ -2924,6 +2924,247 @@ SELECT doc_id FROM documents
 """
 
 
+# --------------------------------------------------- bigram backoff LM
+
+
+def q_doc_bigram_nll(sf_dir: str):
+    """Per-doc Stupid-Backoff bigram NLL in exact integer nanos
+    (ops/lm.py train_bigram_lm/bigram_nll_scores — Brants et al. 2007
+    semantics; the KenLM-shaped upgrade of the hash-oracled unigram
+    ``doc_nll``).  Training is ONE corpus scan + ONE string-keyed
+    exchange (unigram tokens and ``"w1 w2"`` bigram keys share the
+    disjoint keyspace); scoring is one broadcast-lookup scan.  The SQL
+    oracle re-derives both truncated vocabularies with the identical
+    (count desc, key asc) tie contract, so any drift in counting,
+    truncation, backoff routing, or quantization breaks the hash."""
+    import ray
+
+    from ..ops.lm import bigram_nll_scores, train_bigram_lm
+
+    docs = _docs(sf_dir, blocks=8)
+    lm = train_bigram_lm(docs, vocab_size=4096, bigram_size=8192)
+    return bigram_nll_scores(docs, ray.put(lm))
+
+
+SQL_DOC_BIGRAM_NLL = """
+WITH raw AS (
+  SELECT d.doc_id,
+         unnest(string_split_regex(lower(d.text), '[^a-z0-9'']+'))
+           AS token,
+         generate_subscripts(
+           string_split_regex(lower(d.text), '[^a-z0-9'']+'), 1)
+           AS pos
+    FROM documents d
+), toks AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+    FROM raw WHERE token <> ''
+),
+tot AS (SELECT count(*) AS n FROM toks),
+counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+vocab AS (SELECT token, c FROM counts
+           ORDER BY c DESC, token LIMIT 4096),
+lp AS (SELECT v.token, v.c,
+              CAST(floor(ln(v.c / t.n::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                AS m
+         FROM vocab v CROSS JOIN tot t),
+unk AS (SELECT CAST(floor(ln(0.5 / t.n::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                 AS m
+          FROM tot t),
+alpha AS (SELECT CAST(floor(ln(0.4) * 1e6 + 0.5) AS BIGINT) AS m),
+big AS (
+  SELECT a.token AS w1, b.token AS w2, count(*) AS c
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id AND b.p = a.p + 1
+   GROUP BY 1, 2
+), bigtop AS (
+  SELECT w1, w2, c FROM big
+   ORDER BY c DESC, w1 || ' ' || w2 LIMIT 8192
+), bm AS (
+  SELECT bt.w1, bt.w2,
+         CAST(floor(ln(bt.c / v.c::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           AS m
+    FROM bigtop bt JOIN lp v ON v.token = bt.w1
+), scored AS (
+  SELECT t.doc_id,
+         CASE WHEN t.p = 1
+                THEN -COALESCE(u.m, (SELECT m FROM unk)) * 1000
+              WHEN b.m IS NOT NULL THEN -b.m * 1000
+              ELSE -(COALESCE(u.m, (SELECT m FROM unk))
+                     + (SELECT m FROM alpha)) * 1000
+         END AS cost
+    FROM toks t
+    LEFT JOIN toks prev
+      ON prev.doc_id = t.doc_id AND prev.p = t.p - 1
+    LEFT JOIN lp u ON u.token = t.token
+    LEFT JOIN bm b ON b.w1 = prev.token AND b.w2 = t.token
+), per AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(cost) AS nll2_n9
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.nll2_n9, 0) AS BIGINT) AS nll2_n9
+  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
+# ------------------------------------------------------ keep-best dedup
+
+
+def q_dedup_keep_best_docs(sf_dir: str):
+    """Quality-aware near-dup collapse (ops/keepbest.py): connected
+    components over the embedding near-dup pair graph, then keep the
+    member with the BEST quality score per component (proxy score:
+    the embedding ``label`` column; tie → smallest id) plus every
+    unpaired row.  Hash-exact vs a recursive-CTE + window-function
+    oracle — the kept-id set only matches if the distributed
+    components AND the per-component argmax both agree with SQL."""
+    from ..ops.keepbest import keep_best
+    from ..ops.similarity import cosine_near_dup_pairs
+
+    emb = _read(sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.45) \
+        .select_columns(["id_a", "id_b"])
+    scored = _read(sf_dir, "embeddings", columns=["vec_id", "label"])
+    out = keep_best(scored, pairs, id_col="vec_id", score_col="label",
+                    higher_better=True)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["keep"])
+        return pa.table({"vec_id": t["vec_id"]})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_DEDUP_KEEP_BEST = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a, embeddings b
+   WHERE a.vec_id < b.vec_id
+     AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS component
+    FROM walk GROUP BY a
+), scored AS (
+  SELECT c.component, c.node, e.label
+    FROM comp c JOIN embeddings e ON e.vec_id = c.node
+), winners AS (
+  SELECT component, node FROM (
+    SELECT component, node,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY label DESC, node ASC) AS rn
+      FROM scored) t
+   WHERE rn = 1
+)
+SELECT e.vec_id FROM embeddings e
+ WHERE e.vec_id NOT IN (SELECT node FROM scored)
+    OR e.vec_id IN (SELECT node FROM winners)
+"""
+
+
+# ---------------------------------------------------------- WARC source
+
+
+_WARC_URL_PREFIX = "https://example.org/doc/"
+
+
+def ensure_warc_shards(sf_dir: str) -> list[str]:
+    """Deterministic WARC crawl fixture derived from the documents
+    table, cached under /tmp keyed by the source file's stat (the
+    ``ensure_doc_store`` pattern): four ``.warc.gz`` shards of
+    per-record gzip members — the Common-Crawl layout — holding one
+    ``response`` record per document (HTTP-wrapped UTF-8 body) with
+    interleaved ``request`` noise records so the reader's type filter
+    does real work.  Fixture generation is driver-side and excluded
+    from the query's semantics (like bench.py's ``ensure_pages``)."""
+    import hashlib as _h
+
+    from ..sources.warc import format_warc_record, write_warc
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    tag = _h.md5(key.encode()).hexdigest()[:10]
+    out = f"/tmp/cow_ray_warc_fixture_v1_{tag}"
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        import shutil as _sh
+
+        build = f"{out}.build-{os.getpid()}"
+        _sh.rmtree(build, ignore_errors=True)
+        os.makedirs(build)
+        tbl = pq.read_table(src, columns=["doc_id", "text"]) \
+            .sort_by("doc_id")
+        ids = tbl["doc_id"].to_pylist()
+        texts = tbl["text"].to_pylist()
+        n_shards = 4
+        cuts = np.linspace(0, len(ids), n_shards + 1, dtype=np.int64)
+        for s in range(n_shards):
+            recs = []
+            for i in range(int(cuts[s]), int(cuts[s + 1])):
+                url = f"{_WARC_URL_PREFIX}{ids[i]}"
+                recs.append(format_warc_record(
+                    url, texts[i].encode("utf-8"),
+                    date=f"2026-01-01T00:00:{ids[i] % 60:02d}Z",
+                    mime="text/plain"))
+                if ids[i] % 7 == 0:  # crawl-shard noise
+                    recs.append(format_warc_record(
+                        url, b"GET / HTTP/1.1\r\n\r\n",
+                        warc_type="request"))
+            write_warc(os.path.join(build, f"shard-{s:02d}.warc.gz"),
+                       recs)
+        with open(os.path.join(build, "_SUCCESS"), "w"):
+            pass
+        try:
+            os.rename(build, out)
+        except OSError:
+            _sh.rmtree(build, ignore_errors=True)
+    return sorted(
+        os.path.join(out, f) for f in os.listdir(out)
+        if f.endswith(".warc.gz"))
+
+
+def q_warc_pages(sf_dir: str):
+    """Raw-crawl ingestion (sources/warc.py): read the WARC fixture
+    shards — per-record gzip members, interleaved request noise —
+    unwrap the HTTP payloads, and project each response back to
+    ``(doc_id, text, n_bytes)``.  Hash-exact vs the documents table
+    itself: the oracle is the identity SELECT, so any parse slip
+    (boundary, type filter, HTTP split, UTF-8) breaks the hash."""
+    from ..sources.warc import read_warc_pages
+
+    ds = read_warc_pages(ensure_warc_shards(sf_dir))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        url = pc.cast(batch["url"], pa.string())
+        doc_id = pc.cast(
+            pc.utf8_slice_codeunits(url, len(_WARC_URL_PREFIX), 1 << 30),
+            pa.int64())
+        html = batch["html"]
+        return pa.table({
+            "doc_id": doc_id,
+            "text": pc.cast(html, pa.string()),
+            "n_bytes": pc.cast(pc.binary_length(html), pa.int64()),
+        })
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_WARC_PAGES = """
+SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+  FROM documents
+"""
+
+
 # ----------------------------------------------------------- line dedup
 
 
@@ -3170,6 +3411,9 @@ QUERIES = {
 # ann_{lsh,ivf,ivf_pq}_topk -> ann_topk (oracled brute-force) +
 # recall-floor tests; multimodal_audio -> multimodal_decode.
 EXTRA_QUERIES = {
+    "warc_pages": q_warc_pages,
+    "dedup_keep_best_docs": q_dedup_keep_best_docs,
+    "doc_bigram_nll": q_doc_bigram_nll,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -3256,4 +3500,7 @@ ORACLES = {
     "shuffled_head_docs": SQL_SHUFFLED_HEAD_DOCS,
     "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
     "decontam_doc_exact": SQL_DECONTAM_DOC_EXACT,
+    "warc_pages": SQL_WARC_PAGES,
+    "dedup_keep_best_docs": SQL_DEDUP_KEEP_BEST,
+    "doc_bigram_nll": SQL_DOC_BIGRAM_NLL,
 }
