@@ -2924,6 +2924,52 @@ SELECT doc_id FROM documents
 """
 
 
+# --------------------------------------------------- triangle counting
+
+
+def q_graph_triangles(sf_dir: str):
+    """Exact triangle count (ops/graph.py count_triangles — Suri &
+    Vassilvitskii WWW'11 degree-ordered wedges) of the same synthetic
+    doc-link graph PageRank uses, taken as undirected.  Orientation
+    affects cost only, never the count, so the plain u<v self-join
+    oracle must agree exactly."""
+    import ray.data
+
+    from ..ops.graph import count_triangles
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    n = ds.count()
+
+    def mk_edges(batch):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = np.repeat(ids, 3)
+        j = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        return pa.table({"id_a": pa.array(src, type=pa.int64()),
+                         "id_b": pa.array((7 * src + 13 * j) % n,
+                                          type=pa.int64())})
+
+    t = count_triangles(
+        ds.map_batches(mk_edges, batch_format="pyarrow"))
+    return ray.data.from_arrow(
+        pa.table({"triangles": pa.array([t], pa.int64())}))
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT d.doc_id AS src, (7 * d.doc_id + 13 * j.j) % nn.n AS dst
+    FROM documents d CROSS JOIN (VALUES (1), (2), (3)) AS j(j)
+    CROSS JOIN nn),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM raw WHERE src <> dst)
+SELECT CAST(count(*) AS BIGINT) AS triangles
+  FROM e a
+  JOIN e b ON b.u = a.u AND b.v > a.v
+  JOIN e c ON c.u = a.v AND c.v = b.v
+"""
+
+
 # --------------------------------------------------- bigram backoff LM
 
 
@@ -3414,6 +3460,7 @@ EXTRA_QUERIES = {
     "warc_pages": q_warc_pages,
     "dedup_keep_best_docs": q_dedup_keep_best_docs,
     "doc_bigram_nll": q_doc_bigram_nll,
+    "graph_triangles": q_graph_triangles,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -3503,4 +3550,5 @@ ORACLES = {
     "warc_pages": SQL_WARC_PAGES,
     "dedup_keep_best_docs": SQL_DEDUP_KEEP_BEST,
     "doc_bigram_nll": SQL_DOC_BIGRAM_NLL,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
 }
