@@ -126,3 +126,70 @@ def domain_stats(ds, url_col: str = "url", chars_col: str | None = None):
         [Sum("sum_chars", alias_name="sum_chars")]
         if chars_col is not None else [])
     return g.aggregate(*aggs)
+
+
+DOMAIN_LIST_MAX = 50_000_000
+
+
+def filter_by_domain(ds, blocked_domains, url_col: str = "url",
+                     mode: str = "block", keep_unparsed: bool = False):
+    """Domain blocklist/allowlist filter — stage one of every
+    published web-curation recipe (C4 drops bad-word domains,
+    RefinedWeb applies the UT1 blocklists, Gopher/Dolma both gate on
+    domain before any content work).
+
+    ``blocked_domains`` is an iterable of registered domains (as
+    produced by :func:`parse_batch`'s ``domain`` column), a
+    ``ray.ObjectRef`` to one, or an Arrow array; ``mode="block"``
+    drops members, ``mode="allow"`` keeps only members.  Scale shape:
+    the list broadcasts ONCE (``ray.put`` upstream or closure here —
+    real blocklists are a few million domains, guarded by
+    ``DOMAIN_LIST_MAX``); each batch does one vectorized RE2 parse +
+    one Arrow ``is_in`` hash probe.  The corpus never shuffles.
+
+    Unparsed rows (null domain) are dropped unless ``keep_unparsed``
+    — in allow mode they can never match the list, and in block mode
+    an unparseable URL is itself a quality signal."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be block|allow, got {mode!r}")
+
+    def prep(doms) -> pa.Array:
+        if isinstance(doms, pa.Array):
+            arr = doms
+        elif isinstance(doms, pa.ChunkedArray):
+            arr = doms.combine_chunks()
+        else:
+            arr = pa.array(list(doms), type=pa.string())
+        if len(arr) > DOMAIN_LIST_MAX:
+            raise ValueError(
+                f"domain list has {len(arr)} entries > DOMAIN_LIST_MAX="
+                f"{DOMAIN_LIST_MAX}; shard the filter or raise the cap")
+        return arr
+
+    is_ref = type(blocked_domains).__name__ == "ObjectRef"
+    if not is_ref:
+        # validate + convert once on the driver; the Arrow array rides
+        # the task closure (Ray serializes it once per worker)
+        blocked_domains = prep(blocked_domains)
+    memo: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doms = blocked_domains
+        if is_ref:
+            if "v" not in memo:
+                import ray
+
+                memo["v"] = prep(ray.get(doms))
+            doms = memo["v"]
+        value_set = doms
+        p = parse_batch(batch, url_col)
+        dom = p["domain"]
+        member = pc.fill_null(pc.is_in(dom, value_set=value_set), False)
+        keep = pc.invert(member) if mode == "block" else member
+        if keep_unparsed:
+            keep = pc.or_(keep, pc.is_null(dom))
+        elif mode == "block":
+            keep = pc.and_(keep, pc.invert(pc.is_null(dom)))
+        return batch.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

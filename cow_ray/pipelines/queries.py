@@ -2924,6 +2924,38 @@ SELECT doc_id FROM documents
 """
 
 
+# --------------------------------------------------- domain blocklist
+
+
+_BLOCKED_DOMAINS = ("example.net", "site3.org", "site5.org")
+
+
+def q_url_domain_filtered(sf_dir: str):
+    """Domain blocklist filter (ops/urls.py filter_by_domain — the
+    C4/RefinedWeb stage-1 gate): the messy-URL fixture filtered
+    against a three-domain blocklist via one broadcast + vectorized
+    ``is_in`` probe per batch; the corpus never shuffles.  Hash-exact
+    vs the SQL registered-domain NOT IN oracle."""
+    from ..ops.urls import filter_by_domain
+
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "n_chars"]).map_batches(
+        _synth_url_batch, batch_format="pyarrow")
+    out = filter_by_domain(ds, list(_BLOCKED_DOMAINS))
+    return out.select_columns(["doc_id", "url"])
+
+
+SQL_URL_DOMAIN_FILTERED = f"""
+WITH synth AS ({SQL_URL_SYNTH}),
+f AS ({SQL_URL_NORM_FIELDS})
+SELECT doc_id, url FROM f
+ WHERE host <> ''
+   AND regexp_extract(host,
+         '([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|gov\\.uk|com\\.au|co\\.jp)|[^.]+\\.[^.]+)$',
+         1) NOT IN {str(tuple(_BLOCKED_DOMAINS))}
+"""
+
+
 # --------------------------------------------------- triangle counting
 
 
@@ -3461,6 +3493,7 @@ EXTRA_QUERIES = {
     "dedup_keep_best_docs": q_dedup_keep_best_docs,
     "doc_bigram_nll": q_doc_bigram_nll,
     "graph_triangles": q_graph_triangles,
+    "url_domain_filtered": q_url_domain_filtered,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -3551,4 +3584,5 @@ ORACLES = {
     "dedup_keep_best_docs": SQL_DEDUP_KEEP_BEST,
     "doc_bigram_nll": SQL_DOC_BIGRAM_NLL,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "url_domain_filtered": SQL_URL_DOMAIN_FILTERED,
 }

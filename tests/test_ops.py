@@ -2439,3 +2439,64 @@ class TestContentAddressNullContract:
             hash_split(ds, "k").take_all()
         with pytest.raises(Exception, match="null"):
             stratified_sample(ds, ["g"], 1, "k").take_all()
+
+
+class TestFilterByDomain:
+    ROWS = [
+        {"doc_id": 0, "url": "https://WWW.Spam.COM/x"},
+        {"doc_id": 1, "url": "http://news.example.co.uk/a"},
+        {"doc_id": 2, "url": "https://blog.good.net/b?utm_source=f"},
+        {"doc_id": 3, "url": "not a url"},
+        {"doc_id": 4, "url": "http://spam.com:8080/y"},
+    ]
+
+    def run(self, mode, doms, keep_unparsed=False, as_ref=False):
+        import ray
+        import ray.data
+
+        from cow_ray.ops.urls import filter_by_domain
+
+        ds = ray.data.from_items(self.ROWS).repartition(2)
+        if as_ref:
+            doms = ray.put(doms)
+        out = filter_by_domain(ds, doms, mode=mode,
+                               keep_unparsed=keep_unparsed)
+        return sorted(r["doc_id"] for r in out.take_all())
+
+    def test_block(self, ray_session):
+        assert self.run("block", ["spam.com"]) == [1, 2]
+
+    def test_block_keep_unparsed(self, ray_session):
+        assert self.run("block", ["spam.com"],
+                        keep_unparsed=True) == [1, 2, 3]
+
+    def test_allow(self, ray_session):
+        assert self.run("allow", ["example.co.uk", "good.net"]) == [1, 2]
+
+    def test_broadcast_ref(self, ray_session):
+        assert self.run("block", ["spam.com"], as_ref=True) == [1, 2]
+
+    def test_bad_mode(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.urls import filter_by_domain
+
+        with __import__("pytest").raises(ValueError, match="mode"):
+            filter_by_domain(ray.data.from_items(self.ROWS), [],
+                             mode="deny")
+
+    def test_list_cap(self, ray_session):
+        import cow_ray.ops.urls as U
+
+        old = U.DOMAIN_LIST_MAX
+        U.DOMAIN_LIST_MAX = 2
+        try:
+            import pytest
+            import ray.data
+
+            with pytest.raises(Exception, match="DOMAIN_LIST_MAX"):
+                U.filter_by_domain(
+                    ray.data.from_items(self.ROWS),
+                    ["a.com", "b.com", "c.com"]).take_all()
+        finally:
+            U.DOMAIN_LIST_MAX = old
