@@ -39,12 +39,14 @@ from .lm import _hash64
 _BAD_DEFAULT_MAX = 5_000_000  # 40 MB of u64 — a deliberate budget
 
 
-def _split_lines(batch: pa.Table, text_col: str):
-    """(ListArray of lines, flat line array, per-doc line counts)."""
+def _split_lines(batch: pa.Table, text_col: str, sep: str = "\n"):
+    """(ListArray of units, flat unit array, per-doc unit counts).
+    ``sep`` is a LITERAL separator — ``"\n"`` for lines (C4),
+    ``"\n\n"`` for paragraphs (Dolma's exact paragraph dedup)."""
     col = batch[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    lists = pc.split_pattern(pc.fill_null(col, ""), pattern="\n")
+    lists = pc.split_pattern(pc.fill_null(col, ""), pattern=sep)
     flat = pc.list_flatten(lists)
     lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
     return lists, flat, lens.astype(np.int64)
@@ -58,13 +60,14 @@ def _nonblank(flat) -> np.ndarray:
 
 def count_repeated_lines(ds, text_col: str = "text",
                          min_count: int = 3, num_parts: int = 32,
-                         max_bad: int = _BAD_DEFAULT_MAX) -> np.ndarray:
+                         max_bad: int = _BAD_DEFAULT_MAX,
+                         sep: str = "\n") -> np.ndarray:
     """Corpus-wide line census → SORTED u64 hashes of every non-blank
     line occurring ≥ ``min_count`` times.  One small keyed exchange;
     the driver pull is the offending set only (≤ ``max_bad``)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        _, flat, _ = _split_lines(batch, text_col)
+        _, flat, _ = _split_lines(batch, text_col, sep)
         if len(flat):
             flat = flat.filter(pa.array(_nonblank(flat)))
         h = _hash64(flat) if len(flat) else np.empty(0, np.uint64)
@@ -109,7 +112,8 @@ def count_repeated_lines(ds, text_col: str = "text",
 def dedup_lines(ds, text_col: str = "text", out_col: str = "clean_text",
                 removed_col: str = "n_lines_removed",
                 min_count: int = 3, num_parts: int = 32,
-                max_bad: int = _BAD_DEFAULT_MAX, bad_hashes=None):
+                max_bad: int = _BAD_DEFAULT_MAX, bad_hashes=None,
+                sep: str = "\n"):
     """Drop every occurrence of corpus-repeated lines and reassemble.
 
     Appends ``out_col`` (surviving lines joined with ``\\n``) and
@@ -121,14 +125,14 @@ def dedup_lines(ds, text_col: str = "text", out_col: str = "clean_text",
     if bad_hashes is None:
         bad_hashes = count_repeated_lines(
             ds, text_col, min_count=min_count, num_parts=num_parts,
-            max_bad=max_bad)
+            max_bad=max_bad, sep=sep)
     bad_ref = (bad_hashes if isinstance(bad_hashes, ray.ObjectRef)
                else ray.put(bad_hashes))
 
     def rebuild(batch: pa.Table) -> pa.Table:
         bad = ray.get(bad_ref) if isinstance(
             bad_ref, ray.ObjectRef) else bad_ref
-        lists, flat, lens = _split_lines(batch, text_col)
+        lists, flat, lens = _split_lines(batch, text_col, sep)
         n = batch.num_rows
         if len(flat) == 0:
             return batch.append_column(
@@ -150,7 +154,7 @@ def dedup_lines(ds, text_col: str = "text", out_col: str = "clean_text",
             ([0], np.cumsum(kept_per_doc))).astype(np.int32)
         kept_list = pa.ListArray.from_arrays(
             pa.array(offsets), flat.filter(pa.array(keep)))
-        clean = pc.binary_join(kept_list, "\n")
+        clean = pc.binary_join(kept_list, sep)
         removed = (lens - kept_per_doc).astype(np.int64)
         return batch.append_column(
             out_col, clean.cast(pa.string())).append_column(

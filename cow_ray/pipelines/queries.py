@@ -2924,6 +2924,87 @@ SELECT doc_id FROM documents
 """
 
 
+# ------------------------------------------------- paragraph dedup
+
+
+def _synth_multipara(batch: pa.Table) -> pa.Table:
+    """Deterministic multi-PARAGRAPH fixture: a two-line boilerplate
+    header paragraph on every doc (corpus count 500 → dropped), the
+    doc's own text as one paragraph, a two-line promo paragraph on
+    every 3rd doc (→ dropped), and a low-frequency contact paragraph
+    (2 docs each → kept).  Paragraphs contain single newlines, so the
+    operator must split on the blank-line boundary only."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    promo = np.where(
+        ids % 3 == 0, "\n\njoin our newsletter\nclick here", "")
+    sig = np.char.add("\n\ncontact ", (ids % 250).astype("U8"))
+    return batch.set_column(
+        batch.schema.get_field_index("text"), "text",
+        pc.binary_join_element_wise(
+            "terms of service\nall rights reserved\n\n",
+            pc.cast(batch["text"], pa.string()),
+            pa.array(promo, type=pa.string()),
+            pa.array(sig, type=pa.string()), ""))
+
+
+def q_dedup_paragraphs_docs(sf_dir: str):
+    """Corpus-level exact PARAGRAPH dedup (ops/lines.py with
+    ``sep="\\n\\n"`` — Dolma's exact paragraph dedup, Soldaini et al.
+    2024): same census/broadcast/rebuild shape as line dedup but at
+    blank-line granularity, leaving intra-paragraph newlines intact.
+    Hash-exact vs the SQL oracle counting literal paragraph
+    strings."""
+    from ..ops.lines import dedup_lines
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_synth_multipara, batch_format="pyarrow")
+    return dedup_lines(
+        ds, min_count=3, num_parts=8, sep="\n\n",
+        removed_col="n_paras_removed").select_columns(
+        ["doc_id", "clean_text", "n_paras_removed"])
+
+
+SQL_DEDUP_PARAGRAPHS = """
+WITH synth AS (
+  SELECT doc_id,
+         'terms of service' || chr(10) || 'all rights reserved'
+         || chr(10) || chr(10) || text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || chr(10) || 'join our newsletter'
+                      || chr(10) || 'click here' ELSE '' END
+         || chr(10) || chr(10) || 'contact '
+         || CAST(doc_id % 250 AS VARCHAR) AS text
+    FROM documents),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10) || chr(10))) AS para,
+         unnest(range(len(string_split(text, chr(10) || chr(10)))))
+           AS idx
+    FROM synth),
+bad AS (
+  SELECT para FROM l WHERE trim(para) <> ''
+   GROUP BY para HAVING count(*) >= 3),
+kept AS (
+  SELECT doc_id, para, idx FROM l
+   WHERE trim(para) = '' OR para NOT IN (SELECT para FROM bad)),
+agg AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) || chr(10) ORDER BY idx)
+           AS clean_text,
+         count(*) AS n_kept
+    FROM kept GROUP BY doc_id),
+tot AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10) || chr(10))) AS n_paras
+    FROM synth)
+SELECT s.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(t.n_paras - COALESCE(a.n_kept, 0) AS BIGINT)
+         AS n_paras_removed
+  FROM synth s JOIN tot t USING (doc_id)
+  LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # --------------------------------------------------- domain blocklist
 
 
@@ -3494,6 +3575,7 @@ EXTRA_QUERIES = {
     "doc_bigram_nll": q_doc_bigram_nll,
     "graph_triangles": q_graph_triangles,
     "url_domain_filtered": q_url_domain_filtered,
+    "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -3585,4 +3667,5 @@ ORACLES = {
     "doc_bigram_nll": SQL_DOC_BIGRAM_NLL,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "url_domain_filtered": SQL_URL_DOMAIN_FILTERED,
+    "dedup_paragraphs_docs": SQL_DEDUP_PARAGRAPHS,
 }

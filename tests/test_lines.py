@@ -108,3 +108,41 @@ def test_no_repeats_is_identity(ray_session):
                       num_parts=2).take_all()
     assert all(r["clean_text"] == r["text"]
                and r["n_lines_removed"] == 0 for r in out)
+
+
+class TestParagraphSep:
+    def test_paragraph_granularity(self, ray_session):
+        """sep='\\n\\n' dedups whole paragraphs and leaves intra-
+        paragraph newlines (and the structural blank boundaries)
+        intact."""
+        import ray.data
+
+        from cow_ray.ops.lines import dedup_lines
+
+        boiler = "terms\nall rights reserved"
+        rows = [{"doc_id": i,
+                 "text": f"{boiler}\n\nbody {i}\nline two {i}"}
+                for i in range(4)]
+        out = {r["doc_id"]: r for r in dedup_lines(
+            ray.data.from_items(rows).repartition(2),
+            min_count=3, num_parts=2, sep="\n\n",
+            removed_col="n_paras_removed").take_all()}
+        for i in range(4):
+            assert out[i]["clean_text"] == f"body {i}\nline two {i}"
+            assert out[i]["n_paras_removed"] == 1
+
+    def test_line_mode_would_differ(self, ray_session):
+        """The same corpus under LINE dedup drops the shared lines
+        inside otherwise-unique paragraphs — proving the two
+        granularities are distinct operators."""
+        import ray.data
+
+        from cow_ray.ops.lines import dedup_lines
+
+        rows = [{"doc_id": i, "text": f"shared line\n\nbody {i}"}
+                for i in range(4)]
+        out = dedup_lines(ray.data.from_items(rows).repartition(2),
+                          min_count=3, num_parts=2).take_all()
+        for r in out:
+            assert "shared line" not in r["clean_text"]
+            assert f"body {r['doc_id']}" in r["clean_text"]
