@@ -2924,6 +2924,47 @@ SELECT doc_id FROM documents
 """
 
 
+# ------------------------------------------------ BPE merge statistics
+
+
+def q_bpe_pair_stats(sf_dir: str):
+    """BPE tokenizer-training merge candidates (ops/bpepairs.py —
+    Sennrich et al. ACL 2016 §3.2): corpus-wide adjacent-char-pair
+    counts weighted by word frequency, exact top-20 under the
+    (count desc, c1, c2) tie contract.  One int-keyed exchange of
+    batch-local partials; pairs never cross word boundaries.
+    Hash-exact vs the SQL char-explosion oracle."""
+    import ray.data
+
+    from ..ops.bpepairs import bpe_pair_stats
+
+    return ray.data.from_arrow(
+        bpe_pair_stats(_docs(sf_dir, blocks=8), top_k=20))
+
+
+SQL_BPE_PAIR_STATS = """
+WITH toks AS (
+  SELECT t.token
+    FROM documents d,
+         unnest(string_split_regex(lower(d.text), '[^a-z0-9'']+'))
+         AS t(token)
+   WHERE t.token <> ''
+),
+wc AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+ch AS (
+  SELECT token, c,
+         unnest(string_split(token, '')) AS ch,
+         generate_subscripts(string_split(token, ''), 1) AS i
+    FROM wc),
+p AS (
+  SELECT a.ch AS c1, b.ch AS c2, sum(a.c) AS cnt
+    FROM ch a JOIN ch b ON b.token = a.token AND b.i = a.i + 1
+   GROUP BY 1, 2)
+SELECT c1, c2, CAST(cnt AS BIGINT) AS cnt
+  FROM p ORDER BY cnt DESC, c1, c2 LIMIT 20
+"""
+
+
 # ------------------------------------------------- paragraph dedup
 
 
@@ -3576,6 +3617,7 @@ EXTRA_QUERIES = {
     "graph_triangles": q_graph_triangles,
     "url_domain_filtered": q_url_domain_filtered,
     "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
+    "bpe_pair_stats": q_bpe_pair_stats,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -3668,4 +3710,5 @@ ORACLES = {
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "url_domain_filtered": SQL_URL_DOMAIN_FILTERED,
     "dedup_paragraphs_docs": SQL_DEDUP_PARAGRAPHS,
+    "bpe_pair_stats": SQL_BPE_PAIR_STATS,
 }
