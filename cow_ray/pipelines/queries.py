@@ -2924,6 +2924,66 @@ SELECT doc_id FROM documents
 """
 
 
+# ------------------------------------------------- JSONL sink roundtrip
+
+
+def ensure_jsonl_shards(sf_dir: str) -> list[str]:
+    """Export the documents table to gzipped JSONL shards ONCE per
+    sf_dir (distributed sink, /tmp cache keyed by source stat — the
+    ensure_doc_store pattern)."""
+    import hashlib as _h
+
+    from ..sources.jsonl import write_jsonl_shards
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    tag = _h.md5(key.encode()).hexdigest()[:10]
+    out = f"/tmp/cow_ray_jsonl_sink_v1_{tag}"
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        import shutil as _sh
+
+        build = f"{out}.build-{os.getpid()}"
+        _sh.rmtree(build, ignore_errors=True)
+        ds = _read(sf_dir, "documents",
+                   columns=["doc_id", "text", "lang"])
+        write_jsonl_shards(ds, build).materialize()
+        with open(os.path.join(build, "_SUCCESS"), "w"):
+            pass
+        try:
+            os.rename(build, out)
+        except OSError:
+            _sh.rmtree(build, ignore_errors=True)
+    return sorted(
+        os.path.join(out, f) for f in os.listdir(out)
+        if f.endswith(".jsonl.gz"))
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """Sink→source round trip over the corpus wire format: documents
+    exported to content-hash-named gzipped JSONL shards
+    (sources/jsonl.py write_jsonl_shards, vectorized polars NDJSON)
+    and read back with the chunk-planned JSONL source.  Hash-exact vs
+    the identity SELECT — any serialization, escaping, or boundary
+    slip breaks the hash."""
+    from ..sources.jsonl import read_jsonl_with_row_ids
+
+    shards = ensure_jsonl_shards(sf_dir)
+    ds = read_jsonl_with_row_ids(
+        shards, columns=["doc_id", "text", "lang"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "text", "lang"])
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang FROM documents
+"""
+
+
 # ------------------------------------------------ BPE merge statistics
 
 
@@ -3618,6 +3678,7 @@ EXTRA_QUERIES = {
     "url_domain_filtered": q_url_domain_filtered,
     "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
     "bpe_pair_stats": q_bpe_pair_stats,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -3711,4 +3772,5 @@ ORACLES = {
     "url_domain_filtered": SQL_URL_DOMAIN_FILTERED,
     "dedup_paragraphs_docs": SQL_DEDUP_PARAGRAPHS,
     "bpe_pair_stats": SQL_BPE_PAIR_STATS,
+    "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
 }

@@ -352,3 +352,50 @@ def jsonl_header(path: str, sample_records: int = 100) -> list[str]:
             if n >= sample_records:
                 break
     return header
+
+
+def write_jsonl_shards(ds, out_dir: str, *, gzip_shards: bool = True,
+                       suffix: str | None = None):
+    """Distributed Dataset -> JSONL shard export (the corpus wire
+    format, completing the source/sink pair): each batch serializes
+    with polars' vectorized NDJSON writer (no per-row Python) into
+    one ``part-<sha1>.jsonl[.gz]`` shard named by its own content
+    hash — deterministic for a deterministic partitioning, idempotent
+    under re-runs (same bytes -> same name).  Returns a manifest
+    Dataset ``(path, records, bytes)``."""
+    import gzip as _gz
+    import hashlib
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = suffix or (".jsonl.gz" if gzip_shards else ".jsonl")
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "records": pa.array([], pa.int64()),
+                             "bytes": pa.array([], pa.int64())})
+        import polars as pl
+
+        blob = pl.from_arrow(batch).write_ndjson().encode("utf-8")
+        if gzip_shards:
+            import io
+
+            buf = io.BytesIO()
+            with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(blob)
+            blob = buf.getvalue()
+        name = f"part-{hashlib.sha1(blob).hexdigest()[:16]}{ext}"
+        path = os.path.join(out_dir, name)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"path": [path],
+                         "records": pa.array([batch.num_rows],
+                                             pa.int64()),
+                         "bytes": pa.array([os.path.getsize(path)],
+                                           pa.int64())})
+
+    return ds.map_batches(write_batch, batch_format="pyarrow")

@@ -188,3 +188,54 @@ class TestConvertJsonl:
         names = [c["name"] for c in doc["tableSchema"]["columns"]]
         assert names == ["a", "b", "c"]  # first-seen order, unioned
         assert doc["tableSchema"]["primaryKey"] == "a"
+
+
+class TestSinkRoundtrip:
+    def test_shard_export_roundtrip(self, ray_session, tmp_path):
+        import os
+
+        import ray.data
+
+        from cow_ray.sources.jsonl import (
+            read_jsonl_with_row_ids,
+            write_jsonl_shards,
+        )
+
+        rows = records(25)
+        # adversarial content: quotes, newline-escapes, unicode
+        rows[3]["text"] = 'he said "hi"\\n\t naïve — ünïcödé'
+        rows[7]["text"] = ""
+        ds = ray.data.from_items(rows).repartition(4)
+        out = str(tmp_path / "shards")
+        m = pa.Table.from_pandas(
+            write_jsonl_shards(ds, out).to_pandas(),
+            preserve_index=False)
+        assert sum(m["records"].to_pylist()) == 25
+        files = sorted(os.path.join(out, f) for f in os.listdir(out)
+                       if f.endswith(".jsonl.gz"))
+        assert len(files) == len(m["path"])
+        back = read_jsonl_with_row_ids(files).to_pandas()
+        got = sorted(
+            (int(r.doc_id), r.text, r.lang)
+            for r in back.itertuples(index=False))
+        want = sorted((r["doc_id"], r["text"], r["lang"]) for r in rows)
+        assert got == want
+
+    def test_plain_shards(self, ray_session, tmp_path):
+        import os
+
+        import ray.data
+
+        from cow_ray.sources.jsonl import (
+            read_jsonl_with_row_ids,
+            write_jsonl_shards,
+        )
+
+        ds = ray.data.from_items(records(10)).repartition(2)
+        out = str(tmp_path / "plain")
+        write_jsonl_shards(ds, out, gzip_shards=False).materialize()
+        files = sorted(os.path.join(out, f) for f in os.listdir(out)
+                       if f.endswith(".jsonl"))
+        assert files and not any(f.endswith(".gz") for f in files)
+        back = read_jsonl_with_row_ids(files).to_pandas()
+        assert len(back) == 10
