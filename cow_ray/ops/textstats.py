@@ -443,3 +443,39 @@ def tfidf_topterms(ds, k: int = 3, vocab_limit: int = 200,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow")
+
+
+def compression_stats(batch: pa.Table, text_col: str = "text",
+                      level: int = 6) -> pa.Table:
+    """Per-document zlib compressibility — the repetitiousness signal
+    the published quality filters use alongside the Gopher rules
+    (highly compressible text is templated/boilerplate; nearly
+    incompressible text is often binary junk or hash soup).
+
+    The per-document ``zlib.compress`` call is inherent — DEFLATE is a
+    sequential C routine over each payload, the same contract class as
+    the md5 fingerprints; everything around it stays Arrow.  Output
+    appends ``raw_bytes``, ``comp_bytes`` and ``compress_ppm``
+    (``comp/raw`` in parts-per-million, exact int64 — deterministic
+    for a fixed zlib/level); empty docs get null ``compress_ppm``."""
+    import zlib
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):  # all-None block
+        col = col.cast(pa.string())
+    texts = pc.fill_null(col, "").to_pylist()
+    raw = np.empty(len(texts), dtype=np.int64)
+    comp = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        raw[i] = len(b)
+        comp[i] = len(zlib.compress(b, level))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ppm = np.where(raw > 0, comp * 1_000_000 // np.maximum(raw, 1),
+                       0)
+    return (batch.append_column("raw_bytes", pa.array(raw))
+            .append_column("comp_bytes", pa.array(comp))
+            .append_column("compress_ppm",
+                           pa.array(ppm, mask=(raw == 0))))

@@ -2924,6 +2924,22 @@ SELECT doc_id FROM documents
 """
 
 
+# -------------------------------------------------- compression signal
+
+
+def q_doc_compress_ratio(sf_dir: str):
+    """Per-doc zlib compressibility (ops/textstats.compression_stats)
+    — rows-only: DuckDB has no DEFLATE surface, so the signal is
+    pinned against direct zlib in tests/test_ops.py instead; the
+    int-ppm ratio keeps it deterministic run-to-run."""
+    from ..ops.textstats import compression_stats
+
+    return _docs(sf_dir, blocks=8).select_columns(
+        ["doc_id", "text"]).map_batches(
+        compression_stats, batch_format="pyarrow").select_columns(
+        ["doc_id", "raw_bytes", "comp_bytes", "compress_ppm"])
+
+
 # ------------------------------------------------- JSONL sink roundtrip
 
 
@@ -3679,6 +3695,7 @@ EXTRA_QUERIES = {
     "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
     "bpe_pair_stats": q_bpe_pair_stats,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "doc_compress_ratio": q_doc_compress_ratio,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,

@@ -2500,3 +2500,35 @@ class TestFilterByDomain:
                     ["a.com", "b.com", "c.com"]).take_all()
         finally:
             U.DOMAIN_LIST_MAX = old
+
+
+class TestCompressionStats:
+    def test_pinned_vs_zlib(self, ray_session):
+        import zlib
+
+        import ray.data
+
+        from cow_ray.ops.textstats import compression_stats
+
+        rows = [
+            {"doc_id": 0, "text": "abc " * 500},        # compressible
+            {"doc_id": 1, "text": "x"},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": None},
+            {"doc_id": 4, "text": "ünïcödé — naïve"},
+        ]
+        out = {r["doc_id"]: r for r in ray.data.from_items(rows)
+               .map_batches(compression_stats, batch_format="pyarrow")
+               .take_all()}
+        for r in rows:
+            b = (r["text"] or "").encode("utf-8")
+            got = out[r["doc_id"]]
+            assert got["raw_bytes"] == len(b)
+            assert got["comp_bytes"] == len(zlib.compress(b, 6))
+            if b:
+                assert got["compress_ppm"] == \
+                    len(zlib.compress(b, 6)) * 1_000_000 // len(b)
+            else:
+                assert got["compress_ppm"] is None
+        # the repetitive doc compresses far better than the short one
+        assert out[0]["compress_ppm"] < 100_000 < out[1]["compress_ppm"]
