@@ -236,3 +236,46 @@ def fix_mojibake(
         lambda b: fix_mojibake_batch(b, text_col, out_col, flag_col),
         batch_format="pyarrow",
     )
+
+
+def fold_key_batch(batch: pa.Table, text_col: str = "text",
+                   out_col: str = "fold_key") -> pa.Table:
+    """CCNet-style dedup-key folding (Wenzek et al., LREC 2020 §3.1:
+    paragraphs are hashed AFTER lowercasing, accent removal and
+    digit→0 folding, so cosmetic variation never defeats dedup).
+
+    One vectorized chain, order fixed and mirrored by the SQL oracle:
+    NFD decomposition (polars, zero-copy from Arrow) → lowercase →
+    strip combining marks (RE2 ``\\p{Mn}`` — after NFD this IS accent
+    removal) → ASCII digits → ``0`` → whitespace collapse + ASCII-space
+    trim (the ``normalize_text`` contract).  DuckDB mirrors with
+    ``strip_accents(lower(…))`` — utf8proc's accent strip agrees with
+    NFD+drop-Mn on the Latin range (pinned by the oracle hash); text
+    outside that range folds fine here but callers should not expect
+    cross-engine parity for e.g. precomposed Hangul."""
+    import polars as pl
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        col = col.cast(pa.string())
+    nfd = (pl.from_arrow(pa.chunked_array([col.cast(pa.large_string())]))
+           .to_frame("t")["t"].str.normalize("NFD").to_arrow())
+    if isinstance(nfd, pa.ChunkedArray):
+        nfd = nfd.combine_chunks()
+    x = pc.utf8_lower(pc.fill_null(nfd, ""))
+    x = pc.replace_substring_regex(x, r"\p{Mn}", "")
+    x = pc.replace_substring_regex(x, "[0-9]", "0")
+    x = pc.replace_substring_regex(x, r"\s+", " ")
+    x = pc.utf8_trim(x, " ")
+    return batch.append_column(out_col, x.cast(pa.string()))
+
+
+def fold_keys(ds, text_col: str = "text", out_col: str = "fold_key"):
+    """Dataset wrapper for :func:`fold_key_batch` — a single
+    streaming scan, no shuffle; feed ``out_col`` to ``dedup_exact`` /
+    ``dedup_lines`` for fold-invariant deduplication."""
+    return ds.map_batches(
+        lambda b: fold_key_batch(b, text_col, out_col),
+        batch_format="pyarrow")

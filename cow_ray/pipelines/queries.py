@@ -2924,6 +2924,45 @@ SELECT doc_id FROM documents
 """
 
 
+# ---------------------------------------------------- dedup-key folding
+
+
+def q_fold_key_docs(sf_dir: str):
+    """CCNet-style dedup-key folding (ops/normalize.fold_key_batch):
+    accent/case/digit-decorated fixture text folds to a canonical key
+    — hash-exact vs DuckDB ``strip_accents(lower(…))`` + digit/space
+    folding (the Latin-range parity contract pinned here)."""
+    from ..ops.normalize import fold_keys
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pre = np.char.add("Éxamplé №", ids.astype("U12"))
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pc.binary_join_element_wise(
+                pa.array(pre, type=pa.string()), ":  ",
+                pc.utf8_upper(pc.cast(batch["text"], pa.string())),
+                ""))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    return fold_keys(ds).select_columns(["doc_id", "fold_key"])
+
+
+SQL_FOLD_KEY_DOCS = """
+WITH synth AS (
+  SELECT doc_id,
+         'Éxamplé №' || CAST(doc_id AS VARCHAR) || ':  '
+         || upper(text) AS text
+    FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(
+              strip_accents(lower(text)), '[0-9]', '0', 'g'),
+            '\\s+', ' ', 'g'), ' ') AS fold_key
+  FROM synth
+"""
+
+
 # -------------------------------------------------- compression signal
 
 
@@ -3696,6 +3735,7 @@ EXTRA_QUERIES = {
     "bpe_pair_stats": q_bpe_pair_stats,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "doc_compress_ratio": q_doc_compress_ratio,
+    "fold_key_docs": q_fold_key_docs,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -3790,4 +3830,5 @@ ORACLES = {
     "dedup_paragraphs_docs": SQL_DEDUP_PARAGRAPHS,
     "bpe_pair_stats": SQL_BPE_PAIR_STATS,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+    "fold_key_docs": SQL_FOLD_KEY_DOCS,
 }

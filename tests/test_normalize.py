@@ -168,3 +168,40 @@ def test_normalize_parity_fuzz():
         assert got == _oracle(texts)
 
     run()
+
+
+class TestFoldKey:
+    def test_folding(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.normalize import fold_keys
+
+        rows = [
+            {"doc_id": 0, "text": "Café  №42\tNaïve"},
+            {"doc_id": 1, "text": "cafe  №00 naive"},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": None},
+        ]
+        out = {r["doc_id"]: r["fold_key"] for r in fold_keys(
+            ray.data.from_items(rows).repartition(2)).take_all()}
+        assert out[0] == "cafe №00 naive"
+        assert out[0] == out[1]  # fold-invariant duplicate detection
+        assert out[2] == "" and out[3] == ""
+
+    def test_feeds_exact_dedup(self, ray_session):
+        """The CCNet use: exact dedup keyed on the folded text catches
+        cosmetic variants."""
+        import ray.data
+
+        from cow_ray.ops.dedup import dedup_exact
+        from cow_ray.ops.normalize import fold_keys
+
+        rows = [
+            {"doc_id": 0, "text": "Hello Wörld 1"},
+            {"doc_id": 1, "text": "hello world 2"},   # fold-duplicate
+            {"doc_id": 2, "text": "different text"},
+        ]
+        ds = fold_keys(ray.data.from_items(rows).repartition(2))
+        kept = sorted(r["keep_id"] for r in dedup_exact(
+            ds, key_col="fold_key", id_col="doc_id").take_all())
+        assert kept == [0, 2]
