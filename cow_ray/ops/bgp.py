@@ -172,7 +172,8 @@ def _broadcast_join(acc_tbl, right, shared):
     return right.map_batches(scan_join, batch_format="pyarrow")
 
 
-def bgp_match(triples, patterns, num_partitions: int = 16):
+def bgp_match(triples, patterns, num_partitions: int = 16,
+              filters=None):
     """Conjunctive BGP over a triple Dataset with columns
     ``subj, pred, obj_lex`` → Dataset of bindings (one string column
     per variable, bag semantics).
@@ -181,14 +182,35 @@ def bgp_match(triples, patterns, num_partitions: int = 16):
     (they are bindings, never the triple store); when they fit
     ``BGP_BROADCAST_MAX`` rows AND ``BGP_BROADCAST_MAX_BYTES`` bytes
     they broadcast-join against the next pattern's filtered scan (no
-    exchange), else both sides meet in a partitioned hash join."""
+    exchange), else both sides meet in a partitioned hash join.
+
+    ``filters``: SPARQL FILTER specs ``("?var", op, value)`` with op
+    in ``= != < <= > >= regex contains`` — numeric when ``value`` is
+    an int/float (type errors exclude the row, SPARQL 1.1 §17.2).
+    Each filter is PUSHED DOWN to the earliest fold step where its
+    variable is bound, shrinking every later join's build side; a
+    filter naming a variable no pattern binds raises."""
     import ray
 
     if not patterns:
         raise ValueError("empty pattern list")
+    pending = list(filters or [])
+    for f in pending:
+        _filter_spec_vars(f)  # validate shape early
+
+    def apply_ready(acc, bound: set):
+        nonlocal pending
+        ready = [f for f in pending
+                 if _filter_spec_vars(f) <= bound]
+        if ready:
+            acc = _filter_bindings(acc, ready)
+            pending = [f for f in pending if f not in ready]
+        return acc
+
     acc = _match_pattern(triples, patterns[0])
     acc_cols = _pattern_out_vars(patterns[0])
     acc_vars = set(acc_cols)
+    acc = apply_ready(acc, acc_vars)
     for pat in patterns[1:]:
         nxt_cols = _pattern_out_vars(pat)
         nxt = _match_pattern(triples, pat)
@@ -213,4 +235,56 @@ def bgp_match(triples, patterns, num_partitions: int = 16):
                              list(acc_cols), list(nxt_cols))
         acc_cols = acc_cols + [c for c in nxt_cols if c not in acc_vars]
         acc_vars |= set(nxt_cols)
+        acc = apply_ready(acc, acc_vars)
+    if pending:
+        raise ValueError(
+            f"FILTER(s) {pending} reference variables no pattern "
+            f"binds (bound: {sorted(acc_vars)})")
     return acc
+
+
+# ------------------------------------------------------------- FILTER
+
+_CMP_OPS = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+            "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+
+_NUM_RE = r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+
+
+def _filter_spec_vars(spec) -> set:
+    var, _, _ = spec
+    if not _is_var(var):
+        raise ValueError(f"FILTER {spec}: first term must be a ?var")
+    return {var[1:]}
+
+
+def _filter_bindings(ds, specs):
+    """Apply FILTER specs to a binding Dataset — one vectorized mask
+    pass, SPARQL error semantics (a binding whose value errors under
+    the filter expression is EXCLUDED: non-numeric strings under a
+    numeric comparison drop, per SPARQL 1.1 §17.2 effective boolean
+    value of a type error)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = None
+        for var, op, val in specs:
+            col = batch[var[1:]]
+            if op == "regex":
+                m = pc.match_substring_regex(col, val)
+            elif op == "contains":
+                m = pc.match_substring(col, val)
+            elif isinstance(val, bool) or not isinstance(
+                    val, (int, float)):
+                m = _CMP_OPS[op](col, str(val))
+            else:
+                valid = pc.fill_null(
+                    pc.match_substring_regex(col, _NUM_RE), False)
+                num = pc.cast(pc.if_else(valid, col, "nan"),
+                              pa.float64())
+                # AND with validity: a type error excludes the row for
+                # EVERY operator (IEEE alone would let '!=' pass NaN)
+                m = pc.and_(valid, _CMP_OPS[op](num, float(val)))
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -2924,6 +2924,39 @@ SELECT doc_id FROM documents
 """
 
 
+# ------------------------------------------------------- BGP + FILTER
+
+
+def q_kg_bgp_filter(sf_dir: str):
+    """BGP + SPARQL FILTER over the materialized store (ops/bgp.py):
+    the kg_bgp pattern set with a numeric FILTER (?n > 200 — type
+    errors exclude, SPARQL 1.1 §17.2) and a regex FILTER on the doc
+    IRI, both pushed down to the earliest bound step.  Hash-exact vs
+    the SQL chain with TRY_CAST + regexp_matches mirrors."""
+    from ..ops.bgp import bgp_match
+    from ..stages.materialize import read_triple_store
+
+    tri = read_triple_store(ensure_doc_store(sf_dir))
+    return bgp_match(
+        tri, BGP_PATTERNS,
+        filters=[("?n", ">", 200), ("?doc", "regex", "[02468]$")])
+
+
+SQL_KG_BGP_FILTER = f"""
+WITH t AS ({SQL_KG_DOC_TRIPLES})
+SELECT a.subj AS doc, b.obj_lex AS src, c.obj_lex AS n
+  FROM t a
+  JOIN t b ON b.subj = a.subj
+  JOIN t c ON c.subj = a.subj
+ WHERE a.pred = 'http://purl.org/dc/terms/language'
+   AND a.obj_lex = 'en'
+   AND b.pred = 'http://purl.org/dc/terms/source'
+   AND c.pred = 'http://schema.org/characterCount'
+   AND TRY_CAST(c.obj_lex AS DOUBLE) > 200
+   AND regexp_matches(a.subj, '[02468]$')
+"""
+
+
 # ---------------------------------------------------- dedup-key folding
 
 
@@ -3736,6 +3769,7 @@ EXTRA_QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "doc_compress_ratio": q_doc_compress_ratio,
     "fold_key_docs": q_fold_key_docs,
+    "kg_bgp_filter": q_kg_bgp_filter,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -3831,4 +3865,5 @@ ORACLES = {
     "bpe_pair_stats": SQL_BPE_PAIR_STATS,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "fold_key_docs": SQL_FOLD_KEY_DOCS,
+    "kg_bgp_filter": SQL_KG_BGP_FILTER,
 }

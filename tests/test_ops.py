@@ -2532,3 +2532,65 @@ class TestCompressionStats:
                 assert got["compress_ppm"] is None
         # the repetitive doc compresses far better than the short one
         assert out[0]["compress_ppm"] < 100_000 < out[1]["compress_ppm"]
+
+
+class TestBGPFilter:
+    PATTERNS = [("?d", "lang", "en"), ("?d", "chars", "?n"),
+                ("?d", "source", "?s")]
+
+    def test_numeric_filter(self, ray_session):
+        from cow_ray.ops.bgp import bgp_match
+
+        tri = TestBGP._triples(ray_session)
+        out = bgp_match(tri, self.PATTERNS,
+                        filters=[("?n", ">", 15)]).take_all()
+        assert sorted(r["d"] for r in out) == ["doc/3", "doc/4"]
+
+    def test_numeric_type_error_excludes(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_match
+
+        rows = [
+            {"subj": "a", "pred": "chars", "obj_lex": "12"},
+            {"subj": "b", "pred": "chars", "obj_lex": "junk"},
+            {"subj": "c", "pred": "chars", "obj_lex": "7"},
+        ]
+        tri = ray.data.from_items(rows)
+        # != must ALSO exclude the type-error row (SPARQL 17.2), even
+        # though IEEE NaN != x is true
+        out = bgp_match(tri, [("?x", "chars", "?n")],
+                        filters=[("?n", "!=", 12)]).take_all()
+        assert sorted(r["x"] for r in out) == ["c"]
+
+    def test_regex_and_string_filters(self, ray_session):
+        from cow_ray.ops.bgp import bgp_match
+
+        tri = TestBGP._triples(ray_session)
+        out = bgp_match(tri, self.PATTERNS,
+                        filters=[("?s", "=", "sB"),
+                                 ("?d", "regex", "[34]$")]).take_all()
+        assert sorted(r["d"] for r in out) == ["doc/3", "doc/4"]
+
+    def test_unbound_filter_raises(self, ray_session):
+        import pytest
+
+        from cow_ray.ops.bgp import bgp_match
+
+        tri = TestBGP._triples(ray_session)
+        with pytest.raises(ValueError, match="no pattern binds"):
+            bgp_match(tri, self.PATTERNS,
+                      filters=[("?zzz", ">", 1)])
+
+    def test_pushdown_equals_postfilter(self, ray_session):
+        """Filters applied mid-fold must give the same bag as
+        filtering the final bindings."""
+        from cow_ray.ops.bgp import _filter_bindings, bgp_match
+
+        tri = TestBGP._triples(ray_session)
+        spec = [("?n", ">=", 20), ("?s", "contains", "B")]
+        a = sorted(map(str, bgp_match(
+            tri, self.PATTERNS, filters=spec).take_all()))
+        b = sorted(map(str, _filter_bindings(
+            bgp_match(tri, self.PATTERNS), spec).take_all()))
+        assert a == b and a
