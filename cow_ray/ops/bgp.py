@@ -87,11 +87,14 @@ def _match_pattern(triples, pattern, cols=_POS_COLS):
 
 
 def _hash_join(left, right, shared, num_partitions: int,
-               l_cols: list, r_cols: list):
-    """Distributed inner join on ``shared`` binding variables:
-    partition both sides on the first shared var, join per
-    partition.  Column lists are passed statically (no schema
-    probes)."""
+               l_cols: list, r_cols: list,
+               join_type: str = "inner"):
+    """Distributed join on ``shared`` binding variables: partition
+    both sides on the first shared var, join per partition.  Column
+    lists are passed statically (no schema probes).  ``join_type``
+    "left outer" is globally correct per-partition because every left
+    row lands in exactly one key partition alongside ALL of its
+    potential matches."""
     from ..stages.canonicalize import hash_mod
 
     key = shared[0]
@@ -131,9 +134,18 @@ def _hash_join(left, right, shared, num_partitions: int,
         side = g["__side"].to_numpy(zero_copy_only=False)
         lt = g.filter(pa.array(side == 0)).select(l_cols)
         rt = g.filter(pa.array(side == 1)).select(r_cols)
-        if lt.num_rows == 0 or rt.num_rows == 0:
+        if lt.num_rows == 0:
             return schema.empty_table()
-        j = lt.join(rt, keys=list(shared), join_type="inner",
+        if rt.num_rows == 0:
+            if join_type == "inner":
+                return schema.empty_table()
+            # left outer with an empty match side: keep lt, null-pad
+            out = {c: lt[c] for c in l_cols}
+            for c in all_cols:
+                if c not in l_cols:
+                    out[c] = pa.nulls(lt.num_rows, type=pa.string())
+            return pa.table(out).select(all_cols)
+        j = lt.join(rt, keys=list(shared), join_type=join_type,
                     use_threads=False)
         return j.select(all_cols)
 
@@ -173,7 +185,7 @@ def _broadcast_join(acc_tbl, right, shared):
 
 
 def bgp_match(triples, patterns, num_partitions: int = 16,
-              filters=None):
+              filters=None, optional=None):
     """Conjunctive BGP over a triple Dataset with columns
     ``subj, pred, obj_lex`` → Dataset of bindings (one string column
     per variable, bag semantics).
@@ -189,7 +201,17 @@ def bgp_match(triples, patterns, num_partitions: int = 16,
     an int/float (type errors exclude the row, SPARQL 1.1 §17.2).
     Each filter is PUSHED DOWN to the earliest fold step where its
     variable is bound, shrinking every later join's build side; a
-    filter naming a variable no pattern binds raises."""
+    filter naming a variable no pattern binds raises.
+
+    ``optional``: SPARQL OPTIONAL patterns (one left-join group per
+    pattern) applied AFTER the required fold — unmatched rows keep
+    their bindings with nulls for the optional variables (bag
+    semantics = a SQL LEFT JOIN chain).  Each optional pattern must
+    share at least one REQUIRED-bound variable (always non-null, so
+    the per-partition left-outer join is exact); filters naming
+    optional variables run after that join, and a null (unbound)
+    value excludes the row — SPARQL's outer-FILTER type-error rule.
+    FILTERs scoped *inside* an OPTIONAL group are not modeled."""
     import ray
 
     if not patterns:
@@ -233,6 +255,22 @@ def bgp_match(triples, patterns, num_partitions: int = 16,
         else:
             acc = _hash_join(acc, nxt, shared, num_partitions,
                              list(acc_cols), list(nxt_cols))
+        acc_cols = acc_cols + [c for c in nxt_cols if c not in acc_vars]
+        acc_vars |= set(nxt_cols)
+        acc = apply_ready(acc, acc_vars)
+    required_vars = set(acc_vars)
+    for pat in (optional or []):
+        nxt_cols = _pattern_out_vars(pat)
+        nxt = _match_pattern(triples, pat)
+        shared = [v for v in nxt_cols if v in required_vars]
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL pattern {pat} shares no REQUIRED-bound "
+                "variable with the base patterns (left-join key must "
+                "be always-bound)")
+        acc = _hash_join(acc, nxt, shared, num_partitions,
+                         list(acc_cols), list(nxt_cols),
+                         join_type="left outer")
         acc_cols = acc_cols + [c for c in nxt_cols if c not in acc_vars]
         acc_vars |= set(nxt_cols)
         acc = apply_ready(acc, acc_vars)

@@ -2957,6 +2957,38 @@ SELECT a.subj AS doc, b.obj_lex AS src, c.obj_lex AS n
 """
 
 
+def q_kg_bgp_optional(sf_dir: str):
+    """BGP + SPARQL OPTIONAL over the materialized store: every doc
+    with its char count and source, plus its language WHERE PRESENT —
+    the dc:language triple genuinely exists for only the non-null-
+    language subset (the M3 null-skip semantics), so the left join
+    does real work.  Hash-exact vs the SQL LEFT JOIN chain (nulls for
+    the unmatched rows must agree too)."""
+    from ..ops.bgp import bgp_match
+    from ..stages.materialize import read_triple_store
+
+    tri = read_triple_store(ensure_doc_store(sf_dir))
+    return bgp_match(
+        tri,
+        [("?doc", "http://schema.org/characterCount", "?n"),
+         ("?doc", "http://purl.org/dc/terms/source", "?src")],
+        optional=[("?doc", "http://purl.org/dc/terms/language",
+                   "?lang")])
+
+
+SQL_KG_BGP_OPTIONAL = f"""
+WITH t AS ({SQL_KG_DOC_TRIPLES})
+SELECT a.subj AS doc, a.obj_lex AS n, b.obj_lex AS src,
+       l.obj_lex AS lang
+  FROM t a
+  JOIN t b ON b.subj = a.subj
+          AND b.pred = 'http://purl.org/dc/terms/source'
+  LEFT JOIN t l ON l.subj = a.subj
+          AND l.pred = 'http://purl.org/dc/terms/language'
+ WHERE a.pred = 'http://schema.org/characterCount'
+"""
+
+
 # ---------------------------------------------------- dedup-key folding
 
 
@@ -3770,6 +3802,7 @@ EXTRA_QUERIES = {
     "doc_compress_ratio": q_doc_compress_ratio,
     "fold_key_docs": q_fold_key_docs,
     "kg_bgp_filter": q_kg_bgp_filter,
+    "kg_bgp_optional": q_kg_bgp_optional,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -3866,4 +3899,5 @@ ORACLES = {
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "fold_key_docs": SQL_FOLD_KEY_DOCS,
     "kg_bgp_filter": SQL_KG_BGP_FILTER,
+    "kg_bgp_optional": SQL_KG_BGP_OPTIONAL,
 }

@@ -2594,3 +2594,71 @@ class TestBGPFilter:
         b = sorted(map(str, _filter_bindings(
             bgp_match(tri, self.PATTERNS), spec).take_all()))
         assert a == b and a
+
+
+class TestBGPOptional:
+    def test_left_join_nulls(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_match
+
+        rows = [
+            {"subj": "d1", "pred": "chars", "obj_lex": "10"},
+            {"subj": "d2", "pred": "chars", "obj_lex": "20"},
+            {"subj": "d1", "pred": "lang", "obj_lex": "en"},
+            # d2 has NO lang triple
+        ]
+        tri = ray.data.from_items(rows).repartition(2)
+        out = {r["d"]: r for r in bgp_match(
+            tri, [("?d", "chars", "?n")],
+            optional=[("?d", "lang", "?lang")]).take_all()}
+        assert out["d1"]["lang"] == "en"
+        assert out["d2"]["lang"] is None
+        assert out["d2"]["n"] == "20"
+
+    def test_optional_multiplies_on_multiple_matches(self, ray_session):
+        """Bag semantics: two optional matches for one base row yield
+        two rows, like SQL LEFT JOIN."""
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_match
+
+        rows = [
+            {"subj": "d1", "pred": "chars", "obj_lex": "10"},
+            {"subj": "d1", "pred": "tag", "obj_lex": "a"},
+            {"subj": "d1", "pred": "tag", "obj_lex": "b"},
+        ]
+        tri = ray.data.from_items(rows)
+        out = bgp_match(tri, [("?d", "chars", "?n")],
+                        optional=[("?d", "tag", "?t")]).take_all()
+        assert sorted(r["t"] for r in out) == ["a", "b"]
+
+    def test_filter_on_optional_var_excludes_unbound(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_match
+
+        rows = [
+            {"subj": "d1", "pred": "chars", "obj_lex": "10"},
+            {"subj": "d2", "pred": "chars", "obj_lex": "20"},
+            {"subj": "d1", "pred": "score", "obj_lex": "5"},
+        ]
+        tri = ray.data.from_items(rows)
+        out = bgp_match(tri, [("?d", "chars", "?n")],
+                        optional=[("?d", "score", "?s")],
+                        filters=[("?s", ">", 1)]).take_all()
+        # d2's ?s is unbound -> type error -> excluded (SPARQL 17.2)
+        assert [r["d"] for r in out] == ["d1"]
+
+    def test_optional_without_shared_required_var_raises(self,
+                                                         ray_session):
+        import pytest
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_match
+
+        tri = ray.data.from_items(
+            [{"subj": "d1", "pred": "chars", "obj_lex": "1"}])
+        with pytest.raises(ValueError, match="OPTIONAL"):
+            bgp_match(tri, [("?d", "chars", "?n")],
+                      optional=[("?x", "lang", "?lang")])
