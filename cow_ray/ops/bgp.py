@@ -326,3 +326,54 @@ def _filter_bindings(ds, specs):
         return batch.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bgp_union(triples, groups, num_partitions: int = 16):
+    """SPARQL UNION: bag union of independently-matched BGP groups
+    (each a dict accepted by :func:`bgp_match`'s keyword surface, or a
+    bare pattern list).  Output columns are the union of every
+    group's variables in first-seen order; a group that does not bind
+    a variable contributes nulls for it (SPARQL 1.1 §17.3 — UNION
+    branches need not share variables).  Pure ``Dataset.union`` —
+    no exchange beyond what each branch already does."""
+    if not groups:
+        raise ValueError("empty UNION group list")
+    norm = []
+    for g in groups:
+        if isinstance(g, dict):
+            norm.append(g)
+        else:
+            norm.append({"patterns": g})
+    all_vars: list[str] = []
+    per_group_vars: list[list[str]] = []
+    for g in norm:
+        vs: list[str] = []
+        for pat in list(g["patterns"]) + list(g.get("optional") or []):
+            for v in _pattern_out_vars(pat):
+                if v not in vs:
+                    vs.append(v)
+        per_group_vars.append(vs)
+        for v in vs:
+            if v not in all_vars:
+                all_vars.append(v)
+
+    def pad_to(cols_present):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = {}
+            for v in all_vars:
+                out[v] = (batch[v] if v in cols_present else
+                          pa.nulls(batch.num_rows, type=pa.string()))
+            return pa.table(out)
+
+        return fn
+
+    acc = None
+    for g, vs in zip(norm, per_group_vars):
+        branch = bgp_match(triples, g["patterns"],
+                           num_partitions=num_partitions,
+                           filters=g.get("filters"),
+                           optional=g.get("optional"))
+        branch = branch.map_batches(pad_to(set(vs)),
+                                    batch_format="pyarrow")
+        acc = branch if acc is None else acc.union(branch)
+    return acc

@@ -2989,6 +2989,40 @@ SELECT a.subj AS doc, a.obj_lex AS n, b.obj_lex AS src,
 """
 
 
+def q_kg_bgp_union(sf_dir: str):
+    """SPARQL UNION over the store (ops/bgp.bgp_union): English docs
+    with their char count ∪ non-English docs with their language —
+    branches bind different variables, so the union null-pads per
+    SPARQL 1.1 §17.3.  Hash-exact vs SQL UNION ALL."""
+    from ..ops.bgp import bgp_union
+    from ..stages.materialize import read_triple_store
+
+    tri = read_triple_store(ensure_doc_store(sf_dir))
+    return bgp_union(tri, [
+        {"patterns": [
+            ("?doc", "http://purl.org/dc/terms/language", "en"),
+            ("?doc", "http://schema.org/characterCount", "?n")]},
+        {"patterns": [
+            ("?doc", "http://purl.org/dc/terms/language", "?lang")],
+         "filters": [("?lang", "!=", "en")]},
+    ])
+
+
+SQL_KG_BGP_UNION = f"""
+WITH t AS ({SQL_KG_DOC_TRIPLES})
+SELECT a.subj AS doc, b.obj_lex AS n, CAST(NULL AS VARCHAR) AS lang
+  FROM t a JOIN t b ON b.subj = a.subj
+ WHERE a.pred = 'http://purl.org/dc/terms/language'
+   AND a.obj_lex = 'en'
+   AND b.pred = 'http://schema.org/characterCount'
+UNION ALL
+SELECT subj AS doc, CAST(NULL AS VARCHAR) AS n, obj_lex AS lang
+  FROM t
+ WHERE pred = 'http://purl.org/dc/terms/language'
+   AND obj_lex <> 'en'
+"""
+
+
 # ---------------------------------------------------- dedup-key folding
 
 
@@ -3803,6 +3837,7 @@ EXTRA_QUERIES = {
     "fold_key_docs": q_fold_key_docs,
     "kg_bgp_filter": q_kg_bgp_filter,
     "kg_bgp_optional": q_kg_bgp_optional,
+    "kg_bgp_union": q_kg_bgp_union,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -3900,4 +3935,5 @@ ORACLES = {
     "fold_key_docs": SQL_FOLD_KEY_DOCS,
     "kg_bgp_filter": SQL_KG_BGP_FILTER,
     "kg_bgp_optional": SQL_KG_BGP_OPTIONAL,
+    "kg_bgp_union": SQL_KG_BGP_UNION,
 }

@@ -2662,3 +2662,48 @@ class TestBGPOptional:
         with pytest.raises(ValueError, match="OPTIONAL"):
             bgp_match(tri, [("?d", "chars", "?n")],
                       optional=[("?x", "lang", "?lang")])
+
+
+class TestBGPUnion:
+    def test_union_null_pads(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_union
+
+        rows = [
+            {"subj": "d1", "pred": "lang", "obj_lex": "en"},
+            {"subj": "d1", "pred": "chars", "obj_lex": "10"},
+            {"subj": "d2", "pred": "lang", "obj_lex": "fr"},
+        ]
+        tri = ray.data.from_items(rows).repartition(2)
+        out = bgp_union(tri, [
+            {"patterns": [("?d", "lang", "en"),
+                          ("?d", "chars", "?n")]},
+            {"patterns": [("?d", "lang", "?lang")],
+             "filters": [("?lang", "!=", "en")]},
+        ]).take_all()
+        rowset = sorted((r["d"], r.get("n"), r.get("lang"))
+                        for r in out)
+        assert rowset == [("d1", "10", None), ("d2", None, "fr")]
+
+    def test_bare_pattern_list_group(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_union
+
+        tri = ray.data.from_items(
+            [{"subj": "d1", "pred": "p", "obj_lex": "x"}])
+        out = bgp_union(tri, [[("?s", "p", "?o")],
+                              [("?s", "p", "?o")]]).take_all()
+        assert len(out) == 2  # bag semantics: UNION ALL
+
+    def test_empty_groups_raise(self, ray_session):
+        import pytest
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_union
+
+        tri = ray.data.from_items(
+            [{"subj": "a", "pred": "p", "obj_lex": "x"}])
+        with pytest.raises(ValueError, match="empty UNION"):
+            bgp_union(tri, [])
