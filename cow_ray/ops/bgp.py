@@ -268,6 +268,18 @@ def bgp_match(triples, patterns, num_partitions: int = 16,
                 f"OPTIONAL pattern {pat} shares no REQUIRED-bound "
                 "variable with the base patterns (left-join key must "
                 "be always-bound)")
+        opt_shared = [v for v in nxt_cols
+                      if v in acc_vars and v not in required_vars]
+        if opt_shared:
+            # joining through a possibly-unbound variable needs
+            # SPARQL compatibility semantics (unbound matches
+            # anything) which a plain left join cannot express — and
+            # pyarrow would emit the column twice.  Refuse at plan
+            # time instead of crashing in a worker.
+            raise ValueError(
+                f"OPTIONAL pattern {pat} re-uses optional-bound "
+                f"variable(s) {opt_shared}; chained OPTIONALs may "
+                "share only required-bound variables")
         acc = _hash_join(acc, nxt, shared, num_partitions,
                          list(acc_cols), list(nxt_cols),
                          join_type="left outer")
@@ -286,7 +298,14 @@ def bgp_match(triples, patterns, num_partitions: int = 16,
 _CMP_OPS = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
             "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
 
-_NUM_RE = r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+# numeric lexical space aligned with DuckDB TRY_CAST / SPARQL xsd
+# numerics: optional sign, "1", "1.5", ".5", "5.", exponent, and
+# surrounding ASCII whitespace (trimmed before the cast).  Non-finite
+# lexicals ("inf"/"nan") are deliberately a type error on BOTH the
+# engine and any oracle that guards with the same pattern — DuckDB's
+# NaN ordering (NaN = NaN is TRUE there) would otherwise diverge
+# from IEEE.
+_NUM_RE = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
 
 def _filter_spec_vars(spec) -> set:
@@ -311,13 +330,16 @@ def _filter_bindings(ds, specs):
                 m = pc.match_substring_regex(col, val)
             elif op == "contains":
                 m = pc.match_substring(col, val)
-            elif isinstance(val, bool) or not isinstance(
-                    val, (int, float)):
+            elif isinstance(val, bool):
+                # RDF/SPARQL boolean lexical forms, not Python's
+                m = _CMP_OPS[op](col, "true" if val else "false")
+            elif not isinstance(val, (int, float)):
                 m = _CMP_OPS[op](col, str(val))
             else:
+                trimmed = pc.utf8_trim_whitespace(col)
                 valid = pc.fill_null(
-                    pc.match_substring_regex(col, _NUM_RE), False)
-                num = pc.cast(pc.if_else(valid, col, "nan"),
+                    pc.match_substring_regex(trimmed, _NUM_RE), False)
+                num = pc.cast(pc.if_else(valid, trimmed, "nan"),
                               pa.float64())
                 # AND with validity: a type error excludes the row for
                 # EVERY operator (IEEE alone would let '!=' pass NaN)

@@ -601,7 +601,8 @@ class WedgeDegreeError(ValueError):
 
 def count_triangles(edges, col_a: str = "id_a", col_b: str = "id_b",
                     num_partitions: int = 16,
-                    max_wedge_degree: int = 20_000) -> int:
+                    max_wedge_degree: int = 20_000,
+                    max_wedges_per_partition: int = 50_000_000) -> int:
     """Exact triangle count of the undirected simple graph in
     ``edges`` — degree-ordered wedge generation (Suri & Vassilvitskii,
     "Counting triangles and the curse of the last reducer", WWW 2011).
@@ -685,9 +686,6 @@ def count_triangles(edges, col_a: str = "id_a", col_b: str = "id_b",
             n = batch.num_rows
             cols = {"lo": pa.array(np.full(n, -1, dtype=np.int64)),
                     "hi": pa.array(np.full(n, -1, dtype=np.int64))}
-            for extra in ("deg_lo",):
-                if extra == out_name:
-                    continue
             if out_name == "deg_hi":
                 cols["deg_lo"] = pa.array(
                     np.full(n, -1, dtype=np.int64))
@@ -752,6 +750,15 @@ def count_triangles(edges, col_a: str = "id_a", col_b: str = "id_b",
             raise WedgeDegreeError(
                 f"vertex {v} has oriented degree {int(lens.max())} > "
                 f"max_wedge_degree={max_wedge_degree}")
+        # volume guard: many sub-cap vertices in one partition can
+        # still sum to an OOM — bound total pairs, loudly
+        total_pairs = int((lens.astype(np.int64)
+                           * (lens.astype(np.int64) - 1) // 2).sum())
+        if total_pairs > max_wedges_per_partition:
+            raise WedgeDegreeError(
+                f"partition would emit {total_pairs} wedges > "
+                f"max_wedges_per_partition={max_wedges_per_partition};"
+                " raise num_partitions or the cap")
         o1, o2 = [], []
         for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
             ia, ib = np.triu_indices(int(ln), k=1)

@@ -354,15 +354,22 @@ def jsonl_header(path: str, sample_records: int = 100) -> list[str]:
     return header
 
 
+_shard_seq = __import__("itertools").count()
+
+
 def write_jsonl_shards(ds, out_dir: str, *, gzip_shards: bool = True,
                        suffix: str | None = None):
     """Distributed Dataset -> JSONL shard export (the corpus wire
     format, completing the source/sink pair): each batch serializes
     with polars' vectorized NDJSON writer (no per-row Python) into
-    one ``part-<sha1>.jsonl[.gz]`` shard named by its own content
-    hash — deterministic for a deterministic partitioning, idempotent
-    under re-runs (same bytes -> same name).  Returns a manifest
-    Dataset ``(path, records, bytes)``."""
+    one ``part-<sha1>-<pid>-<seq>.jsonl[.gz]`` shard — the sha1
+    prefix is the batch's content hash (debuggability), the pid/seq
+    suffix guarantees uniqueness even for byte-identical batches
+    (content-only names would silently collapse duplicated crawl
+    segments into one file, changing bag cardinality).  Write into an
+    EMPTY directory; re-runs append new files, and the returned
+    manifest Dataset ``(path, records, bytes)`` is the source of
+    truth for what a run produced."""
     import gzip as _gz
     import hashlib
 
@@ -386,9 +393,11 @@ def write_jsonl_shards(ds, out_dir: str, *, gzip_shards: bool = True,
             with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
                 g.write(blob)
             blob = buf.getvalue()
-        name = f"part-{hashlib.sha1(blob).hexdigest()[:16]}{ext}"
+        seq = next(_shard_seq)
+        name = (f"part-{hashlib.sha1(blob).hexdigest()[:16]}"
+                f"-{os.getpid()}-{seq}{ext}")
         path = os.path.join(out_dir, name)
-        tmp = f"{path}.tmp-{os.getpid()}"
+        tmp = f"{path}.tmp"
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)

@@ -394,6 +394,9 @@ def read_warc_pages(
 # ---------------------------------------------------------------- sink
 
 
+_shard_seq = __import__("itertools").count()
+
+
 def write_warc_shards(
     ds,
     out_dir: str,
@@ -404,10 +407,12 @@ def write_warc_shards(
     mime: str = "text/html",
 ):
     """Distributed pages -> WARC export: each batch becomes one
-    ``part-<sha1>.warc.gz`` shard named by its own content hash —
-    deterministic for a deterministic input partitioning and idempotent
-    under re-runs (same bytes -> same name -> overwrite in place).
-    Returns a manifest Dataset ``(path, records, bytes)``."""
+    ``part-<sha1>-<pid>-<seq>.warc.gz`` shard — sha1 of the content
+    for debuggability, pid/seq for uniqueness (content-only names
+    would collapse byte-identical batches into one file, silently
+    changing bag cardinality).  Write into an EMPTY directory;
+    re-runs append new files.  Returns the manifest Dataset
+    ``(path, records, bytes)`` — the source of truth for a run."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(batch: pa.Table) -> pa.Table:
@@ -431,9 +436,11 @@ def write_warc_shards(
                 u or "", body, date=d or "2026-01-01T00:00:00Z",
                 mime=mime))
         blob = b"".join(recs)
-        name = f"part-{hashlib.sha1(blob).hexdigest()[:16]}.warc.gz"
+        seq = next(_shard_seq)
+        name = (f"part-{hashlib.sha1(blob).hexdigest()[:16]}"
+                f"-{os.getpid()}-{seq}.warc.gz")
         path = os.path.join(out_dir, name)
-        tmp = f"{path}.tmp-{os.getpid()}"
+        tmp = f"{path}.tmp"
         write_warc(tmp, recs, gzip_members=True)
         os.replace(tmp, path)
         return pa.table({"path": [path],

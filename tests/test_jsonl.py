@@ -239,3 +239,28 @@ class TestSinkRoundtrip:
         assert files and not any(f.endswith(".gz") for f in files)
         back = read_jsonl_with_row_ids(files).to_pandas()
         assert len(back) == 10
+
+    def test_duplicate_batches_keep_cardinality(self, ray_session,
+                                                tmp_path):
+        """Byte-identical batches must produce DISTINCT shard files
+        (content-only naming would collapse them and silently change
+        bag cardinality)."""
+        import os
+
+        import ray.data
+
+        from cow_ray.sources.jsonl import (
+            read_jsonl_with_row_ids,
+            write_jsonl_shards,
+        )
+
+        rows = [{"doc_id": 1, "text": "same", "lang": "en"}] * 2
+        # two single-row, byte-identical blocks
+        ds = ray.data.from_items(rows).repartition(2)
+        out = str(tmp_path / "dup")
+        m = write_jsonl_shards(ds, out).to_pandas()
+        files = [f for f in os.listdir(out) if f.endswith(".jsonl.gz")]
+        assert len(files) == 2 and m["records"].sum() == 2
+        back = read_jsonl_with_row_ids(
+            sorted(os.path.join(out, f) for f in files)).to_pandas()
+        assert len(back) == 2

@@ -2707,3 +2707,66 @@ class TestBGPUnion:
             [{"subj": "a", "pred": "p", "obj_lex": "x"}])
         with pytest.raises(ValueError, match="empty UNION"):
             bgp_union(tri, [])
+
+
+class TestReviewFixesBGP:
+    def test_numeric_lexicals_match_try_cast(self, ray_session):
+        """'+300', ' 300 ', '.5', '5.' are numeric (the TRY_CAST
+        lexical space); 'junk' and 'inf' stay type errors."""
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_match
+
+        rows = [("a", "+300"), ("b", " 300 "), ("c", ".5"),
+                ("d", "5."), ("e", "junk"), ("f", "inf")]
+        tri = ray.data.from_items(
+            [{"subj": s, "pred": "n", "obj_lex": v} for s, v in rows])
+        out = bgp_match(tri, [("?x", "n", "?v")],
+                        filters=[("?v", ">", 0)]).take_all()
+        assert sorted(r["x"] for r in out) == ["a", "b", "c", "d"]
+
+    def test_boolean_rdf_lexical(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_match
+
+        tri = ray.data.from_items(
+            [{"subj": "a", "pred": "flag", "obj_lex": "true"},
+             {"subj": "b", "pred": "flag", "obj_lex": "false"}])
+        out = bgp_match(tri, [("?x", "flag", "?f")],
+                        filters=[("?f", "=", True)]).take_all()
+        assert [r["x"] for r in out] == ["a"]
+
+    def test_chained_optional_shared_opt_var_refused(self, ray_session):
+        import pytest
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_match
+
+        tri = ray.data.from_items(
+            [{"subj": "a", "pred": "p", "obj_lex": "x"}])
+        with pytest.raises(ValueError, match="optional-bound"):
+            bgp_match(tri, [("?s", "p", "?o")],
+                      optional=[("?s", "q", "?x"),
+                                ("?s", "r", "?x")])
+
+
+class TestTriangleVolumeGuard:
+    def test_partition_wedge_volume_raises(self, ray_session):
+        import itertools
+
+        import pytest
+        import ray.data
+        import pyarrow as pa
+
+        from cow_ray.ops.graph import count_triangles
+
+        # K12: every oriented degree <= 11 (under the per-vertex cap)
+        # but total pairs per partition exceed a tiny volume cap
+        pairs = list(itertools.combinations(range(12), 2))
+        ds = ray.data.from_arrow(pa.table(
+            {"id_a": pa.array([a for a, _ in pairs], pa.int64()),
+             "id_b": pa.array([b for _, b in pairs], pa.int64())}))
+        with pytest.raises(Exception, match="max_wedges_per_partition"):
+            count_triangles(ds, num_partitions=1,
+                            max_wedges_per_partition=10)
