@@ -113,6 +113,18 @@ def cmd_convert(args) -> int:
             _, m = convert_csv(f, frules, sub, config=cfg)
             total_parts.extend(m)
         manifests = total_parts
+    elif all(f.endswith((".warc", ".warc.gz")) for f in inputs):
+        # raw crawl shard(s): stage once to columnar pages, then the
+        # full flagship conversion (extract -> link -> triples)
+        if rules is None:
+            raise SystemExit("WARC input needs --rules")
+        from .sources.warc import convert_warc
+
+        _, manifests = convert_warc(
+            inputs if len(inputs) > 1 else inputs[0], rules, args.out,
+            gazetteer=gazetteer, mention_rules=mention_rules,
+            config=cfg,
+        )
     elif len(inputs) > 1 and all(is_jsonl(f) for f in inputs):
         # JSONL shard glob: ONE job, unified global _row space
         if rules is None:

@@ -449,3 +449,90 @@ def write_warc_shards(
                                            pa.int64())})
 
     return ds.map_batches(write_batch, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- crawl ingestion
+
+
+def is_warc(path: str) -> bool:
+    return path.endswith(".warc") or path.endswith(".warc.gz")
+
+
+def stage_warc_to_parquet(warc_paths, staging_dir: str, *,
+                          record_types: tuple[str, ...] = ("response",),
+                          resume: bool = True) -> list[str]:
+    """Crawl-ingestion phase 1: parse WARC shards ONCE into the
+    columnar pages layout everything downstream reads — ``(url,
+    warc_ts, status, mime, html, warc_row)``.  The parse is cached
+    behind a ``_STAGED`` marker recording each input's (path, size,
+    mtime); with ``resume=True`` an unchanged input list skips the
+    re-parse entirely.
+
+    Why a staging step instead of streaming WARC straight into the
+    converter: WARC is a sequential wire format that costs a
+    decompress+parse per read, while a 100-TB pipeline reads its
+    corpus many times (conversion, dedup, stats, re-runs) — pay the
+    parse exactly once and let every later pass do pruned columnar
+    reads (the same reason Common Crawl publishes a parquet index).
+    The crawl-order ``_row`` is preserved as ``warc_row``; the
+    converter attaches its own ``_row`` from the staged files'
+    row-group offsets, deterministic for a fixed staging."""
+    import shutil
+
+    files = (list(warc_paths)
+             if isinstance(warc_paths, (list, tuple)) else [warc_paths])
+    if not files:
+        raise ValueError("no input WARC files")
+    key = hashlib.sha1()
+    for p in sorted(files):
+        st = os.stat(p)
+        key.update(f"{p}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    key.update(",".join(sorted(record_types)).encode())
+    tag = key.hexdigest()
+    marker = os.path.join(staging_dir, "_STAGED")
+    if resume and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == tag:
+                return sorted(
+                    os.path.join(staging_dir, f)
+                    for f in os.listdir(staging_dir)
+                    if f.endswith(".parquet"))
+    shutil.rmtree(staging_dir, ignore_errors=True)
+    os.makedirs(staging_dir)
+    ds = read_warc_pages(files, record_types=record_types)
+
+    def rename_row(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("_row")
+        return batch.set_column(i, "warc_row", batch["_row"])
+
+    ds.map_batches(rename_row,
+                   batch_format="pyarrow").write_parquet(staging_dir)
+    with open(marker, "w") as f:
+        f.write(tag)
+    return sorted(os.path.join(staging_dir, f)
+                  for f in os.listdir(staging_dir)
+                  if f.endswith(".parquet"))
+
+
+def convert_warc(warc_paths, rule_doc, out_dir: str | None = None, *,
+                 staging_dir: str | None = None,
+                 record_types: tuple[str, ...] = ("response",),
+                 config=None, gazetteer=None, mention_rules=None):
+    """Raw crawl → knowledge graph: stage WARC shards to columnar
+    pages (cached, :func:`stage_warc_to_parquet`) and run the FULL
+    flagship conversion over them — HTML text extraction, optional
+    entity linking, triple emission, dedup, partitioned store with
+    provenance.  Same return contract as
+    ``pipelines.convert_pages``."""
+    from ..pipelines.convert import convert_pages
+
+    if staging_dir is None:
+        if out_dir is None:
+            raise ValueError(
+                "convert_warc needs staging_dir when out_dir is None")
+        staging_dir = out_dir.rstrip("/") + ".staging"
+    staged = stage_warc_to_parquet(warc_paths, staging_dir,
+                                   record_types=record_types)
+    return convert_pages(staged, rule_doc, out_dir,
+                         gazetteer=gazetteer,
+                         mention_rules=mention_rules, config=config)

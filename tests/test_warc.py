@@ -171,3 +171,107 @@ class TestSink:
 
 def table_of_manifest(ds) -> pa.Table:
     return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+class TestConvertWarc:
+    """Raw crawl -> KG: convert_warc must emit the SAME triple set as
+    convert_pages over an equivalent pages parquet (same html payloads
+    through the same extract + emit chain)."""
+
+    RULES = {
+        "base": "https://x.org/",
+        "aboutUrl": "{url}",
+        "columns": [
+            {"name": "text", "datatype": "string"},
+            {"name": "url", "datatype": "string"},
+        ],
+    }
+
+    @staticmethod
+    def triple_set(store):
+        from cow_ray.stages.materialize import read_triple_store
+
+        out = set()
+        for b in read_triple_store(store).iter_batches(
+                batch_format="pyarrow"):
+            out |= set(zip(b["subj"].to_pylist(),
+                           b["pred"].to_pylist(),
+                           b["obj_lex"].to_pylist(),
+                           b["obj_kind"].to_pylist()))
+        return out
+
+    def test_parity_with_pages_path(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq_
+
+        from cow_ray.fixtures import pages_table
+        from cow_ray.pipelines import convert_pages
+        from cow_ray.sources.warc import convert_warc, write_warc
+
+        tbl = pages_table(24)
+        # WARC shard: one response record per page, html as payload
+        recs = []
+        for r in tbl.to_pylist():
+            recs.append(format_warc_record(
+                r["url"], r["html"],
+                date="2026-02-02T00:00:00Z"))
+        warc = str(tmp_path / "crawl.warc.gz")
+        write_warc(warc, recs)
+        # equivalent parquet: url + html only (text must come from the
+        # SAME extraction stage on both paths)
+        src = str(tmp_path / "pages.parquet")
+        pq_.write_table(tbl.select(["url", "html"]), src)
+
+        s1 = str(tmp_path / "s1")
+        s2 = str(tmp_path / "s2")
+        convert_warc(warc, self.RULES, s1)
+        convert_pages(src, self.RULES, s2)
+        t1, t2 = self.triple_set(s1), self.triple_set(s2)
+        assert t1 == t2 and len(t1) > 24
+
+    def test_staging_cache(self, ray_session, tmp_path):
+        import os
+
+        from cow_ray.fixtures import pages_table
+        from cow_ray.sources.warc import stage_warc_to_parquet, write_warc
+
+        tbl = pages_table(6)
+        recs = [format_warc_record(r["url"], r["html"])
+                for r in tbl.to_pylist()]
+        warc = str(tmp_path / "c.warc.gz")
+        write_warc(warc, recs)
+        staging = str(tmp_path / "staging")
+        files1 = stage_warc_to_parquet(warc, staging)
+        mtimes = {f: os.path.getmtime(f) for f in files1}
+        files2 = stage_warc_to_parquet(warc, staging)
+        assert files1 == files2
+        assert mtimes == {f: os.path.getmtime(f) for f in files2}
+        # touched input invalidates
+        os.utime(warc)
+        files3 = stage_warc_to_parquet(warc, staging)
+        assert sum(1 for _ in files3) >= 1
+
+    def test_cli_warc_convert(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys
+
+        from cow_ray.fixtures import pages_table
+
+        REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        tbl = pages_table(8)
+        recs = [format_warc_record(r["url"], r["html"])
+                for r in tbl.to_pylist()]
+        warc = str(tmp_path / "c.warc.gz")
+        write_warc(warc, recs)
+        rules_p = tmp_path / "rules.json"
+        rules_p.write_text(_json.dumps(self.RULES))
+        store = tmp_path / "store"
+        env = dict(os.environ, PYTHONPATH=REPO)
+        r = subprocess.run(
+            [sys.executable, "-m", "cow_ray", "convert", warc,
+             "--rules", str(rules_p), "--out", str(store),
+             "--parallelism", "4"],
+            capture_output=True, text=True, env=env, cwd=REPO)
+        assert r.returncode == 0, r.stderr
+        assert "wrote" in r.stdout and "triples" in r.stdout
+        assert (store / "_SUCCESS").exists()
