@@ -399,3 +399,60 @@ def bgp_union(triples, groups, num_partitions: int = 16):
                                     batch_format="pyarrow")
         acc = branch if acc is None else acc.union(branch)
     return acc
+
+
+def bgp_construct(triples, patterns, template, num_partitions: int = 16,
+                  filters=None, optional=None):
+    """SPARQL CONSTRUCT: match a BGP (full :func:`bgp_match` surface)
+    and instantiate ``template`` — a list of ``(s, p, o)`` terms where
+    each term is a constant or a bound ``?var`` — once per binding row
+    (bag semantics; SPARQL 1.1 §16.2: a template triple containing an
+    UNBOUND variable is skipped for that solution, not an error).
+
+    Output is a triple Dataset ``(subj, pred, obj_lex)`` — the same
+    columns the matcher consumes, so CONSTRUCT results pipe straight
+    back into ``bgp_match``/``materialize_triples`` (this is the
+    KG-construction loop: derive new edges from matched patterns).
+    One vectorized pass over the bindings; no extra exchange."""
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    bound: set[str] = set()
+    for pat in list(patterns) + list(optional or []):
+        bound |= set(_pattern_out_vars(pat))
+    for tpat in template:
+        if len(tpat) != 3:
+            raise ValueError(f"template triple {tpat} must have 3 terms")
+        for t in tpat:
+            if _is_var(t) and t[1:] not in bound:
+                raise ValueError(
+                    f"template variable {t} is bound by no pattern")
+
+    bindings = bgp_match(triples, patterns,
+                         num_partitions=num_partitions,
+                         filters=filters, optional=optional)
+
+    def instantiate(batch: pa.Table) -> pa.Table:
+        outs = []
+        n = batch.num_rows
+        for s, p, o in template:
+            # SPARQL 16.2: skip a template triple for solutions where
+            # any of its variables is unbound (nulls from OPTIONAL)
+            mask = None
+            for t in (s, p, o):
+                if _is_var(t):
+                    m = pc.invert(pc.is_null(batch[t[1:]]))
+                    mask = m if mask is None else pc.and_(mask, m)
+            t3 = pa.table({
+                "subj": (batch[s[1:]] if _is_var(s)
+                         else pa.array([s] * n, pa.string())),
+                "pred": (batch[p[1:]] if _is_var(p)
+                         else pa.array([p] * n, pa.string())),
+                "obj_lex": (batch[o[1:]] if _is_var(o)
+                            else pa.array([o] * n, pa.string())),
+            })
+            if mask is not None:
+                t3 = t3.filter(pc.fill_null(mask, False))
+            outs.append(t3)
+        return pa.concat_tables(outs)
+
+    return bindings.map_batches(instantiate, batch_format="pyarrow")

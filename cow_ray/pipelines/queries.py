@@ -3023,6 +3023,38 @@ SELECT subj AS doc, CAST(NULL AS VARCHAR) AS n, obj_lex AS lang
 """
 
 
+def q_kg_construct(sf_dir: str):
+    """SPARQL CONSTRUCT over the store (ops/bgp.bgp_construct): derive
+    new vocab edges from matched bindings — every doc gets a v:size
+    edge; docs whose OPTIONAL language bound get a v:lang edge, the
+    unbound ones skipped per SPARQL 1.1 §16.2.  Output is a triple
+    Dataset (pipes straight back into the matcher/materializer).
+    Hash-exact vs a SQL UNION ALL of the two derivations."""
+    from ..ops.bgp import bgp_construct
+    from ..stages.materialize import read_triple_store
+
+    tri = read_triple_store(ensure_doc_store(sf_dir))
+    return bgp_construct(
+        tri,
+        [("?doc", "http://schema.org/characterCount", "?n")],
+        template=[
+            ("?doc", "https://x.org/v/size", "?n"),
+            ("?doc", "https://x.org/v/lang", "?lang"),
+        ],
+        optional=[("?doc", "http://purl.org/dc/terms/language",
+                   "?lang")])
+
+
+SQL_KG_CONSTRUCT = f"""
+WITH t AS ({SQL_KG_DOC_TRIPLES})
+SELECT subj, 'https://x.org/v/size' AS pred, obj_lex
+  FROM t WHERE pred = 'http://schema.org/characterCount'
+UNION ALL
+SELECT subj, 'https://x.org/v/lang' AS pred, obj_lex
+  FROM t WHERE pred = 'http://purl.org/dc/terms/language'
+"""
+
+
 # ---------------------------------------------------- dedup-key folding
 
 
@@ -3838,6 +3870,7 @@ EXTRA_QUERIES = {
     "kg_bgp_filter": q_kg_bgp_filter,
     "kg_bgp_optional": q_kg_bgp_optional,
     "kg_bgp_union": q_kg_bgp_union,
+    "kg_construct": q_kg_construct,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -3936,4 +3969,5 @@ ORACLES = {
     "kg_bgp_filter": SQL_KG_BGP_FILTER,
     "kg_bgp_optional": SQL_KG_BGP_OPTIONAL,
     "kg_bgp_union": SQL_KG_BGP_UNION,
+    "kg_construct": SQL_KG_CONSTRUCT,
 }

@@ -2770,3 +2770,50 @@ class TestTriangleVolumeGuard:
         with pytest.raises(Exception, match="max_wedges_per_partition"):
             count_triangles(ds, num_partitions=1,
                             max_wedges_per_partition=10)
+
+
+class TestBGPConstruct:
+    def test_construct_and_skip_unbound(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_construct
+
+        rows = [
+            {"subj": "d1", "pred": "chars", "obj_lex": "10"},
+            {"subj": "d2", "pred": "chars", "obj_lex": "20"},
+            {"subj": "d1", "pred": "lang", "obj_lex": "en"},
+        ]
+        tri = ray.data.from_items(rows).repartition(2)
+        out = bgp_construct(
+            tri, [("?d", "chars", "?n")],
+            template=[("?d", "v:size", "?n"), ("?d", "v:lang", "?l")],
+            optional=[("?d", "lang", "?l")]).take_all()
+        got = sorted((r["subj"], r["pred"], r["obj_lex"]) for r in out)
+        assert got == [("d1", "v:lang", "en"), ("d1", "v:size", "10"),
+                       ("d2", "v:size", "20")]
+
+    def test_output_feeds_matcher(self, ray_session):
+        """CONSTRUCT output is a triple Dataset the matcher consumes
+        — the KG-construction loop."""
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_construct, bgp_match
+
+        tri = ray.data.from_items(
+            [{"subj": "d1", "pred": "chars", "obj_lex": "10"}])
+        derived = bgp_construct(tri, [("?d", "chars", "?n")],
+                                template=[("?n", "sizeOf", "?d")])
+        out = bgp_match(derived, [("?x", "sizeOf", "?y")]).take_all()
+        assert out == [{"x": "10", "y": "d1"}]
+
+    def test_unbound_template_var_raises(self, ray_session):
+        import pytest
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_construct
+
+        tri = ray.data.from_items(
+            [{"subj": "a", "pred": "p", "obj_lex": "x"}])
+        with pytest.raises(ValueError, match="bound by no pattern"):
+            bgp_construct(tri, [("?s", "p", "?o")],
+                          template=[("?s", "q", "?zzz")])
