@@ -129,9 +129,17 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     # kg_bgp queries a WRITTEN triple store (deployment shape); the
     # one-time store build is excluded from its wall like page
     # generation is from the flagship's
-    from cow_ray.pipelines.queries import ensure_doc_store
+    from cow_ray.pipelines.queries import (
+        ensure_doc_store,
+        ensure_jsonl_shards,
+        ensure_warc_shards,
+    )
 
     ensure_doc_store(sf_dir)
+    # likewise: the sink/source round-trip queries read fixture shards
+    # built once per sf_dir — the build is excluded from their walls
+    ensure_warc_shards(sf_dir)
+    ensure_jsonl_shards(sf_dir)
     names = [
         "kg_doc_triples", "kg_source_triples_dedup", "kg_mention_triples",
         "kg_canonical_sources", "kg_cookbook_triples", "kg_bgp",
@@ -164,6 +172,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_sessionize",
         "lineitem_orders_join", "fuzzy_supplier_join",
         "fuzzy_soundex_vocab", "customers_no_big_order",
+        # round-5 second-session wave
+        "warc_pages", "jsonl_roundtrip", "doc_bigram_nll",
+        "bpe_pair_stats", "graph_triangles", "dedup_keep_best_docs",
+        "dedup_paragraphs_docs", "url_domain_filtered",
+        "fold_key_docs", "doc_compress_ratio",
+        "kg_bgp_filter", "kg_bgp_optional", "kg_bgp_union",
+        "kg_construct",
     ]
     out: dict[str, float] = {}
     for name in names:
