@@ -3055,6 +3055,75 @@ SELECT subj, 'https://x.org/v/lang' AS pred, obj_lex
 """
 
 
+# --------------------------------------------------- sameAs entity merge
+
+
+def q_kg_sameas_merge(sf_dir: str):
+    """owl:sameAs canonicalization (ops/sameas.merge_sameas — the
+    entity-resolution step of KG construction): pair up the source
+    IRIs (src2k ≡ src2k+1) as sameAs edges, run the closure on the
+    alias graph only, and rewrite every subject/IRI-object through
+    the lexicographic-min canonical map; the sameAs triples
+    themselves drop.  The corpus never shuffles — one edge scan, one
+    broadcast-lookup rewrite.  Hash-exact vs the SQL alias-map
+    oracle."""
+    from ..ops.sameas import OWL_SAMEAS, merge_sameas
+
+    tri = q_kg_doc_triples(sf_dir)
+
+    def synth_edges(batch: pa.Table) -> pa.Table:
+        # one edge set, emitted from the first batch only would race;
+        # instead derive per-doc: doc_id % 20 == 2k even sources pair
+        # with the odd sibling — dedup happens inside merge's closure
+        ids = np.unique(
+            batch["doc_id"].to_numpy(zero_copy_only=False) % 20)
+        ev = ids[ids % 2 == 0]
+        a = [f"{KG}source/src{int(k)}" for k in ev]
+        b = [f"{KG}source/src{int(k) + 1}" for k in ev]
+        n = len(a)
+        return pa.table({
+            "subj": pa.array(a, pa.string()),
+            "pred": pa.array([OWL_SAMEAS] * n, pa.string()),
+            "obj_lex": pa.array(b, pa.string()),
+            "obj_kind": pa.array(["iri"] * n, pa.string()),
+            "obj_datatype": pa.nulls(n, pa.string()),
+            "obj_lang": pa.nulls(n, pa.string()),
+        })
+
+    edges = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(synth_edges, batch_format="pyarrow")
+
+    def align(batch: pa.Table) -> pa.Table:
+        return pa.table({c: batch[c] for c in
+                         ("subj", "pred", "obj_lex", "obj_kind",
+                          "obj_datatype", "obj_lang")})
+
+    merged = merge_sameas(
+        tri.map_batches(align, batch_format="pyarrow").union(edges))
+    return merged.map_batches(
+        lambda b: b.select(["subj", "pred", "obj_lex"]),
+        batch_format="pyarrow")
+
+
+SQL_KG_SAMEAS_MERGE = f"""
+WITH t AS ({SQL_KG_DOC_TRIPLES}),
+e AS (
+  SELECT '{KG}source/src' || CAST(2 * r.k AS VARCHAR) AS a,
+         '{KG}source/src' || CAST(2 * r.k + 1 AS VARCHAR) AS b
+    FROM range(10) r(k)),
+map AS (SELECT b AS iri, a AS canon FROM e),
+out AS (
+  SELECT COALESCE(ms.canon, t.subj) AS subj, t.pred,
+         CASE WHEN t.obj_kind = 'iri'
+              THEN COALESCE(mo.canon, t.obj_lex)
+              ELSE t.obj_lex END AS obj_lex
+    FROM t
+    LEFT JOIN map ms ON ms.iri = t.subj
+    LEFT JOIN map mo ON mo.iri = t.obj_lex AND t.obj_kind = 'iri')
+SELECT subj, pred, obj_lex FROM out
+"""
+
+
 # ---------------------------------------------------- dedup-key folding
 
 
@@ -3871,6 +3940,7 @@ EXTRA_QUERIES = {
     "kg_bgp_optional": q_kg_bgp_optional,
     "kg_bgp_union": q_kg_bgp_union,
     "kg_construct": q_kg_construct,
+    "kg_sameas_merge": q_kg_sameas_merge,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -3970,4 +4040,5 @@ ORACLES = {
     "kg_bgp_optional": SQL_KG_BGP_OPTIONAL,
     "kg_bgp_union": SQL_KG_BGP_UNION,
     "kg_construct": SQL_KG_CONSTRUCT,
+    "kg_sameas_merge": SQL_KG_SAMEAS_MERGE,
 }
