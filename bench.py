@@ -178,7 +178,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "dedup_paragraphs_docs", "url_domain_filtered",
         "fold_key_docs", "doc_compress_ratio",
         "kg_bgp_filter", "kg_bgp_optional", "kg_bgp_union",
-        "kg_construct",
+        "kg_construct", "kg_sameas_merge", "kg_validate",
     ]
     out: dict[str, float] = {}
     for name in names:

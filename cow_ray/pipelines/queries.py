@@ -3055,6 +3055,57 @@ SELECT subj, 'https://x.org/v/lang' AS pred, obj_lex
 """
 
 
+# ------------------------------------------------------ SHACL validation
+
+
+def q_kg_validate(sf_dir: str):
+    """SHACL-style constraint validation over the materialized store
+    (ops/validate.py): minCount (every doc with a text triple must
+    carry a language — the null-language docs violate), pattern
+    (characterCount must be ≤2 digits — 3-digit counts violate), and
+    maxCount (≤1 source — conformant, contributes zero rows).
+    Violations are DATA: hash-exact vs the SQL union oracle."""
+    from ..ops.validate import validate_triples
+    from ..stages.materialize import read_triple_store
+
+    tri = read_triple_store(ensure_doc_store(sf_dir))
+    return validate_triples(tri, [
+        {"id": "lang_required", "kind": "minCount",
+         "focus_pred": "http://schema.org/text",
+         "pred": "http://purl.org/dc/terms/language", "min": 1},
+        {"id": "count_2digit", "kind": "pattern",
+         "pred": "http://schema.org/characterCount",
+         "regex": "^[0-9]{1,2}$"},
+        {"id": "source_single", "kind": "maxCount",
+         "pred": "http://purl.org/dc/terms/source", "max": 1},
+    ])
+
+
+SQL_KG_VALIDATE = f"""
+WITH t AS ({SQL_KG_DOC_TRIPLES}),
+v1 AS (
+  SELECT s.subj, 'lang_required' AS "constraint", '0' AS detail
+    FROM (SELECT DISTINCT subj FROM t
+           WHERE pred = 'http://schema.org/text') s
+   WHERE s.subj NOT IN (
+         SELECT subj FROM t
+          WHERE pred = 'http://purl.org/dc/terms/language')),
+v2 AS (
+  SELECT subj, 'count_2digit' AS "constraint", obj_lex AS detail
+    FROM t
+   WHERE pred = 'http://schema.org/characterCount'
+     AND NOT regexp_matches(obj_lex, '^[0-9]{{1,2}}$')),
+v3 AS (
+  SELECT subj, 'source_single' AS "constraint",
+         CAST(cnt AS VARCHAR) AS detail
+    FROM (SELECT subj, count(*) AS cnt FROM t
+           WHERE pred = 'http://purl.org/dc/terms/source'
+           GROUP BY subj) x
+   WHERE cnt > 1)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+"""
+
+
 # --------------------------------------------------- sameAs entity merge
 
 
@@ -3941,6 +3992,7 @@ EXTRA_QUERIES = {
     "kg_bgp_union": q_kg_bgp_union,
     "kg_construct": q_kg_construct,
     "kg_sameas_merge": q_kg_sameas_merge,
+    "kg_validate": q_kg_validate,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -4041,4 +4093,5 @@ ORACLES = {
     "kg_bgp_union": SQL_KG_BGP_UNION,
     "kg_construct": SQL_KG_CONSTRUCT,
     "kg_sameas_merge": SQL_KG_SAMEAS_MERGE,
+    "kg_validate": SQL_KG_VALIDATE,
 }
