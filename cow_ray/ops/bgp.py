@@ -456,3 +456,15 @@ def bgp_construct(triples, patterns, template, num_partitions: int = 16,
         return pa.concat_tables(outs)
 
     return bindings.map_batches(instantiate, batch_format="pyarrow")
+
+
+def bgp_ask(triples, patterns, num_partitions: int = 16,
+            filters=None, optional=None) -> bool:
+    """SPARQL ASK: does at least one solution exist?  (SPARQL 1.1
+    §16.3.)  Evaluates the BGP lazily and stops at the first binding
+    row — ``Dataset.limit(1)`` lets the streaming executor cancel the
+    rest of the pipeline once a row materializes."""
+    bindings = bgp_match(triples, patterns,
+                         num_partitions=num_partitions,
+                         filters=filters, optional=optional)
+    return bindings.limit(1).count() > 0

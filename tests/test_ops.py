@@ -2817,3 +2817,27 @@ class TestBGPConstruct:
         with pytest.raises(ValueError, match="bound by no pattern"):
             bgp_construct(tri, [("?s", "p", "?o")],
                           template=[("?s", "q", "?zzz")])
+
+
+class TestBGPAsk:
+    def test_ask_true_false(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_ask
+
+        tri = ray.data.from_items(
+            [{"subj": "d1", "pred": "lang", "obj_lex": "en"}])
+        assert bgp_ask(tri, [("?d", "lang", "en")]) is True
+        assert bgp_ask(tri, [("?d", "lang", "fr")]) is False
+
+    def test_ask_with_filter(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_ask
+
+        tri = ray.data.from_items(
+            [{"subj": "d1", "pred": "n", "obj_lex": "5"}])
+        assert bgp_ask(tri, [("?d", "n", "?v")],
+                       filters=[("?v", ">", 4)]) is True
+        assert bgp_ask(tri, [("?d", "n", "?v")],
+                       filters=[("?v", ">", 6)]) is False
