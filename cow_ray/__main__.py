@@ -113,7 +113,9 @@ def cmd_convert(args) -> int:
             _, m = convert_csv(f, frules, sub, config=cfg)
             total_parts.extend(m)
         manifests = total_parts
-    elif all(f.endswith((".warc", ".warc.gz")) for f in inputs):
+    elif all(__import__("cow_ray.sources.warc",
+                        fromlist=["is_warc"]).is_warc(f)
+             for f in inputs):
         # raw crawl shard(s): stage once to columnar pages, then the
         # full flagship conversion (extract -> link -> triples)
         if rules is None:

@@ -40,15 +40,19 @@ OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 def _lookup(values: pa.Array, keys: np.ndarray,
             repl: np.ndarray) -> pa.Array:
     """Vectorized string→string map: values found in the sorted
-    ``keys`` array become ``repl`` at the same position, others pass
-    through."""
+    ``keys`` array become ``repl`` at the same position, others —
+    including nulls — pass through unchanged."""
     v = values.to_numpy(zero_copy_only=False)
     if len(keys) == 0 or len(v) == 0:
         return values
-    pos = np.searchsorted(keys, v)
-    pos_c = np.minimum(pos, len(keys) - 1)
-    hit = keys[pos_c] == v
-    out = np.where(hit, repl[pos_c], v)
+    nn = np.fromiter((x is not None for x in v), dtype=bool,
+                     count=len(v))
+    out = v.copy()
+    if nn.any():
+        vv = v[nn]
+        pos = np.minimum(np.searchsorted(keys, vv), len(keys) - 1)
+        hit = keys[pos] == vv
+        out[nn] = np.where(hit, repl[pos], vv)
     return pa.array(out.tolist(), type=pa.string())
 
 
@@ -98,15 +102,16 @@ def merge_sameas(triples, sameas_pred: str = OWL_SAMEAS,
     comp = connected_components(edge_ds, num_partitions=num_partitions)
     # bounded pull: one row per alias IRI; component label is the
     # min rank == lexicographically smallest IRI of the clique
-    node = []
-    label = []
+    node_arrs = []
+    label_arrs = []
     for b in comp.iter_batches(batch_format="pyarrow", batch_size=None):
-        node.append(b["node"].to_numpy(zero_copy_only=False))
-        label.append(b["component"].to_numpy(zero_copy_only=False))
-    node = np.concatenate(node)
-    label = np.concatenate(label)
+        node_arrs.append(b["node"].to_numpy(zero_copy_only=False))
+        label_arrs.append(b["component"].to_numpy(zero_copy_only=False))
     canon = iris.copy()
-    canon[node] = iris[label]
+    if node_arrs:  # all-self-loop alias graphs yield no components
+        node = np.concatenate(node_arrs)
+        label = np.concatenate(label_arrs)
+        canon[node] = iris[label]
     handle = ray.put((iris, canon))
 
     def rewrite(batch: pa.Table) -> pa.Table:
@@ -120,12 +125,14 @@ def merge_sameas(triples, sameas_pred: str = OWL_SAMEAS,
         obj = t["obj_lex"]
         if isinstance(obj, pa.ChunkedArray):
             obj = obj.combine_chunks()
+        if pa.types.is_null(obj.type):  # all-null block
+            obj = obj.cast(pa.string())
         is_iri = pc.fill_null(pc.equal(t["obj_kind"], "iri"), False)
         mapped = _lookup(obj, keys, repl)
         obj_out = pc.if_else(is_iri, mapped, obj)
         out = t.set_column(t.schema.get_field_index("subj"), "subj",
                            subj)
         return out.set_column(out.schema.get_field_index("obj_lex"),
-                              "obj_lex", obj_out.cast(obj.type))
+                              "obj_lex", obj_out.cast(pa.string()))
 
     return triples.map_batches(rewrite, batch_format="pyarrow")

@@ -45,7 +45,17 @@ def _check_constraints(constraints) -> tuple[list, list]:
         kind = c.get("kind")
         if kind == "pattern":
             pats.append(c)
-        elif kind in ("minCount", "maxCount"):
+        elif kind == "minCount":
+            if not c.get("focus_pred"):
+                # without a focus predicate the evaluation scope would
+                # be "subjects that happen to carry some OTHER
+                # constraint's predicate" — co-submission-dependent
+                # results; SHACL min counts are always node-scoped
+                raise ValueError(
+                    f"minCount constraint {c.get('id')!r} needs a "
+                    "focus_pred (the node-scope predicate)")
+            cnts.append(c)
+        elif kind == "maxCount":
             cnts.append(c)
         else:
             raise ValueError(f"unknown constraint kind: {c!r}")
@@ -70,8 +80,13 @@ def validate_triples(triples, constraints, num_partitions: int = 16):
                 m = pc.fill_null(pc.equal(batch["pred"], c["pred"]),
                                  False)
                 t = batch.filter(m)
+                lex = t["obj_lex"]
+                if pa.types.is_null(lex.type):  # all-null block
+                    lex = lex.cast(pa.string())
+                # null lexicals are NOT violations (SQL: NOT
+                # regexp_matches(NULL, ..) is NULL -> excluded)
                 bad = pc.invert(pc.fill_null(pc.match_substring_regex(
-                    t["obj_lex"], c["regex"]), False))
+                    lex, c["regex"]), True))
                 t = t.filter(bad)
                 vs.append(pa.table({
                     "subj": t["subj"].cast(pa.string()),
@@ -115,7 +130,6 @@ def validate_triples(triples, constraints, num_partitions: int = 16):
 
             def count_of(p: str) -> np.ndarray:
                 sel = np.where(pred == p, cc, 0)
-                ends = np.r_[starts[1:], len(subj)]
                 return np.add.reduceat(
                     sel, starts) if len(sel) else sel
 
@@ -123,9 +137,7 @@ def validate_triples(triples, constraints, num_partitions: int = 16):
             for c in cnts:
                 pcnt = count_of(c["pred"])
                 if c["kind"] == "minCount":
-                    focus = count_of(c["focus_pred"]) > 0 \
-                        if c.get("focus_pred") else np.ones(
-                            len(usubj), dtype=bool)
+                    focus = count_of(c["focus_pred"]) > 0
                     bad = focus & (pcnt < int(c["min"]))
                 else:
                     bad = pcnt > int(c["max"])

@@ -493,10 +493,19 @@ def stage_warc_to_parquet(warc_paths, staging_dir: str, *,
     if resume and os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == tag:
-                return sorted(
+                staged = sorted(
                     os.path.join(staging_dir, f)
                     for f in os.listdir(staging_dir)
                     if f.endswith(".parquet"))
+                if staged:  # marker outliving its files -> restage
+                    return staged
+    if (os.path.isdir(staging_dir) and os.listdir(staging_dir)
+            and not os.path.exists(marker)):
+        # never wipe a directory this module did not create
+        raise ValueError(
+            f"staging_dir {staging_dir!r} is non-empty and carries no "
+            "_STAGED marker; refusing to delete it — point staging at "
+            "a fresh directory")
     shutil.rmtree(staging_dir, ignore_errors=True)
     os.makedirs(staging_dir)
     ds = read_warc_pages(files, record_types=record_types)

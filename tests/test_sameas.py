@@ -68,3 +68,29 @@ class TestSameAs:
         out = merge_sameas(ray.data.from_items(rows)).take_all()
         assert len(out) == 1
         assert out[0]["subj"] == "e:a" and out[0]["extra"] == 10
+
+
+class TestSameAsReviewFixes:
+    SA = TestSameAs.SA
+
+    def test_self_loop_only_edges(self, ray_session):
+        """Reflexive sameAs statements (common in real dumps) must
+        not crash — they drop, everything else is identity."""
+        rows = [("e:a", self.SA, "e:a", "iri"),
+                ("e:a", "p", "v", "literal")]
+        assert run(rows) == [("e:a", "p", "v")]
+
+    def test_null_lexicals_survive(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.sameas import merge_sameas
+
+        rows = tri_rows([("e:a", self.SA, "e:b", "iri"),
+                         ("e:b", "p", "x", "literal")])
+        rows.append({"subj": "d", "pred": "q", "obj_lex": None,
+                     "obj_kind": "literal", "obj_datatype": None,
+                     "obj_lang": None})
+        out = sorted((r["subj"], r["pred"], r["obj_lex"])
+                     for r in merge_sameas(
+                         ray.data.from_items(rows)).take_all())
+        assert out == [("d", "q", None), ("e:a", "p", "x")]

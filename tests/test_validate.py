@@ -68,3 +68,16 @@ class TestValidate:
 
         with pytest.raises(ValueError, match="unknown constraint"):
             run(ROWS, [{"id": "x", "kind": "closed"}])
+
+
+class TestValidateReviewFixes:
+    def test_min_count_requires_focus(self, ray_session):
+        with pytest.raises(ValueError, match="focus_pred"):
+            run(ROWS, [{"id": "x", "kind": "minCount", "pred": "lang",
+                        "min": 1}])
+
+    def test_null_lexical_not_a_pattern_violation(self, ray_session):
+        rows = [tri("d1", "n", None), tri("d2", "n", "999")]
+        got = run(rows, [{"id": "n2", "kind": "pattern", "pred": "n",
+                          "regex": "^[0-9]{1,2}$"}])
+        assert got == [("d2", "n2", "999")]

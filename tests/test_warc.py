@@ -275,3 +275,35 @@ class TestConvertWarc:
         assert r.returncode == 0, r.stderr
         assert "wrote" in r.stdout and "triples" in r.stdout
         assert (store / "_SUCCESS").exists()
+
+
+class TestStagingSafety:
+    def test_refuses_foreign_nonempty_dir(self, ray_session, tmp_path):
+        from cow_ray.fixtures import pages_table
+        from cow_ray.sources.warc import stage_warc_to_parquet, write_warc
+
+        tbl = pages_table(3)
+        warc = str(tmp_path / "c.warc.gz")
+        write_warc(warc, [format_warc_record(r["url"], r["html"])
+                          for r in tbl.to_pylist()])
+        foreign = tmp_path / "precious"
+        foreign.mkdir()
+        (foreign / "data.txt").write_text("do not delete")
+        with pytest.raises(ValueError, match="refusing to delete"):
+            stage_warc_to_parquet(warc, str(foreign))
+        assert (foreign / "data.txt").exists()
+
+    def test_stale_marker_restages(self, ray_session, tmp_path):
+        from cow_ray.fixtures import pages_table
+        from cow_ray.sources.warc import stage_warc_to_parquet, write_warc
+
+        tbl = pages_table(3)
+        warc = str(tmp_path / "c.warc.gz")
+        write_warc(warc, [format_warc_record(r["url"], r["html"])
+                          for r in tbl.to_pylist()])
+        staging = str(tmp_path / "st")
+        files = stage_warc_to_parquet(warc, staging)
+        for f in files:  # simulate cleanup eating the files
+            os.remove(f)
+        files2 = stage_warc_to_parquet(warc, staging)
+        assert files2 and all(os.path.exists(f) for f in files2)
