@@ -599,10 +599,60 @@ class WedgeDegreeError(ValueError):
     callers raise the cap or pre-filter hub vertices."""
 
 
+TRIANGLES_LOCAL_MAX = 2_000_000  # edges; ~32 MB of int64 pairs
+
+
+def _triangles_local(max_wedge_degree: int, *blocks) -> int:
+    """Whole-graph triangle count in ONE task over the normalized
+    distinct edge blocks — the small-graph fast path (a Dataset
+    exchange costs ~2 s of fixed machinery; six of them dominate any
+    graph whose edges fit one worker).  Same algorithm, same guard."""
+    tabs = [b for b in blocks if b.num_rows]
+    if not tabs:
+        return 0
+    t = pa.concat_tables(tabs)
+    lo = _np_col(t, "lo")
+    hi = _np_col(t, "hi")
+    nodes, inv = np.unique(np.concatenate([lo, hi]),
+                           return_inverse=True)
+    a, b = inv[: len(lo)], inv[len(lo):]
+    deg = np.bincount(np.concatenate([a, b]), minlength=len(nodes))
+    # orient low-(deg, id)-rank -> high
+    a_first = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+    src = np.where(a_first, a, b)
+    dst = np.where(a_first, b, a)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    newrun = np.r_[True, src[1:] != src[:-1]]
+    starts = np.flatnonzero(newrun)
+    lens = np.diff(np.r_[starts, len(src)])
+    if lens.max(initial=0) > max_wedge_degree:
+        v = nodes[src[starts[int(np.argmax(lens))]]]
+        raise WedgeDegreeError(
+            f"vertex {v} has oriented degree {int(lens.max())} > "
+            f"max_wedge_degree={max_wedge_degree}")
+    # edge membership set over (min-id, max-id) pairs
+    elo = np.minimum(a, b)
+    ehi = np.maximum(a, b)
+    ek = np.empty(len(elo), dtype=[("a", "<i8"), ("b", "<i8")])
+    ek["a"], ek["b"] = elo, ehi
+    ek.sort()
+    total = 0
+    for st, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+        ia, ib = np.triu_indices(int(ln), k=1)
+        seg = dst[st:st + ln]
+        wk = np.empty(len(ia), dtype=[("a", "<i8"), ("b", "<i8")])
+        wk["a"], wk["b"] = seg[ia], seg[ib]
+        pos = np.minimum(np.searchsorted(ek, wk), len(ek) - 1)
+        total += int((ek[pos] == wk).sum())
+    return total
+
+
 def count_triangles(edges, col_a: str = "id_a", col_b: str = "id_b",
                     num_partitions: int = 16,
                     max_wedge_degree: int = 20_000,
-                    max_wedges_per_partition: int = 50_000_000) -> int:
+                    max_wedges_per_partition: int = 50_000_000,
+                    local_max_edges: int | None = None) -> int:
     """Exact triangle count of the undirected simple graph in
     ``edges`` — degree-ordered wedge generation (Suri & Vassilvitskii,
     "Counting triangles and the curse of the last reducer", WWW 2011).
@@ -650,6 +700,20 @@ def count_triangles(edges, col_a: str = "id_a", col_b: str = "id_b",
          .groupby("__part")
          .map_groups(lambda g: part_distinct(g), batch_format="pyarrow")
          ).materialize()  # consumed three times below (degrees, attach, close)
+
+    # small-graph fast path: below the guard the whole count runs in
+    # ONE bounded task over the normalized blocks (six Dataset
+    # exchanges of fixed ~2 s machinery would otherwise dominate);
+    # the distributed path is forced + equality-tested in tests
+    cap = (TRIANGLES_LOCAL_MAX if local_max_edges is None
+           else local_max_edges)
+    if e.count() <= cap:
+        import ray
+
+        refs = [r for bundle in e.iter_internal_ref_bundles()
+                for r in bundle.block_refs]
+        return int(ray.get(ray.remote(_triangles_local).remote(
+            max_wedge_degree, *refs)))
 
     # ---- 2. degrees: per-batch partial counts -> node-keyed exchange
     def deg_partial(batch: pa.Table) -> pa.Table:

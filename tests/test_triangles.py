@@ -41,14 +41,22 @@ def run(pairs, **kw):
     return count_triangles(ds, num_partitions=4, **kw)
 
 
+def run_both(pairs, **kw):
+    """Local fast path AND forced-distributed path must agree."""
+    local = run(pairs, **kw)
+    dist = run(pairs, local_max_edges=0, **kw)
+    assert local == dist, (local, dist)
+    return local
+
+
 class TestTriangles:
     def test_small_known(self, ray_session):
         # one triangle + a pendant edge
-        assert run([(1, 2), (2, 3), (3, 1), (3, 4)]) == 1
+        assert run_both([(1, 2), (2, 3), (3, 1), (3, 4)]) == 1
 
     def test_k5(self, ray_session):
         pairs = list(itertools.combinations(range(5), 2))
-        assert run(pairs) == 10  # C(5,3)
+        assert run_both(pairs) == 10  # C(5,3)
 
     def test_duplicates_loops_reversed(self, ray_session):
         pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (3, 1), (1, 3)]
@@ -62,7 +70,7 @@ class TestTriangles:
         pairs = [tuple(map(int, rng.integers(0, 60, 2)))
                  for _ in range(400)]
         pairs = [p for p in pairs if p[0] != p[1]]
-        assert run(pairs) == brute(pairs)
+        assert run_both(pairs) == brute(pairs)
 
     def test_star_hub(self, ray_session):
         """A hub star (degree 30) with rim edges: degree orientation
@@ -80,6 +88,8 @@ class TestTriangles:
         pairs = list(itertools.combinations(range(8), 2))
         with pytest.raises(Exception) as ei:
             run(pairs, max_wedge_degree=2)
+        with pytest.raises(Exception):
+            run(pairs, max_wedge_degree=2, local_max_edges=0)
         assert "WedgeDegreeError" in str(ei.value) or isinstance(
             ei.value, WedgeDegreeError) or "max_wedge_degree" in str(
             ei.value)
