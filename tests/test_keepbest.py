@@ -49,7 +49,14 @@ def run_keep_best(ids, scores, pairs, **kw):
     out = keep_best(ds, pr, id_col="doc_id", score_col="score",
                     num_partitions=4, **kw)
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return t.sort_by("doc_id")
+    t = t.sort_by("doc_id")
+    if "bcast_max_nodes" not in kw:
+        # both paths must agree: broadcast (default here) vs the
+        # forced fully-distributed reduce-side chain
+        dist = run_keep_best(ids, scores, pairs, bcast_max_nodes=0,
+                             **kw)
+        assert t.to_pylist() == dist.to_pylist()
+    return t
 
 
 class TestKeepBest:
