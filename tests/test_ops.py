@@ -2769,7 +2769,8 @@ class TestTriangleVolumeGuard:
              "id_b": pa.array([b for _, b in pairs], pa.int64())}))
         with pytest.raises(Exception, match="max_wedges_per_partition"):
             count_triangles(ds, num_partitions=1,
-                            max_wedges_per_partition=10)
+                            max_wedges_per_partition=10,
+                            local_max_edges=0)
 
 
 class TestBGPConstruct:
