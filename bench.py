@@ -179,6 +179,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "fold_key_docs", "doc_compress_ratio",
         "kg_bgp_filter", "kg_bgp_optional", "kg_bgp_union",
         "kg_construct", "kg_sameas_merge", "kg_validate",
+        "url_latest_docs",
     ]
     out: dict[str, float] = {}
     for name in names:

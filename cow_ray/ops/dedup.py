@@ -1076,3 +1076,35 @@ def containment_candidates(cand_ds, docs_by_id, threshold: float = 0.9,
     implementation)."""
     return verify_candidates(cand_ds, docs_by_id, threshold, k,
                              metric="containment")
+
+
+def keep_latest(ds, key_cols, ts_col: str, tie_col: str | None = None,
+                num_partitions: int = 16):
+    """Latest-snapshot-per-key dedup — the crawl recrawl rule (of the
+    many fetches of one URL across snapshots, keep the newest; every
+    Common-Crawl-derived corpus applies this before content dedup).
+
+    Max-by is associative, so the shape is the events_first pattern:
+    each batch keeps one row per key map-side (first_per_key on
+    descending order), ONE key-hashed exchange carries only the local
+    winners, and each partition picks the global winner with the same
+    kernel.  Ties break on descending ``tie_col`` (give a unique id
+    for determinism).  Pure Arrow end to end."""
+    from ..stages.canonicalize import content_key, first_per_key, hash_mod
+
+    keys = list(key_cols)
+    order = [(ts_col, "descending")]
+    if tie_col is not None:
+        order.append((tie_col, "descending"))
+
+    def local_latest(batch: pa.Table) -> pa.Table:
+        t = first_per_key(batch, keys, order)
+        return t.append_column(
+            "__part", hash_mod(content_key(t, keys), num_partitions))
+
+    def latest_part(g: pa.Table) -> pa.Table:
+        return first_per_key(g, keys, order).drop_columns(["__part"])
+
+    return (ds.map_batches(local_latest, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(latest_part, batch_format="pyarrow"))

@@ -3055,6 +3055,50 @@ SELECT subj, 'https://x.org/v/lang' AS pred, obj_lex
 """
 
 
+# --------------------------------------------------- snapshot dedup
+
+
+def q_url_latest_docs(sf_dir: str):
+    """Latest-snapshot-per-URL dedup (ops/dedup.keep_latest — the
+    crawl recrawl rule): a synthetic recrawl fixture maps ~500 docs
+    onto 350 URLs with deterministic fetch timestamps; keep the
+    newest fetch per URL, ties to the larger doc_id.  Hash-exact vs
+    the SQL window-function oracle."""
+    from ..ops.dedup import keep_latest
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        url = np.char.add(
+            np.char.add("https://site",
+                        (ids % 7).astype("U4")),
+            np.char.add(".org/page/", (ids % 50).astype("U8")))
+        ts = (ids * 37) % 1000
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "url": pa.array(url.tolist(), pa.string()),
+            "fetch_ts": pa.array(ts.astype(np.int64))})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    return keep_latest(ds, ["url"], "fetch_ts", tie_col="doc_id")
+
+
+SQL_URL_LATEST_DOCS = """
+WITH synth AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.org/page/' || CAST(doc_id % 50 AS VARCHAR) AS url,
+         (doc_id * 37) % 1000 AS fetch_ts
+    FROM documents)
+SELECT doc_id, url, CAST(fetch_ts AS BIGINT) AS fetch_ts
+  FROM (SELECT *, row_number() OVER (
+              PARTITION BY url
+              ORDER BY fetch_ts DESC, doc_id DESC) AS rn
+          FROM synth) x
+ WHERE rn = 1
+"""
+
+
 # ------------------------------------------------------ SHACL validation
 
 
@@ -3993,6 +4037,7 @@ EXTRA_QUERIES = {
     "kg_construct": q_kg_construct,
     "kg_sameas_merge": q_kg_sameas_merge,
     "kg_validate": q_kg_validate,
+    "url_latest_docs": q_url_latest_docs,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -4094,4 +4139,5 @@ ORACLES = {
     "kg_construct": SQL_KG_CONSTRUCT,
     "kg_sameas_merge": SQL_KG_SAMEAS_MERGE,
     "kg_validate": SQL_KG_VALIDATE,
+    "url_latest_docs": SQL_URL_LATEST_DOCS,
 }

@@ -2842,3 +2842,46 @@ class TestBGPAsk:
                        filters=[("?v", ">", 4)]) is True
         assert bgp_ask(tri, [("?d", "n", "?v")],
                        filters=[("?v", ">", 6)]) is False
+
+
+class TestKeepLatest:
+    def test_latest_per_url(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.dedup import keep_latest
+
+        rows = [
+            {"doc_id": 1, "url": "a", "ts": 10},
+            {"doc_id": 2, "url": "a", "ts": 30},
+            {"doc_id": 3, "url": "a", "ts": 20},
+            {"doc_id": 4, "url": "b", "ts": 5},
+            {"doc_id": 5, "url": "c", "ts": 7},
+            {"doc_id": 6, "url": "c", "ts": 7},  # tie -> max doc_id
+        ]
+        out = keep_latest(
+            ray.data.from_items(rows).repartition(3), ["url"], "ts",
+            tie_col="doc_id", num_partitions=4).take_all()
+        got = sorted((r["url"], r["doc_id"], r["ts"]) for r in out)
+        assert got == [("a", 2, 30), ("b", 4, 5), ("c", 6, 7)]
+
+    def test_matches_brute_force(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from cow_ray.ops.dedup import keep_latest
+
+        rng = np.random.default_rng(3)
+        rows = [{"doc_id": i, "url": f"u{int(rng.integers(0, 40))}",
+                 "ts": int(rng.integers(0, 50))} for i in range(300)]
+        want = {}
+        for r in rows:
+            cur = want.get(r["url"])
+            if cur is None or (r["ts"], r["doc_id"]) > (cur["ts"],
+                                                        cur["doc_id"]):
+                want[r["url"]] = r
+        out = keep_latest(
+            ray.data.from_items(rows).repartition(5), ["url"], "ts",
+            tie_col="doc_id", num_partitions=4).take_all()
+        got = {r["url"]: r for r in out}
+        assert {u: (r["doc_id"], r["ts"]) for u, r in got.items()} == \
+            {u: (r["doc_id"], r["ts"]) for u, r in want.items()}
