@@ -468,3 +468,27 @@ def bgp_ask(triples, patterns, num_partitions: int = 16,
                          num_partitions=num_partitions,
                          filters=filters, optional=optional)
     return bindings.limit(1).count() > 0
+
+
+def bgp_describe(triples, iris, cols=_POS_COLS):
+    """SPARQL DESCRIBE (the W3C-recommended simple form: every triple
+    whose subject is a described resource; SPARQL 1.1 §16.4 leaves the
+    exact shape implementation-defined).  ``iris`` is a list of
+    constants or a ``ray.ObjectRef`` to one — broadcast membership,
+    one filtered scan, no exchange."""
+    import pyarrow as _pa
+
+    def scan(batch: pa.Table) -> pa.Table:
+        vals = iris
+        try:
+            import ray
+
+            if isinstance(vals, ray.ObjectRef):
+                vals = ray.get(vals)
+        except ImportError:  # pragma: no cover
+            pass
+        m = pc.fill_null(pc.is_in(
+            batch[cols[0]], value_set=_pa.array(list(vals))), False)
+        return batch.filter(m)
+
+    return triples.map_batches(scan, batch_format="pyarrow")

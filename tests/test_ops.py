@@ -2885,3 +2885,20 @@ class TestKeepLatest:
         got = {r["url"]: r for r in out}
         assert {u: (r["doc_id"], r["ts"]) for u, r in got.items()} == \
             {u: (r["doc_id"], r["ts"]) for u, r in want.items()}
+
+
+class TestBGPDescribe:
+    def test_describe(self, ray_session):
+        import ray.data
+
+        from cow_ray.ops.bgp import bgp_describe
+
+        rows = [
+            {"subj": "d1", "pred": "a", "obj_lex": "1"},
+            {"subj": "d1", "pred": "b", "obj_lex": "2"},
+            {"subj": "d2", "pred": "a", "obj_lex": "3"},
+        ]
+        tri = ray.data.from_items(rows).repartition(2)
+        out = bgp_describe(tri, ["d1"]).take_all()
+        assert sorted((r["pred"], r["obj_lex"]) for r in out) == \
+            [("a", "1"), ("b", "2")]
