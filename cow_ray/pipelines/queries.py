@@ -1199,6 +1199,36 @@ SELECT a.subj AS doc, b.obj_lex AS src, c.obj_lex AS n
 """
 
 
+def q_kg_describe(sf_dir: str):
+    """SPARQL DESCRIBE over the materialized store (ops/bgp.py
+    bgp_describe — broadcast-membership subject scan, no exchange):
+    every triple whose subject is one of a deterministic resource
+    set (docs with ``doc_id % 97 == 0``).  The IRI list is built
+    from a column-pruned local read of the doc-id column (bounded:
+    |docs|/97 strings) and shipped ONCE via ``ray.put``; hash-exact
+    vs the SQL semi-join oracle."""
+    import ray
+
+    from ..ops.bgp import bgp_describe
+    from ..stages.materialize import read_triple_store
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"])["doc_id"].to_numpy(zero_copy_only=False)
+    iris = [f"{KG}doc/{i}" for i in ids[ids % 97 == 0]]
+    tri = read_triple_store(ensure_doc_store(sf_dir))
+    return bgp_describe(tri, ray.put(iris))
+
+
+SQL_KG_DESCRIBE = f"""
+WITH t AS ({SQL_KG_DOC_TRIPLES})
+SELECT subj, pred, obj_lex, obj_kind, obj_datatype, obj_lang
+  FROM t
+ WHERE subj IN (SELECT '{KG}doc/' || CAST(doc_id AS VARCHAR)
+                  FROM documents WHERE doc_id % 97 = 0)
+"""
+
+
 def q_sketch_quantiles_docs(sf_dir: str):
     """ε-approximate quantiles of a CONTINUOUS column (float
     mean-token-length quality signal) via the deterministic
@@ -4038,6 +4068,7 @@ EXTRA_QUERIES = {
     "kg_sameas_merge": q_kg_sameas_merge,
     "kg_validate": q_kg_validate,
     "url_latest_docs": q_url_latest_docs,
+    "kg_describe": q_kg_describe,
     "sketch_quantiles_docs": q_sketch_quantiles_docs,
     "exact_dup_spans_docs": q_exact_dup_spans_docs,
     "normalized_docs": q_normalized_docs,
@@ -4074,6 +4105,7 @@ ORACLES = {
     "kg_canonical_sources": SQL_KG_CANONICAL_SOURCES,
     "kg_cookbook_triples": SQL_KG_COOKBOOK_TRIPLES,
     "kg_bgp": SQL_KG_BGP,
+    "kg_describe": SQL_KG_DESCRIBE,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_hist": SQL_LANG_HIST,
